@@ -1,0 +1,24 @@
+"""Test configuration.
+
+Device-path tests run on a virtual 8-device CPU platform so that sharding
+is exercised without TPU hardware (the driver's dryrun does the same).
+Set FULGOR_TPU_TEST_REAL=1 to run on whatever JAX finds instead.
+"""
+
+import os
+
+if not os.environ.get("FULGOR_TPU_TEST_REAL"):
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
