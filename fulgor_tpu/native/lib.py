@@ -1,0 +1,186 @@
+"""ctypes bindings for the native host library (builds on first use)."""
+
+from __future__ import annotations
+
+import ctypes as ct
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libfulgor_native.so")
+_SRC = os.path.join(_DIR, "src", "fulgor_native.cpp")
+
+_lock = threading.Lock()
+_lib = None
+
+
+class CcdbgOut(ct.Structure):
+    _fields_ = [
+        ("unitig_codes", ct.POINTER(ct.c_uint8)),
+        ("unitig_offs", ct.POINTER(ct.c_int64)),
+        ("unitig_cs", ct.POINTER(ct.c_uint32)),
+        ("cs_colors", ct.POINTER(ct.c_uint32)),
+        ("cs_offs", ct.POINTER(ct.c_int64)),
+        ("num_unitigs", ct.c_int64),
+        ("num_color_sets", ct.c_int64),
+        ("num_kmers", ct.c_int64),
+        ("codes_len", ct.c_int64),
+        ("cs_colors_len", ct.c_int64),
+    ]
+
+
+def _load():
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if (not os.path.exists(_SO)) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            subprocess.run(["make", "-C", _DIR], check=True, capture_output=True)
+        lib = ct.CDLL(_SO)
+        lib.fn_free.argtypes = [ct.c_void_p]
+        lib.fn_build_ccdbg.argtypes = [ct.c_char_p, ct.c_int, ct.c_int, ct.POINTER(CcdbgOut)]
+        lib.fn_build_ccdbg.restype = ct.c_int
+        lib.fn_cuckoo_build.argtypes = [
+            ct.POINTER(ct.c_uint64),
+            ct.POINTER(ct.c_uint32),
+            ct.c_int64,
+            ct.POINTER(ct.POINTER(ct.c_uint32)),
+        ]
+        lib.fn_cuckoo_build.restype = ct.c_uint64
+        lib.fn_hybrid_decode_all.argtypes = [
+            ct.POINTER(ct.c_uint64),
+            ct.POINTER(ct.c_uint64),
+            ct.c_int64,
+            ct.c_uint32,
+            ct.POINTER(ct.POINTER(ct.c_uint32)),
+            ct.POINTER(ct.POINTER(ct.c_int64)),
+            ct.POINTER(ct.c_int64),
+        ]
+        lib.fn_hybrid_decode_all.restype = ct.c_int
+        lib.fn_parse_reads.argtypes = [
+            ct.c_char_p,
+            ct.c_int64,
+            ct.POINTER(ct.POINTER(ct.c_uint8)),
+            ct.POINTER(ct.POINTER(ct.c_int32)),
+            ct.POINTER(ct.POINTER(ct.c_char)),
+            ct.POINTER(ct.POINTER(ct.c_int64)),
+            ct.POINTER(ct.c_int64),
+            ct.POINTER(ct.c_int32),
+        ]
+        lib.fn_parse_reads.restype = ct.c_int
+        _lib = lib
+        return lib
+
+
+def _take(ptr, n, dtype):
+    """Copy a malloc'd C buffer into numpy and free it."""
+    lib = _load()
+    if n == 0:
+        lib.fn_free(ptr)
+        return np.empty(0, dtype=dtype)
+    arr = np.ctypeslib.as_array(ptr, shape=(int(n),)).astype(dtype, copy=True)
+    lib.fn_free(ptr)
+    return arr
+
+
+def build_ccdbg(paths: list[str], k: int):
+    """Native ccdBG build -> dict of arrays (same contract as build_ccdbg_py)."""
+    lib = _load()
+    blob = b"\0".join(p.encode() for p in paths) + b"\0"
+    out = CcdbgOut()
+    rc = lib.fn_build_ccdbg(blob, len(paths), k, ct.byref(out))
+    if rc != 0:
+        raise RuntimeError(f"fn_build_ccdbg failed rc={rc} (bad path or invalid k={k}?)")
+    return dict(
+        unitig_codes=_take(out.unitig_codes, out.codes_len, np.uint8),
+        unitig_offs=_take(out.unitig_offs, out.num_unitigs + 1, np.int64),
+        unitig_cs=_take(out.unitig_cs, out.num_unitigs, np.uint32),
+        cs_colors=_take(out.cs_colors, out.cs_colors_len, np.uint32),
+        cs_offs=_take(out.cs_offs, out.num_color_sets + 1, np.int64),
+        num_kmers=int(out.num_kmers),
+    )
+
+
+def cuckoo_build(keys: np.ndarray, vals: np.ndarray):
+    """-> table (num_buckets, 12) uint32. Layout: [lo x4 | hi x4 | val x4]."""
+    lib = _load()
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    vals = np.ascontiguousarray(vals, dtype=np.uint32)
+    ptr = ct.POINTER(ct.c_uint32)()
+    nb = lib.fn_cuckoo_build(
+        keys.ctypes.data_as(ct.POINTER(ct.c_uint64)),
+        vals.ctypes.data_as(ct.POINTER(ct.c_uint32)),
+        len(keys),
+        ct.byref(ptr),
+    )
+    if nb == 0:
+        raise RuntimeError("cuckoo build failed")
+    return _take(ptr, nb * 12, np.uint32).reshape(int(nb), 12)
+
+
+def hybrid_decode_all(words: np.ndarray, bit_offsets: np.ndarray, num_colors: int):
+    lib = _load()
+    words = np.ascontiguousarray(words, dtype=np.uint64)
+    if len(words) == 0:
+        words = np.zeros(1, dtype=np.uint64)
+    offs = np.ascontiguousarray(bit_offsets, dtype=np.uint64)
+    n_sets = len(offs) - 1
+    cat_p = ct.POINTER(ct.c_uint32)()
+    offs_p = ct.POINTER(ct.c_int64)()
+    cat_len = ct.c_int64()
+    rc = lib.fn_hybrid_decode_all(
+        words.ctypes.data_as(ct.POINTER(ct.c_uint64)),
+        offs.ctypes.data_as(ct.POINTER(ct.c_uint64)),
+        n_sets,
+        num_colors,
+        ct.byref(cat_p),
+        ct.byref(offs_p),
+        ct.byref(cat_len),
+    )
+    if rc != 0:
+        raise RuntimeError("hybrid_decode_all failed")
+    cat = _take(cat_p, cat_len.value, np.uint32)
+    out_offs = _take(offs_p, n_sets + 1, np.int64)
+    return cat, out_offs
+
+
+def parse_reads(path: str, max_reads: int = 0):
+    """-> (codes (n, maxlen) uint8 [4=pad], lens (n,) int32, names list[str])."""
+    lib = _load()
+    codes_p = ct.POINTER(ct.c_uint8)()
+    lens_p = ct.POINTER(ct.c_int32)()
+    names_p = ct.POINTER(ct.c_char)()
+    noffs_p = ct.POINTER(ct.c_int64)()
+    num = ct.c_int64()
+    maxlen = ct.c_int32()
+    rc = lib.fn_parse_reads(
+        path.encode(),
+        max_reads,
+        ct.byref(codes_p),
+        ct.byref(lens_p),
+        ct.byref(names_p),
+        ct.byref(noffs_p),
+        ct.byref(num),
+        ct.byref(maxlen),
+    )
+    if rc != 0:
+        raise RuntimeError(f"cannot parse reads file: {path}")
+    n, L = num.value, maxlen.value
+    codes = _take(ct.cast(codes_p, ct.POINTER(ct.c_uint8)), n * L, np.uint8).reshape(n, L)
+    lens = _take(lens_p, n, np.int32)
+    noffs = _take(noffs_p, n + 1, np.int64)
+    blob_len = int(noffs[-1]) if n else 0
+    blob = (
+        _take(ct.cast(names_p, ct.POINTER(ct.c_uint8)), blob_len, np.uint8)
+        .tobytes()
+        .decode(errors="replace")
+        if blob_len
+        else ""
+    )
+    if blob_len == 0:
+        lib.fn_free(names_p)
+    names = [blob[noffs[i] : noffs[i + 1]] for i in range(n)]
+    return codes, lens, names

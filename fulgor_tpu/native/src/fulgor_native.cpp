@@ -1,0 +1,708 @@
+// fulgor-tpu native host library.
+//
+// TPU-native replacement for the reference's native build stack: GGCAT
+// (ccdBG construction), SSHash dictionary *construction* (here: bucketed
+// cuckoo table build), and the bits codecs' hot decode loops. The query
+// compute path lives on TPU (fulgor_tpu/ops); this library only prepares
+// dense arrays for it and accelerates host-side build/load.
+//
+// Exposed as a plain C ABI consumed via ctypes (no pybind11 in the image).
+// All returned buffers are allocated with malloc and must be released with
+// fn_free().
+//
+// Reference behavior being reproduced (see SURVEY.md §2.2):
+//  - monochromatic maximal unitigs with per-unitig color sets
+//    (include/GGCAT.hpp:79-88 use-site semantics)
+//  - canonical k-mers, k odd, k <= 31
+//  - deterministic unitig / color-set ordering (ours; the reference's GGCAT
+//    stream order is not rebuild-stable, README.md:318)
+
+#include <algorithm>
+#include <cassert>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+#include <zlib.h>
+
+extern "C" void fn_free(void* p) { free(p); }
+
+// ---------------------------------------------------------------- utilities
+
+static inline uint64_t rev2bits(uint64_t v) {
+    v = ((v >> 2) & 0x3333333333333333ULL) | ((v & 0x3333333333333333ULL) << 2);
+    v = ((v >> 4) & 0x0F0F0F0F0F0F0F0FULL) | ((v & 0x0F0F0F0F0F0F0F0FULL) << 4);
+    v = __builtin_bswap64(v);
+    return v;
+}
+
+static inline uint64_t revcomp(uint64_t kmer, int k) {
+    uint64_t mask = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+    return rev2bits(kmer ^ mask) >> (64 - 2 * k);
+}
+
+// ASCII -> 2-bit code, 4 = invalid.
+static uint8_t CODE[256];
+static bool code_init = []() {
+    memset(CODE, 4, sizeof(CODE));
+    CODE['A'] = CODE['a'] = 0;
+    CODE['C'] = CODE['c'] = 1;
+    CODE['G'] = CODE['g'] = 2;
+    CODE['T'] = CODE['t'] = 3;
+    return true;
+}();
+
+// ---------------------------------------------------------------- FASTA/FASTQ
+
+// Streaming FASTA/FASTQ parser over gzFile (zlib transparently handles
+// uncompressed files too). Calls `cb(base_code)` per base and
+// `record_break()` between records.
+template <typename OnBase, typename OnBreak>
+static bool stream_fastx(const char* path, OnBase&& on_base, OnBreak&& on_break) {
+    gzFile f = gzopen(path, "rb");
+    if (!f) return false;
+    gzbuffer(f, 1 << 20);
+    std::vector<char> buf(1 << 20);
+    int state = 0;  // 0=line start, 1=in seq, 2=in header, 3=in fastq plus, 4=in quals
+    bool fastq = false;
+    int line_type = 0;  // for fastq line cycling: 0 seq,1 plus,2 qual
+    (void)line_type;
+    int mode = -1;  // -1 unknown, 0 fasta, 1 fastq
+    int fq_phase = 0;  // fastq: 0 header,1 seq,2 plus,3 qual
+    bool at_line_start = true;
+    (void)state;
+    (void)fastq;
+    int cur = 0;  // fasta: 0 seq or header handled via flag
+    bool in_header = false;
+    for (;;) {
+        int n = gzread(f, buf.data(), (unsigned)buf.size());
+        if (n < 0) {
+            gzclose(f);
+            return false;
+        }
+        if (n == 0) break;
+        for (int i = 0; i < n; ++i) {
+            char ch = buf[i];
+            if (at_line_start) {
+                if (mode == -1) mode = (ch == '@') ? 1 : 0;
+                if (mode == 0) {
+                    in_header = (ch == '>');
+                    if (in_header) on_break();
+                } else {
+                    // fastq phases advance per line
+                    if (fq_phase == 0) on_break();
+                }
+                at_line_start = false;
+                if (ch == '\n') {  // empty line
+                    at_line_start = true;
+                    if (mode == 1) fq_phase = (fq_phase + 1) & 3;
+                    continue;
+                }
+                if (mode == 0) {
+                    if (!in_header) on_base(CODE[(uint8_t)ch]);
+                } else if (fq_phase == 1) {
+                    on_base(CODE[(uint8_t)ch]);
+                }
+                continue;
+            }
+            if (ch == '\n') {
+                at_line_start = true;
+                if (mode == 1) fq_phase = (fq_phase + 1) & 3;
+                else if (mode == 0 && in_header) in_header = false;
+                continue;
+            }
+            if (mode == 0) {
+                if (!in_header) on_base(CODE[(uint8_t)ch]);
+            } else if (fq_phase == 1) {
+                on_base(CODE[(uint8_t)ch]);
+            }
+        }
+        (void)cur;
+    }
+    gzclose(f);
+    on_break();
+    return true;
+}
+
+// multi-line FASTA records: bases of one record may span lines; a record
+// break resets the rolling k-mer window. For FASTA we emit on_break only at
+// '>' lines (record start), which is correct; line breaks inside a record do
+// NOT reset the window, so the base stream of a record is contiguous.
+
+struct RollingKmers {
+    int k;
+    uint64_t mask, fwd = 0, rc = 0;
+    int run = 0;
+    std::vector<uint64_t>* out;
+    explicit RollingKmers(int k_, std::vector<uint64_t>* o) : k(k_), out(o) {
+        mask = (1ULL << (2 * k)) - 1;
+    }
+    inline void reset() { run = 0; fwd = rc = 0; }
+    inline void push(uint8_t c) {
+        if (c >= 4) {
+            reset();
+            return;
+        }
+        fwd = ((fwd << 2) | c) & mask;
+        rc = (rc >> 2) | ((uint64_t)(3 - c) << (2 * (k - 1)));
+        if (++run >= k) out->push_back(fwd < rc ? fwd : rc);
+    }
+};
+
+// ---------------------------------------------------------------- ccdBG
+
+struct KC {
+    uint64_t kmer;
+    uint32_t color;
+};
+
+struct CcdbgOut {
+    uint8_t* unitig_codes;
+    int64_t* unitig_offs;
+    uint32_t* unitig_cs;
+    uint32_t* cs_colors;
+    int64_t* cs_offs;
+    int64_t num_unitigs, num_color_sets, num_kmers, codes_len, cs_colors_len;
+};
+
+struct Graph {
+    int k;
+    std::vector<uint64_t> kmers;  // sorted distinct canonical
+    std::vector<uint32_t> kset;   // intern id per kmer
+
+    inline int64_t find(uint64_t x) const {
+        auto it = std::lower_bound(kmers.begin(), kmers.end(), x);
+        if (it != kmers.end() && *it == x) return it - kmers.begin();
+        return -1;
+    }
+    inline uint64_t canon(uint64_t x) const {
+        uint64_t r = revcomp(x, k);
+        return x < r ? x : r;
+    }
+    // successors of oriented kmer x: fills idx[4], y[4]; returns count
+    inline int succs(uint64_t x, int64_t* idx, uint64_t* ys) const {
+        uint64_t mask = (1ULL << (2 * k)) - 1;
+        uint64_t base = (x << 2) & mask;
+        int cnt = 0;
+        for (uint64_t c = 0; c < 4; ++c) {
+            uint64_t y = base | c;
+            int64_t i = find(canon(y));
+            if (i >= 0) {
+                idx[cnt] = i;
+                ys[cnt] = y;
+                ++cnt;
+            }
+        }
+        return cnt;
+    }
+    inline int preds(uint64_t x, int64_t* idx, uint64_t* zs) const {
+        uint64_t base = x >> 2;
+        int hs = 2 * (k - 1);
+        int cnt = 0;
+        for (uint64_t c = 0; c < 4; ++c) {
+            uint64_t z = base | (c << hs);
+            int64_t i = find(canon(z));
+            if (i >= 0) {
+                idx[cnt] = i;
+                zs[cnt] = z;
+                ++cnt;
+            }
+        }
+        return cnt;
+    }
+    inline bool is_start(int64_t idx, uint64_t x) const {
+        int64_t pi[4];
+        uint64_t pz[4];
+        int np = preds(x, pi, pz);
+        if (np != 1) return true;
+        if (kset[pi[0]] != kset[idx]) return true;
+        int64_t si[4];
+        uint64_t sy[4];
+        if (succs(pz[0], si, sy) != 1) return true;
+        return false;
+    }
+};
+
+// FNV-1a over bytes (build-time color-set interning only)
+static inline uint64_t fnv64(const void* data, size_t n) {
+    const uint8_t* p = (const uint8_t*)data;
+    uint64_t h = 1469598103934665603ULL;
+    for (size_t i = 0; i < n; ++i) {
+        h ^= p[i];
+        h *= 1099511628211ULL;
+    }
+    return h;
+}
+
+// paths: NUL-separated file list. Returns 0 on success.
+extern "C" int fn_build_ccdbg(const char* paths, int num_files, int k, CcdbgOut* out) {
+    if (k < 1 || k > 31 || (k % 2) == 0) return 2;
+    std::vector<KC> pairs;
+    {
+        const char* p = paths;
+        std::vector<uint64_t> gk;
+        for (int color = 0; color < num_files; ++color) {
+            gk.clear();
+            RollingKmers rk(k, &gk);
+            bool ok = stream_fastx(
+                p, [&](uint8_t c) { rk.push(c); }, [&]() { rk.reset(); });
+            if (!ok) return 1;
+            std::sort(gk.begin(), gk.end());
+            gk.erase(std::unique(gk.begin(), gk.end()), gk.end());
+            size_t base = pairs.size();
+            pairs.resize(base + gk.size());
+            for (size_t i = 0; i < gk.size(); ++i)
+                pairs[base + i] = {gk[i], (uint32_t)color};
+            p += strlen(p) + 1;
+        }
+    }
+    std::sort(pairs.begin(), pairs.end(), [](const KC& a, const KC& b) {
+        return a.kmer < b.kmer || (a.kmer == b.kmer && a.color < b.color);
+    });
+
+    Graph g;
+    g.k = k;
+    std::vector<uint32_t> colors_cat;  // interned color sets (appearance order)
+    std::vector<int64_t> cs_offs{0};
+    {
+        // boundaries of equal-kmer runs; intern each color list
+        std::unordered_map<uint64_t, std::vector<uint32_t>> table;  // hash -> set ids
+        size_t i = 0, n = pairs.size();
+        while (i < n) {
+            size_t j = i + 1;
+            while (j < n && pairs[j].kmer == pairs[i].kmer) ++j;
+            g.kmers.push_back(pairs[i].kmer);
+            // color list pairs[i..j).color (already sorted, distinct)
+            uint64_t h = fnv64(&pairs[i], 0);
+            std::vector<uint32_t> tmp;
+            tmp.reserve(j - i);
+            for (size_t t = i; t < j; ++t) tmp.push_back(pairs[t].color);
+            h = fnv64(tmp.data(), tmp.size() * 4);
+            auto& cand = table[h];
+            uint32_t sid = UINT32_MAX;
+            for (uint32_t c : cand) {
+                int64_t sz = cs_offs[c + 1] - cs_offs[c];
+                if ((size_t)sz == tmp.size() &&
+                    memcmp(&colors_cat[cs_offs[c]], tmp.data(), sz * 4) == 0) {
+                    sid = c;
+                    break;
+                }
+            }
+            if (sid == UINT32_MAX) {
+                sid = (uint32_t)(cs_offs.size() - 1);
+                colors_cat.insert(colors_cat.end(), tmp.begin(), tmp.end());
+                cs_offs.push_back((int64_t)colors_cat.size());
+                cand.push_back(sid);
+            }
+            g.kset.push_back(sid);
+            i = j;
+        }
+        pairs.clear();
+        pairs.shrink_to_fit();
+    }
+
+    const int64_t nk = (int64_t)g.kmers.size();
+    std::vector<uint8_t> visited(nk, 0);
+
+    struct Uni {
+        uint64_t min_kmer;
+        int64_t code_off, code_len;
+        uint32_t set;
+    };
+    std::vector<Uni> unis;
+    std::vector<uint8_t> codes;
+    codes.reserve((size_t)nk + 1024);
+
+    auto walk_emit = [&](int64_t idx, int o) {
+        uint64_t x = g.kmers[idx];
+        if (o) x = revcomp(x, k);
+        int64_t off = (int64_t)codes.size();
+        for (int i = 0; i < k; ++i) codes.push_back((uint8_t)((x >> (2 * (k - 1 - i))) & 3));
+        uint64_t mink = g.kmers[idx];
+        visited[idx] = 1;
+        uint32_t set = g.kset[idx];
+        for (;;) {
+            int64_t si[4];
+            uint64_t sy[4];
+            if (g.succs(x, si, sy) != 1) break;
+            int64_t yi = si[0];
+            uint64_t y = sy[0];
+            if (g.kset[yi] != set) break;
+            int64_t pi[4];
+            uint64_t pz[4];
+            if (g.preds(y, pi, pz) != 1) break;
+            if (visited[yi]) break;
+            codes.push_back((uint8_t)(y & 3));
+            visited[yi] = 1;
+            if (g.kmers[yi] < mink) mink = g.kmers[yi];
+            x = y;
+        }
+        unis.push_back({mink, off, (int64_t)codes.size() - off, set});
+    };
+
+    for (int64_t idx = 0; idx < nk; ++idx) {
+        if (visited[idx]) continue;
+        uint64_t x0 = g.kmers[idx];
+        if (g.is_start(idx, x0))
+            walk_emit(idx, 0);
+        else if (g.is_start(idx, revcomp(x0, k)))
+            walk_emit(idx, 1);
+    }
+    for (int64_t idx = 0; idx < nk; ++idx)
+        if (!visited[idx]) walk_emit(idx, 0);  // pure cycles
+
+    // deterministic order: ascending min kmer
+    std::vector<int64_t> order(unis.size());
+    for (size_t i = 0; i < order.size(); ++i) order[i] = (int64_t)i;
+    std::sort(order.begin(), order.end(),
+              [&](int64_t a, int64_t b) { return unis[a].min_kmer < unis[b].min_kmer; });
+
+    // re-intern color sets by first occurrence over that order
+    int64_t nsets = cs_offs.size() - 1;
+    std::vector<uint32_t> new_of_old(nsets, UINT32_MAX);
+    std::vector<uint32_t> old_of_new;
+    old_of_new.reserve(nsets);
+    for (int64_t oi : order) {
+        uint32_t s = unis[oi].set;
+        if (new_of_old[s] == UINT32_MAX) {
+            new_of_old[s] = (uint32_t)old_of_new.size();
+            old_of_new.push_back(s);
+        }
+    }
+    // group unitigs by new set id, stable within (= min-kmer order)
+    std::stable_sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+        return new_of_old[unis[a].set] < new_of_old[unis[b].set];
+    });
+
+    // ---- outputs ----
+    int64_t nu = (int64_t)unis.size();
+    out->num_unitigs = nu;
+    out->num_color_sets = (int64_t)old_of_new.size();
+    out->unitig_offs = (int64_t*)malloc((nu + 1) * sizeof(int64_t));
+    out->unitig_cs = (uint32_t*)malloc(nu * sizeof(uint32_t));
+    int64_t total = 0;
+    for (int64_t i = 0; i < nu; ++i) total += unis[order[i]].code_len;
+    out->codes_len = total;
+    out->unitig_codes = (uint8_t*)malloc((size_t)total);
+    int64_t pos = 0, nkm = 0;
+    out->unitig_offs[0] = 0;
+    for (int64_t i = 0; i < nu; ++i) {
+        const Uni& u = unis[order[i]];
+        memcpy(out->unitig_codes + pos, codes.data() + u.code_off, (size_t)u.code_len);
+        pos += u.code_len;
+        out->unitig_offs[i + 1] = pos;
+        out->unitig_cs[i] = new_of_old[u.set];
+        nkm += u.code_len - (k - 1);
+    }
+    out->num_kmers = nkm;
+    out->cs_offs = (int64_t*)malloc((old_of_new.size() + 1) * sizeof(int64_t));
+    int64_t clen = 0;
+    out->cs_offs[0] = 0;
+    for (size_t i = 0; i < old_of_new.size(); ++i) {
+        uint32_t o = old_of_new[i];
+        clen += cs_offs[o + 1] - cs_offs[o];
+        out->cs_offs[i + 1] = clen;
+    }
+    out->cs_colors_len = clen;
+    out->cs_colors = (uint32_t*)malloc((size_t)clen * 4);
+    for (size_t i = 0; i < old_of_new.size(); ++i) {
+        uint32_t o = old_of_new[i];
+        memcpy(out->cs_colors + out->cs_offs[i], &colors_cat[cs_offs[o]],
+               (size_t)(cs_offs[o + 1] - cs_offs[o]) * 4);
+    }
+    return 0;
+}
+
+// ---------------------------------------------------------------- cuckoo
+
+// Must match fulgor_tpu/ops/lookup.py exactly.
+static inline uint32_t mix32(uint32_t x) {
+    x ^= x >> 16;
+    x *= 0x85EBCA6BU;
+    x ^= x >> 13;
+    x *= 0xC2B2AE35U;
+    x ^= x >> 16;
+    return x;
+}
+static const uint32_t CK_SEED1 = 0x8BADF00DU, CK_SEED2 = 0x5EEDCAFEU;
+static inline uint32_t bucket_of(uint32_t lo, uint32_t hi, uint32_t seed, uint32_t nb_mask) {
+    return mix32(lo ^ mix32(hi ^ seed)) & nb_mask;
+}
+
+// Build bucketed cuckoo table: 4 slots/bucket, 2 hash choices.
+// table layout: (num_buckets, 12) uint32 rows = [lo x4 | hi x4 | val x4].
+// empty slot: hi == 0xFFFFFFFF. Returns 0 ok, 1 fail (caller grows).
+static int cuckoo_try(const uint64_t* keys, const uint32_t* vals, int64_t n,
+                      uint32_t* table, uint64_t num_buckets) {
+    uint32_t nb_mask = (uint32_t)(num_buckets - 1);
+    for (uint64_t b = 0; b < num_buckets; ++b)
+        for (int s = 0; s < 4; ++s) table[b * 12 + 4 + s] = 0xFFFFFFFFU;
+    uint64_t rng = 0x243F6A8885A308D3ULL;
+    for (int64_t i = 0; i < n; ++i) {
+        uint32_t lo = (uint32_t)keys[i];
+        uint32_t hi = (uint32_t)(keys[i] >> 32);
+        uint32_t val = vals[i];
+        int depth = 0;
+        for (;;) {
+            uint32_t b1 = bucket_of(lo, hi, CK_SEED1, nb_mask);
+            uint32_t b2 = bucket_of(lo, hi, CK_SEED2, nb_mask);
+            bool placed = false;
+            for (uint32_t b : {b1, b2}) {
+                uint32_t* row = table + (uint64_t)b * 12;
+                for (int s = 0; s < 4; ++s) {
+                    if (row[4 + s] == 0xFFFFFFFFU) {
+                        row[s] = lo;
+                        row[4 + s] = hi;
+                        row[8 + s] = val;
+                        placed = true;
+                        break;
+                    }
+                }
+                if (placed) break;
+            }
+            if (placed) break;
+            if (++depth > 500) return 1;
+            // evict a pseudo-random slot from a pseudo-random choice
+            rng = rng * 6364136223846793005ULL + 1442695040888963407ULL;
+            uint32_t b = ((rng >> 33) & 1) ? b2 : b1;
+            int s = (int)((rng >> 34) & 3);
+            uint32_t* row = table + (uint64_t)b * 12;
+            uint32_t elo = row[s], ehi = row[4 + s], ev = row[8 + s];
+            row[s] = lo;
+            row[4 + s] = hi;
+            row[8 + s] = val;
+            lo = elo;
+            hi = ehi;
+            val = ev;
+        }
+    }
+    return 0;
+}
+
+// out_table: malloc'd (num_buckets*12) u32; returns num_buckets or 0 on error.
+extern "C" uint64_t fn_cuckoo_build(const uint64_t* keys, const uint32_t* vals, int64_t n,
+                         uint32_t** out_table) {
+    uint64_t nb = 1;
+    while (nb * 4 * 85 < (uint64_t)n * 100) nb <<= 1;  // target <= 0.85 load
+    for (;;) {
+        uint32_t* table = (uint32_t*)malloc(nb * 12 * sizeof(uint32_t));
+        if (!table) return 0;
+        if (cuckoo_try(keys, vals, n, table, nb) == 0) {
+            *out_table = table;
+            return nb;
+        }
+        free(table);
+        nb <<= 1;
+        if (nb > (1ULL << 34)) return 0;
+    }
+}
+
+// ---------------------------------------------------------------- bit codecs
+
+struct BitRd {
+    const uint64_t* w;
+    uint64_t pos;
+    inline uint64_t bits(int n) {
+        if (n == 0) return 0;
+        uint64_t wi = pos >> 6;
+        int sh = (int)(pos & 63);
+        uint64_t v = w[wi] >> sh;
+        int got = 64 - sh;
+        if (got < n) v |= w[wi + 1] << got;
+        pos += n;
+        return n == 64 ? v : (v & ((1ULL << n) - 1));
+    }
+    inline int unary0() {
+        int z = 0;
+        for (;;) {
+            uint64_t wi = pos >> 6;
+            int sh = (int)(pos & 63);
+            uint64_t chunk = w[wi] >> sh;
+            int width = 64 - sh;
+            if (chunk == 0) {
+                z += width;
+                pos += width;
+                continue;
+            }
+            int tz = __builtin_ctzll(chunk);
+            if (tz < width) {
+                pos += tz + 1;
+                return z + tz;
+            }
+            z += width;
+            pos += width;
+        }
+    }
+    inline uint64_t gamma() {
+        int g = unary0();
+        return bits(g) | (1ULL << g);
+    }
+    inline uint64_t delta() {
+        int b = (int)gamma() - 1;
+        return (bits(b) | (1ULL << b)) - 1;
+    }
+};
+
+// Decode all hybrid color sets. Layout must match core/hybrid.py.
+// outputs: cat (uint32), offs (int64, n_sets+1)
+extern "C" int fn_hybrid_decode_all(const uint64_t* words, const uint64_t* bit_offsets,
+                         int64_t n_sets, uint32_t num_colors, uint32_t** out_cat,
+                         int64_t** out_offs, int64_t* out_len) {
+    uint32_t sparse_thr = (uint32_t)(0.25 * num_colors);
+    uint32_t dense_thr = (uint32_t)(0.75 * num_colors);
+    std::vector<uint32_t> cat;
+    int64_t* offs = (int64_t*)malloc((n_sets + 1) * sizeof(int64_t));
+    offs[0] = 0;
+    std::vector<uint8_t> member(num_colors);
+    for (int64_t i = 0; i < n_sets; ++i) {
+        BitRd r{words, bit_offsets[i]};
+        uint64_t size = r.delta();
+        if (size < sparse_thr) {
+            uint32_t prev = 0;
+            for (uint64_t j = 0; j < size; ++j) {
+                uint64_t d = r.delta();
+                prev = (j == 0) ? (uint32_t)d : prev + 1 + (uint32_t)d;
+                cat.push_back(prev);
+            }
+        } else if (size < dense_thr) {
+            // bitmap: num_colors bits LSB-first from r.pos
+            for (uint32_t c = 0; c < num_colors; c += 64) {
+                int nb = (int)std::min<uint32_t>(64, num_colors - c);
+                uint64_t wbits = r.bits(nb);
+                while (wbits) {
+                    int t = __builtin_ctzll(wbits);
+                    cat.push_back(c + t);
+                    wbits &= wbits - 1;
+                }
+            }
+        } else {
+            uint64_t comp_size = num_colors - size;
+            memset(member.data(), 1, num_colors);
+            uint32_t prev = 0;
+            for (uint64_t j = 0; j < comp_size; ++j) {
+                uint64_t d = r.delta();
+                prev = (j == 0) ? (uint32_t)d : prev + 1 + (uint32_t)d;
+                member[prev] = 0;
+            }
+            for (uint32_t c = 0; c < num_colors; ++c)
+                if (member[c]) cat.push_back(c);
+        }
+        offs[i + 1] = (int64_t)cat.size();
+    }
+    *out_len = (int64_t)cat.size();
+    uint32_t* catp = (uint32_t*)malloc(cat.size() * 4 + 4);
+    memcpy(catp, cat.data(), cat.size() * 4);
+    *out_cat = catp;
+    *out_offs = offs;
+    return 0;
+}
+
+// ---------------------------------------------------------------- fastx reads
+// Parse a FASTA/FASTQ(.gz) reads file into fixed-width padded code rows for
+// the device: row-major (num_reads, max_len) uint8 codes (4 = pad/invalid),
+// plus lengths and concatenated names.
+extern "C" int fn_parse_reads(const char* path, int64_t max_reads, uint8_t** out_codes,
+                   int32_t** out_lens, char** out_names, int64_t** out_name_offs,
+                   int64_t* out_num, int32_t* out_maxlen) {
+    gzFile f = gzopen(path, "rb");
+    if (!f) return 1;
+    gzbuffer(f, 1 << 20);
+    std::vector<std::vector<uint8_t>> seqs;
+    std::vector<std::string> names;
+    std::string line;
+    line.reserve(1 << 16);
+    int mode = -1;  // 0 fasta 1 fastq
+    int fq_phase = 0;
+    std::vector<char> buf(1 << 20);
+    std::string pending;
+    auto handle_line = [&](const std::string& ln) {
+        if (ln.empty()) return;
+        if (mode == -1) mode = (ln[0] == '@') ? 1 : 0;
+        if (mode == 0) {
+            if (ln[0] == '>') {
+                size_t sp = ln.find_first_of(" \t");
+                names.push_back(ln.substr(1, sp == std::string::npos ? ln.size() - 1 : sp - 1));
+                seqs.emplace_back();
+            } else if (!seqs.empty()) {
+                auto& s = seqs.back();
+                for (char ch : ln) s.push_back(CODE[(uint8_t)ch]);
+            }
+        } else {
+            switch (fq_phase) {
+                case 0: {
+                    size_t sp = ln.find_first_of(" \t");
+                    names.push_back(
+                        ln.substr(1, sp == std::string::npos ? ln.size() - 1 : sp - 1));
+                    break;
+                }
+                case 1: {
+                    seqs.emplace_back();
+                    auto& s = seqs.back();
+                    for (char ch : ln) s.push_back(CODE[(uint8_t)ch]);
+                    break;
+                }
+                default:
+                    break;
+            }
+            fq_phase = (fq_phase + 1) & 3;
+        }
+    };
+    for (;;) {
+        int n = gzread(f, buf.data(), (unsigned)buf.size());
+        if (n < 0) {
+            gzclose(f);
+            return 1;
+        }
+        if (n == 0) break;
+        int start = 0;
+        for (int i = 0; i < n; ++i) {
+            if (buf[i] == '\n') {
+                pending.append(buf.data() + start, i - start);
+                if (!pending.empty() && pending.back() == '\r') pending.pop_back();
+                handle_line(pending);
+                pending.clear();
+                start = i + 1;
+                if (max_reads > 0 && (int64_t)seqs.size() >= max_reads) {
+                    n = 0;
+                    break;
+                }
+            }
+        }
+        if (n == 0) break;
+        pending.append(buf.data() + start, n - start);
+    }
+    if (!pending.empty()) handle_line(pending);
+    gzclose(f);
+
+    int64_t num = (int64_t)seqs.size();
+    int32_t maxlen = 0;
+    for (auto& s : seqs) maxlen = std::max<int32_t>(maxlen, (int32_t)s.size());
+    uint8_t* codes = (uint8_t*)malloc((size_t)num * maxlen + 1);
+    memset(codes, 4, (size_t)num * maxlen + 1);
+    int32_t* lens = (int32_t*)malloc(num * sizeof(int32_t) + 4);
+    size_t name_bytes = 0;
+    for (auto& nmm : names) name_bytes += nmm.size();
+    char* nameblob = (char*)malloc(name_bytes + 1);
+    int64_t* noffs = (int64_t*)malloc((num + 1) * sizeof(int64_t));
+    size_t np = 0;
+    noffs[0] = 0;
+    for (int64_t i = 0; i < num; ++i) {
+        memcpy(codes + (size_t)i * maxlen, seqs[i].data(), seqs[i].size());
+        lens[i] = (int32_t)seqs[i].size();
+        const std::string& nm = (i < (int64_t)names.size()) ? names[i] : std::string();
+        memcpy(nameblob + np, nm.data(), nm.size());
+        np += nm.size();
+        noffs[i + 1] = (int64_t)np;
+    }
+    *out_codes = codes;
+    *out_lens = lens;
+    *out_names = nameblob;
+    *out_name_offs = noffs;
+    *out_num = num;
+    *out_maxlen = maxlen;
+    return 0;
+}
+

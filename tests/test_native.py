@@ -1,0 +1,124 @@
+"""Native C++ library vs Python reference implementations."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from fulgor_tpu.build import ccdbg as C
+from fulgor_tpu.core import kmers as K
+from fulgor_tpu.native import lib as N
+from tests.test_ccdbg import random_genomes
+
+
+def write_fasta(path, seqs, gz=False, width=0):
+    op = gzip.open if gz else open
+    with op(path, "wt") as f:
+        for i, s in enumerate(seqs):
+            f.write(f">seq{i} extra comment\n")
+            if width:
+                for j in range(0, len(s), width):
+                    f.write(s[j : j + width] + "\n")
+            else:
+                f.write(s + "\n")
+
+
+@pytest.mark.parametrize("gz,width", [(False, 0), (True, 17)])
+def test_native_ccdbg_matches_python(tmp_path, rng, gz, width):
+    k = 15
+    genomes = random_genomes(rng, num_colors=5, length=800, k=k)
+    paths = []
+    for i, seqs in enumerate(genomes):
+        p = str(tmp_path / f"g{i}.fa{'.gz' if gz else ''}")
+        write_fasta(p, seqs, gz=gz, width=width)
+        paths.append(p)
+    got = N.build_ccdbg(paths, k)
+    ref = C.build_ccdbg_py(genomes, k)
+    np.testing.assert_array_equal(got["unitig_offs"], ref.unitig_offs)
+    np.testing.assert_array_equal(got["unitig_codes"], ref.unitig_codes)
+    np.testing.assert_array_equal(got["unitig_cs"], ref.unitig_cs)
+    np.testing.assert_array_equal(got["cs_colors"], ref.cs_colors)
+    np.testing.assert_array_equal(got["cs_offs"], ref.cs_offs)
+    assert got["num_kmers"] == ref.num_kmers
+
+
+def test_native_ccdbg_ns_and_multirecord(tmp_path, rng):
+    k = 11
+    genomes = [
+        ["ACGTACGTACGTACGAATTTGGCCA", "TTTTGGGGCCCCAAAAGGTTTACGT"],
+        ["ACGTACGTANNNCGTACGAATTGCACGTACGTACG"],
+    ]
+    paths = []
+    for i, seqs in enumerate(genomes):
+        p = str(tmp_path / f"g{i}.fa")
+        write_fasta(p, seqs)
+        paths.append(p)
+    got = N.build_ccdbg(paths, k)
+    ref = C.build_ccdbg_py(genomes, k)
+    np.testing.assert_array_equal(got["unitig_codes"], ref.unitig_codes)
+    np.testing.assert_array_equal(got["unitig_cs"], ref.unitig_cs)
+    np.testing.assert_array_equal(got["cs_colors"], ref.cs_colors)
+
+
+def _mix32(x):
+    x = np.uint32(x)
+    x ^= x >> np.uint32(16)
+    x = np.uint32((int(x) * 0x85EBCA6B) & 0xFFFFFFFF)
+    x ^= x >> np.uint32(13)
+    x = np.uint32((int(x) * 0xC2B2AE35) & 0xFFFFFFFF)
+    x ^= x >> np.uint32(16)
+    return x
+
+
+def _bucket(lo, hi, seed, nb):
+    return int(_mix32(np.uint32(lo) ^ _mix32(np.uint32(hi) ^ np.uint32(seed)))) & (nb - 1)
+
+
+def test_cuckoo_table(rng):
+    n = 5000
+    keys = np.unique(rng.integers(0, 1 << 62, size=n).astype(np.uint64))
+    vals = rng.integers(0, 1 << 31, size=len(keys)).astype(np.uint32)
+    table = N.cuckoo_build(keys, vals)
+    nb = table.shape[0]
+    assert nb & (nb - 1) == 0
+    # every key findable in one of its two buckets, with correct value
+    found = 0
+    for key, val in zip(keys[:500], vals[:500]):
+        lo, hi = int(key & 0xFFFFFFFF), int(key >> 32)
+        ok = False
+        for seed in (0x8BADF00D, 0x5EEDCAFE):
+            b = _bucket(lo, hi, seed, nb)
+            row = table[b]
+            for s in range(4):
+                if row[s] == lo and row[4 + s] == hi:
+                    assert row[8 + s] == val
+                    ok = True
+        assert ok, f"key {key} not found"
+        found += 1
+    assert found == 500
+    # empty slots marked with hi == 0xFFFFFFFF
+    n_filled = int((table[:, 4:8] != 0xFFFFFFFF).sum())
+    assert n_filled == len(keys)
+
+
+def test_parse_reads_fastq(tmp_path):
+    p = tmp_path / "reads.fq.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("@r0 desc\nACGTACGT\n+\nIIIIIIII\n")
+        f.write("@r1\nTTNGA\n+anything\nIIIII\n")
+    codes, lens, names = N.parse_reads(str(p))
+    assert names == ["r0", "r1"]
+    np.testing.assert_array_equal(lens, [8, 5])
+    np.testing.assert_array_equal(codes[0], K.seq_to_codes("ACGTACGT"))
+    np.testing.assert_array_equal(codes[1][:5], K.seq_to_codes("TTNGA"))
+    assert (codes[1][5:] == 4).all()
+
+
+def test_parse_reads_fasta_multiline(tmp_path):
+    p = tmp_path / "reads.fa"
+    with open(p, "w") as f:
+        f.write(">a x\nACGT\nACG\n>b\nTTTT\n")
+    codes, lens, names = N.parse_reads(str(p))
+    assert names == ["a", "b"]
+    np.testing.assert_array_equal(lens, [7, 4])
+    np.testing.assert_array_equal(codes[0], K.seq_to_codes("ACGTACG"))
