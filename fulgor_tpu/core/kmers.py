@@ -97,6 +97,28 @@ def str_to_kmer(s: str) -> int:
     return v
 
 
+def pack2(codes: np.ndarray) -> np.ndarray:
+    """Pack base codes (0..3) into uint64 words, 32 bases/word, LSB-first
+    (base i occupies bits 2i..2i+1 of word i//32)."""
+    codes = np.asarray(codes, dtype=np.uint8)
+    n = len(codes)
+    pad = (-n) % 32
+    c = np.concatenate([codes, np.zeros(pad, dtype=np.uint8)]).astype(np.uint64)
+    c = c.reshape(-1, 32)
+    words = np.zeros(len(c), dtype=np.uint64)
+    for i in range(32):
+        words |= c[:, i] << np.uint64(2 * i)
+    return words
+
+
+def unpack2(words: np.ndarray, n: int) -> np.ndarray:
+    """Inverse of pack2."""
+    words = np.asarray(words, dtype=np.uint64)
+    shifts = (np.uint64(2) * np.arange(32, dtype=np.uint64))[None, :]
+    codes = ((words[:, None] >> shifts) & np.uint64(3)).astype(np.uint8)
+    return codes.reshape(-1)[:n]
+
+
 def split_u64(kmers: np.ndarray):
     """uint64 -> (lo32, hi32) uint32 pair for device consumption."""
     kmers = np.asarray(kmers, dtype=np.uint64)

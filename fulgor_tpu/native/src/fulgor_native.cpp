@@ -623,8 +623,10 @@ extern "C" int fn_parse_reads(const char* path, int64_t max_reads, uint8_t** out
         if (mode == -1) mode = (ln[0] == '@') ? 1 : 0;
         if (mode == 0) {
             if (ln[0] == '>') {
-                size_t sp = ln.find_first_of(" \t");
-                names.push_back(ln.substr(1, sp == std::string::npos ? ln.size() - 1 : sp - 1));
+                size_t b = ln.find_first_not_of(" \t", 1);  // skip "> " style headers
+                if (b == std::string::npos) b = ln.size();
+                size_t sp = ln.find_first_of(" \t", b);
+                names.push_back(ln.substr(b, sp == std::string::npos ? ln.size() - b : sp - b));
                 seqs.emplace_back();
             } else if (!seqs.empty()) {
                 auto& s = seqs.back();
@@ -633,9 +635,11 @@ extern "C" int fn_parse_reads(const char* path, int64_t max_reads, uint8_t** out
         } else {
             switch (fq_phase) {
                 case 0: {
-                    size_t sp = ln.find_first_of(" \t");
+                    size_t b = ln.find_first_not_of(" \t", 1);
+                    if (b == std::string::npos) b = ln.size();
+                    size_t sp = ln.find_first_of(" \t", b);
                     names.push_back(
-                        ln.substr(1, sp == std::string::npos ? ln.size() - 1 : sp - 1));
+                        ln.substr(b, sp == std::string::npos ? ln.size() - b : sp - b));
                     break;
                 }
                 case 1: {
