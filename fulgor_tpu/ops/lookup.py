@@ -1,0 +1,103 @@
+"""Device-side k-mer lookup (replaces SSHash streaming_query, SURVEY.md §3.2).
+
+The reference's hottest loop is a per-k-mer minimizer-bucketed dictionary
+probe with a streaming fast path. The TPU formulation is batch-parallel:
+
+  1. pack every k-window of a (B, L) batch of 2-bit read codes into
+     (hi, lo) uint32 pairs — O(k) static shift-adds on the VPU, no scan;
+  2. canonicalize (min of forward / reverse-complement, big-endian order);
+  3. probe a bucketed cuckoo table with 2 hashes x 4 slots: exactly two
+     row gathers per k-mer, compare, select. No data-dependent loops.
+
+Hash (mix32/seeds) must match native cuckoo_build and query/host_lookup.
+All ops are uint32; TPUs have no native 64-bit integers.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import INVALID_U32
+
+SEED1 = jnp.uint32(0x8BADF00D)
+SEED2 = jnp.uint32(0x5EEDCAFE)
+
+
+def mix32(x):
+    x = x.astype(jnp.uint32)
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return x
+
+
+def pack_windows(codes: jax.Array, k: int):
+    """codes: (B, L) int32 base codes (0..3 valid, >=4 pad/invalid).
+
+    -> (lo, hi, valid): each (B, W=L-k+1); lo/hi uint32 canonical k-mer
+    halves, valid bool (window inside read and all bases ACGT).
+    """
+    B, L = codes.shape
+    W = L - k + 1
+    assert W >= 1, "batch width shorter than k"
+    c = codes.astype(jnp.uint32)
+    zero = jnp.zeros((B, W), dtype=jnp.uint32)
+    flo, fhi, rlo, rhi = zero, zero, zero, zero
+    ok = jnp.ones((B, W), dtype=bool)
+    for i in range(k):
+        ci = jax.lax.dynamic_slice_in_dim(c, i, W, axis=1)
+        ok = ok & (ci <= 3)
+        bitpos = 2 * (k - 1 - i)  # forward: base i sits at bits 2(k-1-i)
+        if bitpos < 32:
+            flo = flo | (ci << bitpos)
+        else:
+            fhi = fhi | (ci << (bitpos - 32))
+        # reverse complement: base at window offset (k-1-i) complements into
+        # the same bit position
+        cj = jax.lax.dynamic_slice_in_dim(c, k - 1 - i, W, axis=1)
+        comp = (jnp.uint32(3) - cj) & jnp.uint32(3)
+        if bitpos < 32:
+            rlo = rlo | (comp << bitpos)
+        else:
+            rhi = rhi | (comp << (bitpos - 32))
+    take_fwd = (fhi < rhi) | ((fhi == rhi) & (flo <= rlo))
+    lo = jnp.where(take_fwd, flo, rlo)
+    hi = jnp.where(take_fwd, fhi, rhi)
+    return lo, hi, ok
+
+
+def probe(table: jax.Array, lo: jax.Array, hi: jax.Array, valid: jax.Array):
+    """Cuckoo probe. table: (nb, 12) uint32. -> (hit bool, val uint32)."""
+    nb = table.shape[0]
+    mask = jnp.uint32(nb - 1)
+    b1 = (mix32(lo ^ mix32(hi ^ SEED1)) & mask).astype(jnp.int32)
+    b2 = (mix32(lo ^ mix32(hi ^ SEED2)) & mask).astype(jnp.int32)
+    r1 = jnp.take(table, b1, axis=0)  # (..., 12)
+    r2 = jnp.take(table, b2, axis=0)
+    hit = jnp.zeros(lo.shape, dtype=bool)
+    val = jnp.full(lo.shape, INVALID_U32, dtype=jnp.uint32)
+    for rows in (r1, r2):
+        for s in range(4):
+            h = (rows[..., s] == lo) & (rows[..., 4 + s] == hi)
+            hit = hit | h
+            val = jnp.where(h, rows[..., 8 + s], val)
+    hit = hit & valid
+    val = jnp.where(hit, val, jnp.uint32(INVALID_U32))
+    return hit, val
+
+
+def lookup_batch(table, u2c_csid, codes, k):
+    """Full lookup: (B, L) codes -> per-window (hit, unitig_id, color_set_id).
+
+    u2c_csid: (U,) uint32 dense unitig -> color-set map (the reference's
+    rank1(u2c) — include/index.hpp:37 — precomputed as a gather array).
+    """
+    lo, hi, ok = pack_windows(codes, k)
+    hit, uid = probe(table, lo, hi, ok)
+    safe_uid = jnp.where(hit, uid, 0).astype(jnp.int32)
+    csid = jnp.take(u2c_csid, safe_uid, axis=0)
+    csid = jnp.where(hit, csid, jnp.uint32(INVALID_U32))
+    return hit, uid, csid

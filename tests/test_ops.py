@@ -1,0 +1,148 @@
+"""Device ops vs naive host oracles (reference §4 oracle pattern:
+check_intersection / check_union, include/util.hpp:106-208)."""
+
+import numpy as np
+import pytest
+
+from fulgor_tpu.build.builder import build_index
+from fulgor_tpu.core import kmers as K
+from fulgor_tpu.ops.pipeline import (
+    query_full_intersection,
+    query_threshold_union,
+    query_window_csids,
+)
+from fulgor_tpu.query.host_lookup import lookup_host
+from tests.test_ccdbg import random_genomes
+from tests.test_native import write_fasta
+
+INVALID = 0xFFFFFFFF
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    rng = np.random.default_rng(7)
+    tmp = tmp_path_factory.mktemp("ops")
+    k = 15
+    genomes = random_genomes(rng, num_colors=6, length=2000, mut=0.03, k=k)
+    paths = []
+    for i, seqs in enumerate(genomes):
+        p = str(tmp / f"g{i}.fa")
+        write_fasta(p, seqs)
+        paths.append(p)
+    idx = build_index(paths, k=k, m=9)
+    # reads: windows of genomes + mutations + random junk + Ns
+    reads = []
+    L = 60
+    for _ in range(300):
+        g = rng.integers(0, len(genomes))
+        s = genomes[g][0]
+        p = rng.integers(0, len(s) - L)
+        r = list(s[p : p + L])
+        for _ in range(rng.poisson(1.5)):
+            r[rng.integers(0, L)] = "ACGTN"[rng.integers(0, 5)]
+        reads.append("".join(r))
+    for _ in range(30):
+        reads.append(K.codes_to_seq(rng.integers(0, 4, size=L).astype(np.uint8)))
+    reads.append("A" * (k - 1))  # shorter than k after padding -> no windows
+    codes = np.full((len(reads), L), 4, dtype=np.int32)
+    for i, r in enumerate(reads):
+        codes[i, : len(r)] = K.seq_to_codes(r)
+    return idx, reads, codes, k
+
+
+def naive_window_csids(idx, read, k):
+    km, valid = K.pack_kmers(K.seq_to_codes(read), k)
+    out = np.full(len(km), INVALID, dtype=np.uint32)
+    if len(km) == 0:
+        return out
+    can = K.canonicalize(km, k)
+    uids = lookup_host(idx.dict_table, can)
+    hit = valid & (uids != INVALID)
+    out[hit] = idx.u2c_csid[uids[hit].astype(np.int64)]
+    return out
+
+
+def test_window_csids_match_host(setup):
+    idx, reads, codes, k = setup
+    hit, csid = map(np.asarray, query_window_csids(idx.dict_table, idx.u2c_csid, codes, k=k))
+    W = codes.shape[1] - k + 1
+    for i, read in enumerate(reads):
+        expect = naive_window_csids(idx, read, k)
+        expect_pad = np.full(W, INVALID, dtype=np.uint32)
+        expect_pad[: len(expect)] = expect
+        np.testing.assert_array_equal(csid[i], expect_pad, err_msg=f"read {i}")
+        np.testing.assert_array_equal(hit[i], expect_pad != INVALID)
+
+
+def test_full_intersection_matches_naive(setup):
+    idx, reads, codes, k = setup
+    cat, offs = idx.color_sets_decoded()
+    bits, nsets, ovf, hit = map(
+        np.asarray,
+        query_full_intersection(
+            idx.dict_table, idx.u2c_csid, idx.dense_color_bits(), codes, k=k, max_sets=32
+        ),
+    )
+    assert not ovf.any()
+    for i, read in enumerate(reads):
+        csids = naive_window_csids(idx, read, k)
+        distinct = np.unique(csids[csids != INVALID])
+        if len(distinct) == 0:
+            expect = np.empty(0, dtype=np.uint32)
+        else:
+            acc = set(cat[offs[distinct[0]] : offs[distinct[0] + 1]])
+            for sid in distinct[1:]:
+                acc &= set(cat[offs[sid] : offs[sid + 1]])
+            expect = np.array(sorted(acc), dtype=np.uint32)
+        got = np.flatnonzero(np.unpackbits(bits[i].view(np.uint8), bitorder="little"))
+        np.testing.assert_array_equal(got, expect, err_msg=f"read {i}")
+
+
+@pytest.mark.parametrize("threshold", [0.8, 0.5, 1.0])
+def test_threshold_union_matches_naive(setup, threshold):
+    idx, reads, codes, k = setup
+    cat, offs = idx.color_sets_decoded()
+    scores, npos, ovf, hit = map(
+        np.asarray,
+        query_threshold_union(
+            idx.dict_table,
+            idx.u2c_csid,
+            idx.dense_color_bits(),
+            codes,
+            k=k,
+            max_sets=32,
+            num_colors=idx.num_colors,
+        ),
+    )
+    assert not ovf.any()
+    for i, read in enumerate(reads):
+        csids = naive_window_csids(idx, read, k)
+        pos = csids[csids != INVALID]
+        exp_scores = np.zeros(idx.num_colors, dtype=np.int64)
+        for sid in pos:
+            exp_scores[cat[offs[sid] : offs[sid + 1]].astype(np.int64)] += 1
+        np.testing.assert_array_equal(
+            scores[i].astype(np.int64), exp_scores, err_msg=f"read {i}"
+        )
+        assert npos[i] == len(pos)
+        # reference rule: min_score = floor(positives * tau); report >= min_score
+        min_score = int(len(pos) * threshold)
+        if len(pos) > 0:
+            expect = np.flatnonzero(exp_scores >= min_score)
+            got = np.flatnonzero(scores[i] >= min_score)
+            np.testing.assert_array_equal(got, expect)
+
+
+def test_overflow_flag(setup):
+    idx, reads, codes, k = setup
+    bits, nsets, ovf, hit = map(
+        np.asarray,
+        query_full_intersection(
+            idx.dict_table, idx.u2c_csid, idx.dense_color_bits(), codes, k=k, max_sets=1
+        ),
+    )
+    # with max_sets=1, any read touching >1 distinct set must flag overflow
+    for i, read in enumerate(reads):
+        csids = naive_window_csids(idx, read, k)
+        distinct = np.unique(csids[csids != INVALID])
+        assert bool(ovf[i]) == (len(distinct) > 1)
