@@ -1,0 +1,205 @@
+"""fulgor-tpu command line (reference L8: tools/fulgor.cpp subcommands).
+
+Subcommand parity with the reference binary:
+  build, pseudoalign, kmer-conservation, kmer-matches, stats, check, verify,
+  print-filenames, dump, load  (color/permute arrive with the meta/diff
+  codecs). Flag names mirror the reference where meaningful.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+from . import INDEX_VERSION
+from .constants import EXT, KIND_HYBRID
+from .index import Index
+
+
+def _load_index(path: str) -> Index:
+    return Index.load(path)
+
+
+def cmd_build(args):
+    from .build.builder import build_index, check_index
+
+    with open(args.filenames_list) as f:
+        filenames = [ln.strip() for ln in f if ln.strip()]
+    idx = build_index(filenames, k=args.k, m=args.m, verbose=args.verbose)
+    out = args.output + EXT[KIND_HYBRID]
+    idx.save(out)
+    if args.verbose:
+        print(f"index written to '{out}'")
+        idx.print_stats()
+    if args.check:
+        ok = check_index(idx, verbose=args.verbose)
+        if not ok:
+            sys.exit(1)
+        print("EVERYTHING OK!")
+    return 0
+
+
+def cmd_pseudoalign(args):
+    from .query.engine import QueryEngine
+
+    idx = _load_index(args.index_filename)
+    eng = QueryEngine(idx, batch_size=args.batch_size)
+    eng.pseudoalign_file(
+        args.query_filename,
+        args.output_filename,
+        threshold=args.threshold,
+        fmt=args.format,
+        verbose=args.verbose,
+    )
+    return 0
+
+
+def cmd_kmer_conservation(args):
+    from .query.engine import QueryEngine
+
+    idx = _load_index(args.index_filename)
+    QueryEngine(idx, batch_size=args.batch_size).kmer_conservation_file(
+        args.query_filename, args.output_filename, verbose=args.verbose
+    )
+    return 0
+
+
+def cmd_kmer_matches(args):
+    from .query.engine import QueryEngine
+
+    idx = _load_index(args.index_filename)
+    QueryEngine(idx, batch_size=args.batch_size).kmer_matches_file(
+        args.query_filename, args.output_filename, verbose=args.verbose
+    )
+    return 0
+
+
+def cmd_stats(args):
+    _load_index(args.index_filename).print_stats()
+    return 0
+
+
+def cmd_print_filenames(args):
+    idx = _load_index(args.index_filename)
+    for fn in idx.filenames:
+        print(fn)
+    return 0
+
+
+def cmd_verify(args):
+    from .core.container import Container
+
+    c = Container(args.index_filename)
+    ver = c.meta.get("index_version", [0, 0, 0])
+    print(f"index version: {ver[0]}.{ver[1]}.{ver[2]}")
+    if ver[0] != INDEX_VERSION[0]:
+        print("MAJOR index version mismatch: index needs rebuilding")
+        return 1
+    print("OK")
+    return 0
+
+
+def cmd_dump(args):
+    idx = _load_index(args.index_filename)
+    idx.dump(args.output)
+    return 0
+
+
+def cmd_load(args):
+    idx = Index.from_dump(args.input_basename, m=args.m)
+    out = args.output + EXT[KIND_HYBRID]
+    idx.save(out)
+    print(f"index written to '{out}'")
+    return 0
+
+
+def cmd_check(args):
+    from .build.builder import check_index
+
+    idx = _load_index(args.index_filename)
+    ok = check_index(idx, verbose=args.verbose)
+    if ok:
+        print("EVERYTHING OK!")
+        return 0
+    return 1
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="fulgor-tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build a colored compacted dBG index")
+    b.add_argument("-l", dest="filenames_list", required=True, help="list of FASTA(.gz) files")
+    b.add_argument("-o", dest="output", required=True, help="output index basename")
+    b.add_argument("-k", dest="k", type=int, default=31)
+    b.add_argument("-m", dest="m", type=int, default=20)
+    b.add_argument("-d", dest="tmp_dir", default=".", help="(accepted for parity)")
+    b.add_argument("-g", dest="ram_gib", type=int, default=8, help="(accepted for parity)")
+    b.add_argument("-t", dest="threads", type=int, default=1, help="(accepted for parity)")
+    b.add_argument("--verbose", action="store_true")
+    b.add_argument("--check", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    def add_query_args(q):
+        q.add_argument("-i", dest="index_filename", required=True)
+        q.add_argument("-q", dest="query_filename", required=True)
+        q.add_argument("-o", dest="output_filename", required=True)
+        q.add_argument("-t", dest="threads", type=int, default=1, help="(accepted for parity)")
+        q.add_argument("--batch-size", dest="batch_size", type=int, default=2048)
+        q.add_argument("--verbose", action="store_true")
+
+    q = sub.add_parser("pseudoalign", help="pseudoalign reads")
+    add_query_args(q)
+    q.add_argument("-r", dest="threshold", type=float, default=None,
+                   help="threshold-union threshold in (0.0, 1.0]")
+    q.add_argument("--format", dest="format", default="ascii",
+                   choices=["ascii", "binary", "compressed"])
+    q.set_defaults(fn=cmd_pseudoalign)
+
+    kc = sub.add_parser("kmer-conservation")
+    add_query_args(kc)
+    kc.set_defaults(fn=cmd_kmer_conservation)
+
+    km = sub.add_parser("kmer-matches")
+    add_query_args(km)
+    km.set_defaults(fn=cmd_kmer_matches)
+
+    s = sub.add_parser("stats")
+    s.add_argument("-i", dest="index_filename", required=True)
+    s.set_defaults(fn=cmd_stats)
+
+    pf = sub.add_parser("print-filenames")
+    pf.add_argument("-i", dest="index_filename", required=True)
+    pf.set_defaults(fn=cmd_print_filenames)
+
+    v = sub.add_parser("verify")
+    v.add_argument("-i", dest="index_filename", required=True)
+    v.set_defaults(fn=cmd_verify)
+
+    d = sub.add_parser("dump")
+    d.add_argument("-i", dest="index_filename", required=True)
+    d.add_argument("-o", dest="output", required=True, help="output basename")
+    d.set_defaults(fn=cmd_dump)
+
+    ld = sub.add_parser("load", help="build an index from dump files (GGCAT-free)")
+    ld.add_argument("-i", dest="input_basename", required=True)
+    ld.add_argument("-o", dest="output", required=True)
+    ld.add_argument("-m", dest="m", type=int, default=20)
+    ld.set_defaults(fn=cmd_load)
+
+    ck = sub.add_parser("check", help="self-check an index")
+    ck.add_argument("-i", dest="index_filename", required=True)
+    ck.add_argument("--verbose", action="store_true")
+    ck.set_defaults(fn=cmd_check)
+
+    args = p.parse_args(argv)
+    if getattr(args, "threshold", None) is not None and not (0.0 < args.threshold <= 1.0):
+        p.error("threshold must be a float in (0.0, 1.0]")
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,105 @@
+"""Pseudoalignment output formatters (reference: src/ps_utils.cpp:48-243).
+
+Formats:
+  ascii      : "qid\tn[\tc1\tc2...]\n" per read (README.md:199-220)
+  binary     : u32 qid, u32 n, u32 colors[n], little-endian
+  compressed : u64 num_colors header; then flush frames [u64 num_bits,
+               8-byte-aligned bitstream] of per-result records
+               delta(qid) delta(n) hybrid-style payload. Bit codes are ours
+               (core/bitsx.py), framing mirrors the reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.bitsx import BitWriter, delta_patterns
+from ..core.hybrid import thresholds
+
+
+class AsciiFormatter:
+    def __init__(self, path: str):
+        self.f = open(path, "w", buffering=1 << 20)
+
+    def write_batch(self, qids, colors_per_read):
+        out = []
+        for qid, cols in zip(qids, colors_per_read):
+            if len(cols):
+                out.append(f"{qid}\t{len(cols)}\t" + "\t".join(map(str, cols)) + "\n")
+            else:
+                out.append(f"{qid}\t0\n")
+        self.f.writelines(out)
+
+    def close(self):
+        self.f.close()
+
+
+class BinaryFormatter:
+    def __init__(self, path: str):
+        self.f = open(path, "wb", buffering=1 << 20)
+
+    def write_batch(self, qids, colors_per_read):
+        sizes = np.array([len(c) for c in colors_per_read], dtype=np.uint32)
+        total = 2 * len(qids) + int(sizes.sum())
+        buf = np.empty(total, dtype=np.uint32)
+        pos = 0
+        for qid, cols in zip(qids, colors_per_read):
+            buf[pos] = qid
+            buf[pos + 1] = len(cols)
+            buf[pos + 2 : pos + 2 + len(cols)] = cols
+            pos += 2 + len(cols)
+        self.f.write(buf.tobytes())
+
+    def close(self):
+        self.f.close()
+
+
+class CompressedFormatter:
+    def __init__(self, path: str, num_colors: int):
+        self.f = open(path, "wb", buffering=1 << 20)
+        self.num_colors = num_colors
+        self.f.write(np.uint64(num_colors).tobytes())
+        self.sparse_thr, self.dense_thr = thresholds(num_colors)
+
+    def write_batch(self, qids, colors_per_read):
+        w = BitWriter()
+        N = self.num_colors
+        for qid, cols in zip(qids, colors_per_read):
+            n = len(cols)
+            w.append_deltas(np.array([qid, n], dtype=np.uint64))
+            if n == 0:
+                continue
+            if n < self.sparse_thr:
+                vals = np.empty(n, dtype=np.uint64)
+                vals[0] = cols[0]
+                vals[1:] = (cols[1:].astype(np.int64) - cols[:-1] - 1).astype(np.uint64)
+                w.append_deltas(vals)
+            elif n < self.dense_thr:
+                bits = np.zeros(N, dtype=bool)
+                bits[np.asarray(cols, dtype=np.int64)] = True
+                w.append_bits(bits)
+            else:
+                member = np.zeros(N, dtype=bool)
+                member[np.asarray(cols, dtype=np.int64)] = True
+                comp = np.flatnonzero(~member)
+                if len(comp):
+                    vals = np.empty(len(comp), dtype=np.uint64)
+                    vals[0] = comp[0]
+                    vals[1:] = (comp[1:] - comp[:-1] - 1).astype(np.uint64)
+                    w.append_deltas(vals)
+        nbits = w.num_bits
+        self.f.write(np.uint64(nbits).tobytes())
+        self.f.write(w.finalize().tobytes())
+
+    def close(self):
+        self.f.close()
+
+
+def make_formatter(fmt: str, path: str, num_colors: int):
+    if fmt == "ascii":
+        return AsciiFormatter(path)
+    if fmt == "binary":
+        return BinaryFormatter(path)
+    if fmt == "compressed":
+        return CompressedFormatter(path, num_colors)
+    raise ValueError(f"unknown output format: {fmt} (ascii|binary|compressed)")

@@ -1,0 +1,177 @@
+"""End-to-end CLI tests: build -> query -> outputs, vs host oracles."""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from fulgor_tpu import cli
+from fulgor_tpu.core import kmers as K
+from fulgor_tpu.index import Index
+from tests.test_ccdbg import random_genomes
+from tests.test_native import write_fasta
+
+K_LEN = 15
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory):
+    rng = np.random.default_rng(11)
+    tmp = tmp_path_factory.mktemp("e2e")
+    genomes = random_genomes(rng, num_colors=5, length=1500, mut=0.03, k=K_LEN)
+    paths = []
+    for i, seqs in enumerate(genomes):
+        p = str(tmp / f"g{i}.fa.gz")
+        write_fasta(p, seqs, gz=True)
+        paths.append(p)
+    listfile = str(tmp / "list.txt")
+    with open(listfile, "w") as f:
+        f.write("\n".join(paths) + "\n")
+    out_base = str(tmp / "idx")
+    rc = cli.main(["build", "-l", listfile, "-o", out_base, "-k", str(K_LEN), "-m", "9", "--check"])
+    assert rc == 0
+    index_path = out_base + ".tfur"
+    # reads
+    reads = []
+    L = 70
+    for _ in range(200):
+        g = rng.integers(0, len(genomes))
+        s = genomes[g][0]
+        p = rng.integers(0, len(s) - L)
+        reads.append(s[p : p + L])
+    reads.append(K.codes_to_seq(rng.integers(0, 4, size=L).astype(np.uint8)))  # junk
+    qfile = str(tmp / "reads.fq.gz")
+    with gzip.open(qfile, "wt") as f:
+        for i, r in enumerate(reads):
+            f.write(f"@read{i} comment\n{r}\n+\n{'I' * len(r)}\n")
+    return tmp, index_path, qfile, reads, genomes
+
+
+def test_pseudoalign_ascii(built, tmp_path):
+    tmp, index_path, qfile, reads, genomes = built
+    out = str(tmp_path / "out.tsv")
+    rc = cli.main(["pseudoalign", "-i", index_path, "-q", qfile, "-o", out])
+    assert rc == 0
+    lines = open(out).read().splitlines()
+    assert len(lines) == len(reads)
+    idx = Index.load(index_path)
+    from fulgor_tpu.query.engine import QueryEngine
+
+    eng = QueryEngine(idx)
+    for ln in lines:
+        parts = ln.split("\t")
+        qid, n = int(parts[0]), int(parts[1])
+        assert len(parts) == 2 + n
+        cols = np.array(parts[2:], dtype=np.uint32)
+        codes = K.seq_to_codes(reads[qid])
+        expect = eng._host_full_intersection(codes)
+        np.testing.assert_array_equal(cols, expect, err_msg=f"read {qid}")
+        if n:
+            assert (np.diff(cols.astype(np.int64)) > 0).all()
+
+
+def test_pseudoalign_binary_matches_ascii(built, tmp_path):
+    tmp, index_path, qfile, reads, _ = built
+    out_a = str(tmp_path / "out.tsv")
+    out_b = str(tmp_path / "out.bin")
+    cli.main(["pseudoalign", "-i", index_path, "-q", qfile, "-o", out_a])
+    cli.main(["pseudoalign", "-i", index_path, "-q", qfile, "-o", out_b, "--format", "binary"])
+    buf = np.fromfile(out_b, dtype=np.uint32)
+    recs = {}
+    pos = 0
+    while pos < len(buf):
+        qid, n = int(buf[pos]), int(buf[pos + 1])
+        recs[qid] = buf[pos + 2 : pos + 2 + n]
+        pos += 2 + n
+    for ln in open(out_a).read().splitlines():
+        parts = ln.split("\t")
+        qid, n = int(parts[0]), int(parts[1])
+        np.testing.assert_array_equal(recs[qid], np.array(parts[2:], dtype=np.uint32))
+
+
+def test_pseudoalign_threshold(built, tmp_path):
+    tmp, index_path, qfile, reads, _ = built
+    out = str(tmp_path / "out_thr.tsv")
+    rc = cli.main(["pseudoalign", "-i", index_path, "-q", qfile, "-o", out, "-r", "0.8"])
+    assert rc == 0
+    idx = Index.load(index_path)
+    from fulgor_tpu.query.engine import QueryEngine
+
+    eng = QueryEngine(idx)
+    for ln in open(out).read().splitlines():
+        parts = ln.split("\t")
+        qid = int(parts[0])
+        cols = np.array(parts[2:], dtype=np.uint32)
+        expect = eng._host_threshold(K.seq_to_codes(reads[qid]), 0.8)
+        np.testing.assert_array_equal(cols, expect, err_msg=f"read {qid}")
+
+
+def test_kmer_conservation(built, tmp_path):
+    tmp, index_path, qfile, reads, _ = built
+    out = str(tmp_path / "kc.tsv")
+    rc = cli.main(["kmer-conservation", "-i", index_path, "-q", qfile, "-o", out])
+    assert rc == 0
+    lines = open(out).read().splitlines()
+    assert len(lines) == len(reads)
+    # validate first mapped read's triples against host csids
+    idx = Index.load(index_path)
+    from fulgor_tpu.query.engine import QueryEngine, conservation_runs
+
+    eng = QueryEngine(idx)
+    for ln in lines[:20]:
+        parts = ln.split("\t")
+        name, n = parts[0], int(parts[1])
+        qid = int(name.replace("read", ""))
+        csid = eng._host_csids(K.seq_to_codes(reads[qid]))
+        hit = csid != 0xFFFFFFFF
+        expect = conservation_runs(hit, csid)
+        assert n == len(expect)
+        got = [tuple(map(int, t.strip("()").split())) for t in parts[2:]]
+        assert got == expect
+
+
+def test_kmer_matches(built, tmp_path):
+    tmp, index_path, qfile, reads, _ = built
+    out = str(tmp_path / "km.tsv")
+    rc = cli.main(["kmer-matches", "-i", index_path, "-q", qfile, "-o", out])
+    assert rc == 0
+    lines = open(out).read().splitlines()
+    idx = Index.load(index_path)
+    assert lines[0] == f"num_colors={idx.num_colors}"
+    assert len(lines) == len(reads) + 1
+    from fulgor_tpu.query.engine import QueryEngine
+
+    eng = QueryEngine(idx)
+    cat, offs = idx.color_sets_decoded()
+    for ln in lines[1:10]:
+        parts = ln.split("\t")
+        name, nk = parts[0], int(parts[1])
+        qid = int(name.replace("read", ""))
+        csid = eng._host_csids(K.seq_to_codes(reads[qid]))
+        hit = csid != 0xFFFFFFFF
+        assert nk == len(csid)
+        bits = np.array(parts[2 : 2 + nk], dtype=np.int64)
+        np.testing.assert_array_equal(bits, hit.astype(np.int64))
+        counts = np.array(parts[2 + nk :], dtype=np.int64)
+        expect = np.zeros(idx.num_colors, dtype=np.int64)
+        for sid in csid[hit]:
+            expect[cat[offs[sid] : offs[sid + 1]].astype(np.int64)] += 1
+        np.testing.assert_array_equal(counts, expect)
+
+
+def test_stats_verify_dump_load(built, tmp_path, capsys):
+    tmp, index_path, qfile, reads, _ = built
+    assert cli.main(["stats", "-i", index_path]) == 0
+    assert cli.main(["verify", "-i", index_path]) == 0
+    assert cli.main(["print-filenames", "-i", index_path]) == 0
+    capsys.readouterr()
+    base = str(tmp_path / "dumpbase")
+    assert cli.main(["dump", "-i", index_path, "-o", base]) == 0
+    out2 = str(tmp_path / "fromdump")
+    assert cli.main(["load", "-i", base, "-o", out2, "-m", "9"]) == 0
+    idx1 = Index.load(index_path)
+    idx2 = Index.load(out2 + ".tfur")
+    np.testing.assert_array_equal(idx1.u2c_csid, idx2.u2c_csid)
+    np.testing.assert_array_equal(idx1.cs_stream, idx2.cs_stream)
+    assert cli.main(["check", "-i", out2 + ".tfur"]) == 0
