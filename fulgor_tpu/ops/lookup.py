@@ -20,8 +20,8 @@ import jax.numpy as jnp
 
 from ..constants import INVALID_U32
 
-SEED1 = jnp.uint32(0x8BADF00D)
-SEED2 = jnp.uint32(0x5EEDCAFE)
+SEED1 = 0x8BADF00D  # python ints: traced as uint32 at use sites
+SEED2 = 0x5EEDCAFE
 
 
 def mix32(x):
@@ -73,8 +73,8 @@ def probe(table: jax.Array, lo: jax.Array, hi: jax.Array, valid: jax.Array):
     """Cuckoo probe. table: (nb, 12) uint32. -> (hit bool, val uint32)."""
     nb = table.shape[0]
     mask = jnp.uint32(nb - 1)
-    b1 = (mix32(lo ^ mix32(hi ^ SEED1)) & mask).astype(jnp.int32)
-    b2 = (mix32(lo ^ mix32(hi ^ SEED2)) & mask).astype(jnp.int32)
+    b1 = (mix32(lo ^ mix32(hi ^ jnp.uint32(SEED1))) & mask).astype(jnp.int32)
+    b2 = (mix32(lo ^ mix32(hi ^ jnp.uint32(SEED2))) & mask).astype(jnp.int32)
     r1 = jnp.take(table, b1, axis=0)  # (..., 12)
     r2 = jnp.take(table, b2, axis=0)
     hit = jnp.zeros(lo.shape, dtype=bool)

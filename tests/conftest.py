@@ -8,12 +8,16 @@ Set FULGOR_TPU_TEST_REAL=1 to run on whatever JAX finds instead.
 import os
 
 if not os.environ.get("FULGOR_TPU_TEST_REAL"):
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    # The axon TPU plugin ignores the JAX_PLATFORMS env var; the config
+    # knob does stick if set before backend initialization.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

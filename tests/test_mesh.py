@@ -1,0 +1,78 @@
+"""Sharded query == single-device query, on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fulgor_tpu.build.builder import build_index
+from fulgor_tpu.core import kmers as K
+from fulgor_tpu.ops.pipeline import query_full_intersection, query_threshold_union
+from fulgor_tpu.parallel import mesh as M
+from tests.test_ccdbg import random_genomes
+from tests.test_native import write_fasta
+
+K_LEN = 13
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    rng = np.random.default_rng(5)
+    tmp = tmp_path_factory.mktemp("mesh")
+    genomes = random_genomes(rng, num_colors=70, length=900, mut=0.05, k=K_LEN)
+    paths = []
+    for i, seqs in enumerate(genomes):
+        p = str(tmp / f"g{i}.fa")
+        write_fasta(p, seqs)
+        paths.append(p)
+    idx = build_index(paths, k=K_LEN, m=9)
+    L = 48
+    reads = np.full((64, L), 4, dtype=np.int32)
+    for i in range(60):
+        g = rng.integers(0, len(genomes))
+        s = genomes[g][0]
+        p = rng.integers(0, len(s) - L)
+        reads[i] = K.seq_to_codes(s[p : p + L]).astype(np.int32)
+    return idx, reads
+
+
+def test_sharded_full_intersection(setup):
+    idx, codes = setup
+    assert len(jax.devices()) == 8
+    mesh = M.make_mesh(data=4, color=2)
+    bits = M.pad_bits_for_mesh(idx.dense_color_bits(), 2)
+    fn = M.make_sharded_full_intersection(mesh, K_LEN, max_sets=16)
+    args = M.shard_inputs(mesh, idx.dict_table, idx.u2c_csid, bits, codes)
+    out, nsets, ovf = fn(*args)
+    ref_bits, ref_nsets, ref_ovf, _ = query_full_intersection(
+        jnp.asarray(idx.dict_table),
+        jnp.asarray(idx.u2c_csid),
+        jnp.asarray(bits),
+        jnp.asarray(codes),
+        k=K_LEN,
+        max_sets=16,
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref_bits))
+    np.testing.assert_array_equal(np.asarray(nsets), np.asarray(ref_nsets))
+    np.testing.assert_array_equal(np.asarray(ovf), np.asarray(ref_ovf))
+
+
+def test_sharded_threshold_union(setup):
+    idx, codes = setup
+    mesh = M.make_mesh(data=2, color=4)
+    bits = M.pad_bits_for_mesh(idx.dense_color_bits(), 4)
+    Cpad = bits.shape[1] * 32
+    fn = M.make_sharded_threshold_union(mesh, K_LEN, max_sets=16, num_colors_padded=Cpad)
+    args = M.shard_inputs(mesh, idx.dict_table, idx.u2c_csid, bits, codes)
+    scores, npos, ovf = fn(*args)
+    ref_scores, ref_npos, ref_ovf, _ = query_threshold_union(
+        jnp.asarray(idx.dict_table),
+        jnp.asarray(idx.u2c_csid),
+        jnp.asarray(bits),
+        jnp.asarray(codes),
+        k=K_LEN,
+        max_sets=16,
+        num_colors=Cpad,
+    )
+    np.testing.assert_array_equal(np.asarray(scores), np.asarray(ref_scores))
+    np.testing.assert_array_equal(np.asarray(npos), np.asarray(ref_npos))
