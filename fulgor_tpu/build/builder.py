@@ -38,10 +38,13 @@ def unitig_kmers(unitig_codes: np.ndarray, unitig_offs: np.ndarray, k: int):
     return keys, vals
 
 
-def build_kmer_dict(unitig_codes, unitig_offs, k):
+def build_kmer_dict(unitig_codes, unitig_offs, unitig_cs, k):
+    """Cuckoo table mapping canonical kmer -> COLOR-SET id (u2c folded in at
+    build time; see ops/lookup.lookup_batch)."""
     from ..native import lib as native
 
-    keys, vals = unitig_kmers(unitig_codes, unitig_offs, k)
+    keys, uids = unitig_kmers(unitig_codes, unitig_offs, k)
+    vals = np.asarray(unitig_cs, dtype=np.uint32)[uids.astype(np.int64)]
     return native.cuckoo_build(keys, vals), len(keys)
 
 
@@ -57,7 +60,7 @@ def assemble_index(
     cs_colors: np.ndarray,
     cs_offs: np.ndarray,
 ) -> Index:
-    table, num_kmers = build_kmer_dict(unitig_codes, unitig_offs, k)
+    table, num_kmers = build_kmer_dict(unitig_codes, unitig_offs, unitig_cs, k)
     enc = hybrid.HybridEncoder(num_colors)
     enc.add_sets(np.asarray(cs_colors, dtype=np.uint32), np.asarray(cs_offs))
     stream, bit_offs = enc.finalize()
@@ -112,10 +115,11 @@ def check_index(idx: Index, verbose: bool = False) -> bool:
     from ..query.host_lookup import lookup_host
 
     codes_all = K.unpack2(idx.unitig_seq, int(idx.unitig_offs[-1]))
-    keys, vals = unitig_kmers(codes_all, idx.unitig_offs, idx.k)
+    keys, uids = unitig_kmers(codes_all, idx.unitig_offs, idx.k)
+    expect = idx.u2c_csid[uids.astype(np.int64)]
     got = lookup_host(idx.dict_table, keys)
-    if not (got == vals).all():
-        bad = np.flatnonzero(got != vals)
+    if not (got == expect).all():
+        bad = np.flatnonzero(got != expect)
         print(f"CHECK FAILED: {len(bad)} kmers misresolve (first: key={keys[bad[0]]})")
         return False
     if int(idx.u2c_csid.max(initial=0)) >= idx.num_color_sets:

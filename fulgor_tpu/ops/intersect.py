@@ -2,22 +2,23 @@
 machinery, src/ps_full_intersection.cpp / ps_threshold_union.cpp).
 
 TPU formulation: distinct color sets live as a dense bitset matrix
-(num_sets, ceil(C/32)) uint32 in HBM. Per read:
+(num_sets, ceil(C/32)) uint32 in HBM. Per read batch (B, W windows):
 
-  full intersection  = gather rows of its distinct set ids, AND-reduce
-                       (VPU, bitwise) -> (B, C32) result bits
-  threshold union    = per-set k-mer multiplicities x unpacked bits matmul
-                       (MXU, bf16/f32) -> (B, C) scores
-
-The reference's sparse/complement iterator tricks are CPU-isms: on TPU the
-dense AND/popcount form is memory-bound at full HBM bandwidth and has no
-data-dependent control flow. (Scaling beyond dense-bits memory comes with
-the meta/diff codecs in later rounds.)
+  full intersection  = gather the bit row of EVERY positive window and
+                       AND-reduce over windows (misses contribute all-ones).
+                       Intersection is idempotent, so the reference's
+                       sort+unique dedup (a CPU optimization to avoid
+                       re-decoding sets) is unnecessary — skipping it removes
+                       all sorts/scatters from the hot path and makes the
+                       result exact for every read (no overflow path).
+  threshold union    = scores[b,c] = sum_w bit(set(w), c) over positive
+                       windows — chunked (unpack bits -> bf16 MXU matmul).
+                       Summing duplicate windows directly equals the
+                       reference's per-unitig multiplicity aggregation
+                       (src/ps_threshold_union.cpp:329-387).
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -27,89 +28,193 @@ from ..constants import INVALID_U32
 INV = jnp.uint32(INVALID_U32)
 
 
-def dedup_runs(win_csid: jax.Array, max_sets: int):
-    """Per-row dedup of window color-set ids with multiplicities.
-
-    win_csid: (B, W) uint32, INVALID for negative windows.
-    -> csid (B, M) uint32 (INVALID padding), cnt (B, M) int32 (windows per
-       set id), nsets (B,) int32, overflow (B,) bool.
-
-    Sort-based: duplicates become adjacent runs; run starts index a compact
-    scatter. Mirrors the reference's sort+unique on unitig ids then color
-    set ids (src/ps_full_intersection.cpp:360-373) in fixed shapes.
-    """
-    B, W = win_csid.shape
-    s = jnp.sort(win_csid, axis=1)
-    valid = s != INV
-    prev = jnp.concatenate([jnp.full((B, 1), INVALID_U32, dtype=jnp.uint32), s[:, :-1]], axis=1)
-    is_new = valid & (s != prev)
-    run = jnp.cumsum(is_new.astype(jnp.int32), axis=1) - 1  # run index per window
-    nsets = jnp.sum(is_new.astype(jnp.int32), axis=1)
-    overflow = nsets > max_sets
-
-    rows = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, W))
-    slot = jnp.where(is_new & (run < max_sets), run, max_sets)
-    csid = jnp.full((B, max_sets + 1), INVALID_U32, dtype=jnp.uint32)
-    csid = csid.at[rows, slot].set(s, mode="drop")
-    cslot = jnp.where(valid & (run < max_sets), run, max_sets)
-    cnt = jnp.zeros((B, max_sets + 1), dtype=jnp.int32)
-    cnt = cnt.at[rows, cslot].add(valid.astype(jnp.int32), mode="drop")
-    return csid[:, :max_sets], cnt[:, :max_sets], nsets, overflow
+# The one-hot threshold: with S distinct sets, the per-window gather can be
+# replaced by a comparison-reduce (B,W,S+1) + one MXU matmul — no gathers at
+# all. Worth it while B*W*S stays comfortably in HBM-traffic terms; beyond
+# that the per-window gather path takes over.
+ONEHOT_MAX_SETS = 2048
 
 
-def full_intersection(dense_bits: jax.Array, csid: jax.Array, nsets: jax.Array):
-    """AND of the dense bit rows of each read's distinct set ids.
-
-    dense_bits: (S, C32) uint32; csid: (B, M) uint32 INVALID-padded.
-    -> (B, C32) uint32; rows with nsets == 0 are all-zero (unmapped).
-    """
-    valid = csid != INV
-    safe = jnp.where(valid, csid, 0).astype(jnp.int32)
-    rows = jnp.take(dense_bits, safe, axis=0)  # (B, M, C32)
-    rows = jnp.where(valid[:, :, None], rows, jnp.uint32(0xFFFFFFFF))
-    out = rows[:, 0, :]
-    for m in range(1, csid.shape[1]):
-        out = out & rows[:, m, :]
-    return jnp.where((nsets > 0)[:, None], out, jnp.uint32(0))
+def set_presence_counts(hit: jax.Array, csid: jax.Array, num_sets: int):
+    """P[b, s] = number of positive windows of read b whose color-set id is
+    s (misses fold into a pad slot that is sliced off). Gather/scatter-free:
+    a broadcast compare fused into a reduction. -> (B, S) float32."""
+    B, W = csid.shape
+    sid = jnp.where(hit, csid, jnp.uint32(num_sets)).astype(jnp.int32)
+    sids = jnp.arange(num_sets + 1, dtype=jnp.int32)
+    P = jnp.sum(
+        (sid[:, :, None] == sids[None, None, :]).astype(jnp.float32), axis=1
+    )
+    return P[:, :num_sets]
 
 
-def threshold_union_scores(
-    dense_bits: jax.Array,
-    csid: jax.Array,
-    cnt: jax.Array,
-    num_colors: int,
-    chunk: int = 8,
+def unpacked_bits_f32(dense_bits: jax.Array) -> jax.Array:
+    """(S, C32) uint32 -> (S, 32*C32) float32 of {0,1}."""
+    S, C32 = dense_bits.shape
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    b = ((dense_bits[..., None] >> shifts) & jnp.uint32(1)).astype(jnp.float32)
+    return b.reshape(S, C32 * 32)
+
+
+def pack_bool_bits(mask: jax.Array) -> jax.Array:
+    """(B, 32*C32) bool -> (B, C32) uint32."""
+    B, C = mask.shape
+    assert C % 32 == 0
+    m = mask.reshape(B, C // 32, 32).astype(jnp.uint32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(m << shifts, axis=-1, dtype=jnp.uint32)
+
+
+def full_intersection_onehot(dense_bits: jax.Array, hit: jax.Array, csid: jax.Array):
+    """color c survives iff NO positive window's set misses c:
+    (P @ (1 - bits))[b, c] == 0. One matmul, zero gathers."""
+    S, C32 = dense_bits.shape
+    P = set_presence_counts(hit, csid, S)
+    notbits = 1.0 - unpacked_bits_f32(dense_bits)
+    missing = jnp.einsum("bs,sc->bc", P, notbits, preferred_element_type=jnp.float32)
+    mapped = jnp.any(hit, axis=1)
+    keep = (missing == 0.0) & mapped[:, None]
+    return pack_bool_bits(keep)
+
+
+def threshold_union_scores_onehot(
+    dense_bits: jax.Array, hit: jax.Array, csid: jax.Array, num_colors: int
 ):
-    """scores[b, c] = sum_m cnt[b, m] * bit(csid[b, m], c)  (MXU matmuls).
+    """scores = P @ bits (exact f32; counts <= W < 2^24)."""
+    S, C32 = dense_bits.shape
+    P = set_presence_counts(hit, csid, S)
+    bitsf = unpacked_bits_f32(dense_bits)
+    scores = jnp.einsum("bs,sc->bc", P, bitsf, preferred_element_type=jnp.float32)
+    return scores[:, :num_colors]
 
-    -> (B, C) float32 (exact: counts <= W < 2^24).
+
+def full_intersection_windows(dense_bits: jax.Array, hit: jax.Array, csid: jax.Array):
+    """AND of bit rows over all positive windows.
+
+    dense_bits: (S, C32) uint32; hit: (B, W) bool; csid: (B, W) uint32.
+    -> (B, C32) uint32; reads with no positive window are all-zero (unmapped,
+    reference semantics: empty iterator list -> empty intersection).
     """
-    B, M = csid.shape
+    safe = jnp.where(hit, csid, 0).astype(jnp.int32)
+    rows = jnp.take(dense_bits, safe, axis=0)  # (B, W, C32)
+    rows = jnp.where(hit[:, :, None], rows, jnp.uint32(0xFFFFFFFF))
+    out = jnp.bitwise_and.reduce(rows, axis=1)
+    mapped = jnp.any(hit, axis=1)
+    return jnp.where(mapped[:, None], out, jnp.uint32(0))
+
+
+def threshold_union_scores_windows(
+    dense_bits: jax.Array,
+    hit: jax.Array,
+    csid: jax.Array,
+    num_colors: int,
+    chunk: int = 16,
+):
+    """scores[b, c] = #positive windows whose color set contains c.
+
+    Chunked over windows: gather (B, chunk, C32) rows, unpack to bits,
+    accumulate with an MXU matmul against the per-window positivity weights.
+    Exact in f32 (scores <= W < 2^24). -> (B, C) float32.
+    """
+    B, W = csid.shape
     C32 = dense_bits.shape[1]
-    C = C32 * 32
-    valid = csid != INV
-    safe = jnp.where(valid, csid, 0).astype(jnp.int32)
-    cntf = jnp.where(valid, cnt, 0).astype(jnp.float32)
+    safe = jnp.where(hit, csid, 0).astype(jnp.int32)
+    w8 = hit.astype(jnp.float32)
+
+    pad = (-W) % chunk
+    if pad:
+        safe = jnp.pad(safe, ((0, 0), (0, pad)))
+        w8 = jnp.pad(w8, ((0, 0), (0, pad)))
+    nchunks = safe.shape[1] // chunk
+    ids_c = safe.reshape(B, nchunks, chunk).transpose(1, 0, 2)
+    w_c = w8.reshape(B, nchunks, chunk).transpose(1, 0, 2)
 
     shifts = jnp.arange(32, dtype=jnp.uint32)
 
     def step(acc, mc):
-        ids, w = mc  # ids (B, chunk), w (B, chunk)
+        ids, w = mc
         rows = jnp.take(dense_bits, ids, axis=0)  # (B, chunk, C32)
         bits = ((rows[..., None] >> shifts) & jnp.uint32(1)).astype(jnp.float32)
-        bits = bits.reshape(B, ids.shape[1], C32 * 32)
-        acc = acc + jnp.einsum(
-            "bm,bmc->bc", w, bits, preferred_element_type=jnp.float32
-        )
-        return acc, None
+        bits = bits.reshape(B, chunk, C32 * 32)
+        return acc + jnp.einsum("bm,bmc->bc", w, bits, preferred_element_type=jnp.float32), None
 
-    pad = (-M) % chunk
+    acc0 = jnp.zeros((B, C32 * 32), dtype=jnp.float32)
+    acc, _ = jax.lax.scan(step, acc0, (ids_c, w_c))
+    return acc[:, :num_colors]
+
+
+# ---------------------------------------------------------------------------
+# Compaction utilities (kept for the mesh path / future compressed decode:
+# exchanging compact run lists over ICI beats shipping every window).
+# ---------------------------------------------------------------------------
+
+
+def compact_runs(hit: jax.Array, csid: jax.Array, max_runs: int):
+    """Collapse ADJACENT runs of equal csid (no sort): the streaming
+    structure of reads means consecutive windows share unitigs (the
+    reference exploits the same locality, src/ps_full_intersection.cpp:346).
+
+    -> run_csid (B, R) uint32 INVALID-padded, run_cnt (B, R) int32,
+       overflow (B,) bool. A csid may appear in multiple runs; downstream
+       consumers must be duplicate-tolerant (AND is; score-sum is).
+    """
+    B, W = csid.shape
+    prev = jnp.concatenate(
+        [jnp.full((B, 1), INVALID_U32, dtype=jnp.uint32), csid[:, :-1]], axis=1
+    )
+    prev_hit = jnp.concatenate([jnp.zeros((B, 1), dtype=bool), hit[:, :-1]], axis=1)
+    is_new = hit & ((csid != prev) | ~prev_hit)
+    run = jnp.cumsum(is_new.astype(jnp.int32), axis=1) - 1
+    nruns = jnp.sum(is_new.astype(jnp.int32), axis=1)
+    overflow = nruns > max_runs
+    rows = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, W))
+    slot = jnp.where(is_new & (run < max_runs), run, max_runs)
+    out = jnp.full((B, max_runs + 1), INVALID_U32, dtype=jnp.uint32)
+    out = out.at[rows, slot].set(csid, mode="drop")
+    cslot = jnp.where(hit & (run < max_runs), run, max_runs)
+    cnt = jnp.zeros((B, max_runs + 1), dtype=jnp.int32)
+    cnt = cnt.at[rows, cslot].add(hit.astype(jnp.int32), mode="drop")
+    return out[:, :max_runs], cnt[:, :max_runs], overflow
+
+
+def full_intersection_runs(dense_bits: jax.Array, run_csid: jax.Array, any_hit: jax.Array):
+    """AND over compacted runs (INVALID entries contribute all-ones)."""
+    valid = run_csid != INV
+    safe = jnp.where(valid, run_csid, 0).astype(jnp.int32)
+    rows = jnp.take(dense_bits, safe, axis=0)
+    rows = jnp.where(valid[:, :, None], rows, jnp.uint32(0xFFFFFFFF))
+    out = jnp.bitwise_and.reduce(rows, axis=1)
+    return jnp.where(any_hit[:, None], out, jnp.uint32(0))
+
+
+def threshold_union_scores_runs(
+    dense_bits: jax.Array,
+    run_csid: jax.Array,
+    run_cnt: jax.Array,
+    num_colors: int,
+    chunk: int = 8,
+):
+    """Scores over compacted runs (weights = run window counts)."""
+    B, R = run_csid.shape
+    C32 = dense_bits.shape[1]
+    valid = run_csid != INV
+    safe = jnp.where(valid, run_csid, 0).astype(jnp.int32)
+    w = jnp.where(valid, run_cnt, 0).astype(jnp.float32)
+    pad = (-R) % chunk
     if pad:
         safe = jnp.pad(safe, ((0, 0), (0, pad)))
-        cntf = jnp.pad(cntf, ((0, 0), (0, pad)))
+        w = jnp.pad(w, ((0, 0), (0, pad)))
     nchunks = safe.shape[1] // chunk
     ids_c = safe.reshape(B, nchunks, chunk).transpose(1, 0, 2)
-    w_c = cntf.reshape(B, nchunks, chunk).transpose(1, 0, 2)
-    acc0 = jnp.zeros((B, C), dtype=jnp.float32)
-    acc, _ = jax.lax.scan(step, acc0, (ids_c, w_c))
+    w_c = w.reshape(B, nchunks, chunk).transpose(1, 0, 2)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+
+    def step(acc, mc):
+        ids, wt = mc
+        rows = jnp.take(dense_bits, ids, axis=0)
+        bits = ((rows[..., None] >> shifts) & jnp.uint32(1)).astype(jnp.float32)
+        bits = bits.reshape(B, chunk, C32 * 32)
+        return acc + jnp.einsum("bm,bmc->bc", wt, bits, preferred_element_type=jnp.float32), None
+
+    acc, _ = jax.lax.scan(step, jnp.zeros((B, C32 * 32), dtype=jnp.float32), (ids_c, w_c))
     return acc[:, :num_colors]

@@ -89,15 +89,14 @@ def probe(table: jax.Array, lo: jax.Array, hi: jax.Array, valid: jax.Array):
     return hit, val
 
 
-def lookup_batch(table, u2c_csid, codes, k):
-    """Full lookup: (B, L) codes -> per-window (hit, unitig_id, color_set_id).
+def lookup_batch(table, codes, k):
+    """Full lookup: (B, L) codes -> per-window (hit, color_set_id).
 
-    u2c_csid: (U,) uint32 dense unitig -> color-set map (the reference's
-    rank1(u2c) — include/index.hpp:37 — precomputed as a gather array).
-    """
+    The dictionary value IS the color-set id: the reference's two-step
+    contig_id -> rank1(u2c) (include/index.hpp:37) is folded into the table
+    at build time, saving one gather per window on the TPU's
+    transaction-limited gather path. Unitig identity lives host-side for
+    tooling (dump/check/builders)."""
     lo, hi, ok = pack_windows(codes, k)
-    hit, uid = probe(table, lo, hi, ok)
-    safe_uid = jnp.where(hit, uid, 0).astype(jnp.int32)
-    csid = jnp.take(u2c_csid, safe_uid, axis=0)
-    csid = jnp.where(hit, csid, jnp.uint32(INVALID_U32))
-    return hit, uid, csid
+    hit, csid = probe(table, lo, hi, ok)
+    return hit, csid

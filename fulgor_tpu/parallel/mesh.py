@@ -8,25 +8,32 @@ Mesh axes:
             bit words.
 
 One query step over a (D, P) mesh:
-  phase 1  every device runs k-mer lookup + dedup on its OWN slice of the
-           batch (global batch sharded over BOTH axes -> lookup runs exactly
-           once per read globally; the expensive gather is never duplicated);
-  phase 2  `all_gather` of the compact per-read set ids along 'color' (tiny:
-           M uint32 per read, rides ICI);
+  phase 1  every device runs k-mer lookup on its OWN slice of the batch
+           (global batch sharded over BOTH axes -> the expensive dictionary
+           gather runs exactly once per read globally) and collapses
+           adjacent windows into compact (csid, count) runs;
+  phase 2  `all_gather` of the compact runs along 'color' (tiny: R uint32
+           per read, rides ICI — vs shipping every window);
   phase 3  each device ANDs / matmuls its color-word shard for the gathered
            row-batch -> output sharded ('data', 'color').
+
+Reads whose run count exceeds the static budget report an overflow flag for
+the host's exact fallback (rare: a read must cross >max_runs unitig/color
+boundaries).
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.intersect import dedup_runs, full_intersection, threshold_union_scores
+from ..ops.intersect import (
+    compact_runs,
+    full_intersection_runs,
+    threshold_union_scores_runs,
+)
 from ..ops.lookup import lookup_batch
 
 
@@ -49,68 +56,65 @@ def pad_bits_for_mesh(dense_bits: np.ndarray, color_shards: int) -> np.ndarray:
     return dense_bits
 
 
-def make_sharded_full_intersection(mesh: Mesh, k: int, max_sets: int):
-    """Returns a jitted fn(table, u2c, bits, codes) -> (bits_out, nsets, ovf).
+def make_sharded_full_intersection(mesh: Mesh, k: int, max_runs: int = 64):
+    """Returns a jitted fn(table, u2c, bits, codes) -> (bits_out, mapped, ovf).
 
     Global shapes: codes (B, L) with B % (D*P) == 0; bits (S, C32) with
-    C32 % P == 0. Output bits_out (B, C32) sharded ('data', 'color').
-    """
+    C32 % P == 0. Output bits_out (B, C32) sharded ('data', 'color')."""
 
-    def step(table, u2c, bits_shard, codes):
-        hit, _uid, csid = lookup_batch(table, u2c, codes, k)
-        csid_c, _cnt, nsets, ovf = dedup_runs(csid, max_sets)
-        # phase 2: exchange compact ids along the color axis
-        csid_all = jax.lax.all_gather(csid_c, "color", axis=0, tiled=True)
-        nsets_all = jax.lax.all_gather(nsets, "color", axis=0, tiled=True)
+    def step(table, bits_shard, codes):
+        hit, csid = lookup_batch(table, codes, k)
+        run_csid, _cnt, ovf = compact_runs(hit, csid, max_runs)
+        mapped = jnp.any(hit, axis=1)
+        run_all = jax.lax.all_gather(run_csid, "color", axis=0, tiled=True)
+        mapped_all = jax.lax.all_gather(mapped, "color", axis=0, tiled=True)
         ovf_all = jax.lax.all_gather(ovf, "color", axis=0, tiled=True)
-        out = full_intersection(bits_shard, csid_all, nsets_all)
-        return out, nsets_all, ovf_all
+        out = full_intersection_runs(bits_shard, run_all, mapped_all)
+        return out, mapped_all, ovf_all
 
     sm = jax.shard_map(
         step,
         mesh=mesh,
-        in_specs=(P(), P(), P(None, "color"), P(("data", "color"), None)),
+        in_specs=(P(), P(None, "color"), P(("data", "color"), None)),
         out_specs=(P("data", "color"), P("data"), P("data")),
-        check_vma=False,  # nsets/ovf become color-replicated via all_gather
+        check_vma=False,  # outputs become color-replicated via all_gather
     )
     return jax.jit(sm)
 
 
-def make_sharded_threshold_union(mesh: Mesh, k: int, max_sets: int, num_colors_padded: int):
-    """Like above; scores output (B, C_padded) sharded ('data', 'color').
-    num_colors_padded must be 32*C32_padded (the caller slices to C)."""
+def make_sharded_threshold_union(mesh: Mesh, k: int, num_colors_padded: int, max_runs: int = 64):
+    """Like above; scores output (B, C_padded) sharded ('data', 'color')."""
     P_ = mesh.shape["color"]
     assert num_colors_padded % (32 * P_) == 0
 
-    def step(table, u2c, bits_shard, codes):
-        hit, _uid, csid = lookup_batch(table, u2c, codes, k)
-        csid_c, cnt, _nsets, ovf = dedup_runs(csid, max_sets)
-        csid_all = jax.lax.all_gather(csid_c, "color", axis=0, tiled=True)
-        cnt_all = jax.lax.all_gather(cnt, "color", axis=0, tiled=True)
+    def step(table, bits_shard, codes):
+        hit, csid = lookup_batch(table, codes, k)
+        run_csid, run_cnt, ovf = compact_runs(hit, csid, max_runs)
         npos = jnp.sum(hit.astype(jnp.int32), axis=1)
+        run_all = jax.lax.all_gather(run_csid, "color", axis=0, tiled=True)
+        cnt_all = jax.lax.all_gather(run_cnt, "color", axis=0, tiled=True)
         npos_all = jax.lax.all_gather(npos, "color", axis=0, tiled=True)
         ovf_all = jax.lax.all_gather(ovf, "color", axis=0, tiled=True)
-        scores = threshold_union_scores(
-            bits_shard, csid_all, cnt_all, num_colors_padded // P_
+        scores = threshold_union_scores_runs(
+            bits_shard, run_all, cnt_all, num_colors_padded // P_
         )
         return scores, npos_all, ovf_all
 
     sm = jax.shard_map(
         step,
         mesh=mesh,
-        in_specs=(P(), P(), P(None, "color"), P(("data", "color"), None)),
+        in_specs=(P(), P(None, "color"), P(("data", "color"), None)),
         out_specs=(P("data", "color"), P("data"), P("data")),
         check_vma=False,
     )
     return jax.jit(sm)
 
 
-def shard_inputs(mesh: Mesh, table, u2c, bits, codes):
+def shard_inputs(mesh: Mesh, table, bits, codes):
     """Place arrays with the shardings the step functions expect."""
     rep = NamedSharding(mesh, P())
     return (
         jax.device_put(table, rep),
-        jax.device_put(u2c, rep),
         jax.device_put(bits, NamedSharding(mesh, P(None, "color"))),
         jax.device_put(codes, NamedSharding(mesh, P(("data", "color"), None))),
     )

@@ -2,9 +2,9 @@
 
 The reference's thread-pool-of-readers becomes: parse reads natively into
 padded code matrices, bucket by length, stream fixed-shape batches through
-the jitted device pipeline, post-process/format on host. Rare reads whose
-distinct color-set count exceeds the static budget (`max_sets`) fall back to
-an exact host path.
+the jitted device pipeline (async dispatch, fetched in a second pass so the
+device stays busy), post-process/format on host. All device paths are exact;
+the host mirrors (_host_*) exist for tooling and tests.
 """
 
 from __future__ import annotations
@@ -47,7 +47,6 @@ class QueryEngine:
         self.max_sets = max_sets
         self.k = index.k
         self.table = jnp.asarray(index.dict_table)
-        self.u2c = jnp.asarray(index.u2c_csid)
         self.bits = jnp.asarray(index.dense_color_bits())
         self._cs_cache = index.color_sets_decoded()
 
@@ -76,9 +75,9 @@ class QueryEngine:
         out = np.full(len(km), INVALID_U32, dtype=np.uint32)
         if len(km) == 0:
             return out
-        uids = lookup_host(self.idx.dict_table, K.canonicalize(km, self.k))
-        hitm = valid & (uids != INVALID_U32)
-        out[hitm] = self.idx.u2c_csid[uids[hitm].astype(np.int64)]
+        vals = lookup_host(self.idx.dict_table, K.canonicalize(km, self.k))
+        hitm = valid & (vals != INVALID_U32)
+        out[hitm] = vals[hitm]  # table values ARE color-set ids
         return out
 
     def _host_full_intersection(self, row_codes: np.ndarray) -> np.ndarray:
@@ -123,52 +122,40 @@ class QueryEngine:
         N = len(lens)
         results: list = [None] * N
         C = self.idx.num_colors
+        # two-phase: enqueue every device batch (async dispatch), then fetch
+        # in order — device compute overlaps host post-processing/transfer.
+        pending = []
         for sel, chunk in self._iter_batches(codes, lens):
+            if threshold is None:
+                out = query_full_intersection(self.table, self.bits, chunk, k=self.k)
+            else:
+                out = query_threshold_union(
+                    self.table, self.bits, chunk, k=self.k, num_colors=C
+                )
+            pending.append((sel, out))
+        for sel, out in pending:
             nsel = len(sel)
             if threshold is None:
-                bits, nsets, ovf, _hit = query_full_intersection(
-                    self.table, self.u2c, self.bits, chunk, k=self.k, max_sets=self.max_sets
-                )
-                bits = np.asarray(bits[:nsel])
-                ovf = np.asarray(ovf[:nsel])
-                lists, _ = self._bits_to_lists(bits, C)
+                lists, _ = self._bits_to_lists(np.asarray(out[:nsel]), C)
                 for j, ridx in enumerate(sel):
-                    if ovf[j]:
-                        results[ridx] = self._host_full_intersection(codes[ridx][: lens[ridx]])
-                    else:
-                        results[ridx] = lists[j]
+                    results[ridx] = lists[j]
             else:
-                scores, npos, ovf, _hit = query_threshold_union(
-                    self.table,
-                    self.u2c,
-                    self.bits,
-                    chunk,
-                    k=self.k,
-                    max_sets=self.max_sets,
-                    num_colors=C,
-                )
-                scores = np.asarray(scores[:nsel])
-                npos = np.asarray(npos[:nsel])
-                ovf = np.asarray(ovf[:nsel])
+                scores = np.asarray(out[0][:nsel])
+                npos = np.asarray(out[1][:nsel])
                 min_score = (npos.astype(np.float64) * threshold).astype(np.int64)
                 bm = (scores >= min_score[:, None]) & (npos > 0)[:, None]
                 counts = bm.sum(axis=1)
                 rows, cols = np.nonzero(bm)
                 lists = np.split(cols.astype(np.uint32), np.cumsum(counts))[:-1]
                 for j, ridx in enumerate(sel):
-                    if ovf[j]:
-                        results[ridx] = self._host_threshold(
-                            codes[ridx][: lens[ridx]], threshold
-                        )
-                    else:
-                        results[ridx] = lists[j]
+                    results[ridx] = lists[j]
         return results
 
     def window_csids_codes(self, codes: np.ndarray, lens: np.ndarray):
         """-> list (per read) of (hit bool (W_r,), csid u32 (W_r,))."""
         out: list = [None] * len(lens)
         for sel, chunk in self._iter_batches(codes, lens):
-            hit, csid = query_window_csids(self.table, self.u2c, chunk, k=self.k)
+            hit, csid = query_window_csids(self.table, chunk, k=self.k)
             hit = np.asarray(hit[: len(sel)])
             csid = np.asarray(csid[: len(sel)])
             for j, ridx in enumerate(sel):

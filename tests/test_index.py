@@ -30,11 +30,10 @@ def test_build_and_check(small_index):
     # per-kmer color sets match naive
     naive = naive_kmer_colors(genomes, k)
     keys = np.array(sorted(naive.keys()), dtype=np.uint64)
-    uids = lookup_host(idx.dict_table, keys)
-    assert (uids != 0xFFFFFFFF).all()
-    csids = idx.u2c_csid[uids.astype(np.int64)]
+    csids = lookup_host(idx.dict_table, keys)  # table values ARE csids
+    assert (csids != 0xFFFFFFFF).all()
     cat, offs = idx.color_sets_decoded()
-    for x, uid, sid in zip(keys[:200], uids[:200], csids[:200]):
+    for x, sid in zip(keys[:200], csids[:200]):
         expect = naive[int(x)]
         got = tuple(cat[offs[sid] : offs[sid + 1]])
         assert got == expect
@@ -79,8 +78,10 @@ def test_dump_from_dump_roundtrip(small_index, tmp_path):
     np.testing.assert_array_equal(idx2.cs_stream, idx.cs_stream)
     # dictionary content equivalent (same key-value map, maybe same table)
     codes = K.unpack2(idx.unitig_seq, int(idx.unitig_offs[-1]))
-    keys, vals = unitig_kmers(codes, idx.unitig_offs, idx.k)
-    np.testing.assert_array_equal(lookup_host(idx2.dict_table, keys), vals)
+    keys, uids = unitig_kmers(codes, idx.unitig_offs, idx.k)
+    np.testing.assert_array_equal(
+        lookup_host(idx2.dict_table, keys), idx.u2c_csid[uids.astype(np.int64)]
+    )
     # second dump is byte-identical
     base2 = str(tmp_path / "dumped2")
     idx2.dump(base2)

@@ -41,20 +41,14 @@ def test_sharded_full_intersection(setup):
     assert len(jax.devices()) == 8
     mesh = M.make_mesh(data=4, color=2)
     bits = M.pad_bits_for_mesh(idx.dense_color_bits(), 2)
-    fn = M.make_sharded_full_intersection(mesh, K_LEN, max_sets=16)
-    args = M.shard_inputs(mesh, idx.dict_table, idx.u2c_csid, bits, codes)
-    out, nsets, ovf = fn(*args)
-    ref_bits, ref_nsets, ref_ovf, _ = query_full_intersection(
-        jnp.asarray(idx.dict_table),
-        jnp.asarray(idx.u2c_csid),
-        jnp.asarray(bits),
-        jnp.asarray(codes),
-        k=K_LEN,
-        max_sets=16,
+    fn = M.make_sharded_full_intersection(mesh, K_LEN, max_runs=36)
+    args = M.shard_inputs(mesh, idx.dict_table, bits, codes)
+    out, mapped, ovf = fn(*args)
+    assert not np.asarray(ovf).any()
+    ref_bits = query_full_intersection(
+        jnp.asarray(idx.dict_table), jnp.asarray(bits), jnp.asarray(codes), k=K_LEN
     )
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref_bits))
-    np.testing.assert_array_equal(np.asarray(nsets), np.asarray(ref_nsets))
-    np.testing.assert_array_equal(np.asarray(ovf), np.asarray(ref_ovf))
 
 
 def test_sharded_threshold_union(setup):
@@ -62,16 +56,12 @@ def test_sharded_threshold_union(setup):
     mesh = M.make_mesh(data=2, color=4)
     bits = M.pad_bits_for_mesh(idx.dense_color_bits(), 4)
     Cpad = bits.shape[1] * 32
-    fn = M.make_sharded_threshold_union(mesh, K_LEN, max_sets=16, num_colors_padded=Cpad)
-    args = M.shard_inputs(mesh, idx.dict_table, idx.u2c_csid, bits, codes)
+    fn = M.make_sharded_threshold_union(mesh, K_LEN, num_colors_padded=Cpad, max_runs=36)
+    args = M.shard_inputs(mesh, idx.dict_table, bits, codes)
     scores, npos, ovf = fn(*args)
-    ref_scores, ref_npos, ref_ovf, _ = query_threshold_union(
-        jnp.asarray(idx.dict_table),
-        jnp.asarray(idx.u2c_csid),
-        jnp.asarray(bits),
-        jnp.asarray(codes),
-        k=K_LEN,
-        max_sets=16,
+    assert not np.asarray(ovf).any()
+    ref_scores, ref_npos = query_threshold_union(
+        jnp.asarray(idx.dict_table), jnp.asarray(bits), jnp.asarray(codes), k=K_LEN,
         num_colors=Cpad,
     )
     np.testing.assert_array_equal(np.asarray(scores), np.asarray(ref_scores))

@@ -56,15 +56,15 @@ def naive_window_csids(idx, read, k):
     if len(km) == 0:
         return out
     can = K.canonicalize(km, k)
-    uids = lookup_host(idx.dict_table, can)
-    hit = valid & (uids != INVALID)
-    out[hit] = idx.u2c_csid[uids[hit].astype(np.int64)]
+    vals = lookup_host(idx.dict_table, can)  # table values ARE csids
+    hit = valid & (vals != INVALID)
+    out[hit] = vals[hit]
     return out
 
 
 def test_window_csids_match_host(setup):
     idx, reads, codes, k = setup
-    hit, csid = map(np.asarray, query_window_csids(idx.dict_table, idx.u2c_csid, codes, k=k))
+    hit, csid = map(np.asarray, query_window_csids(idx.dict_table, codes, k=k))
     W = codes.shape[1] - k + 1
     for i, read in enumerate(reads):
         expect = naive_window_csids(idx, read, k)
@@ -77,13 +77,9 @@ def test_window_csids_match_host(setup):
 def test_full_intersection_matches_naive(setup):
     idx, reads, codes, k = setup
     cat, offs = idx.color_sets_decoded()
-    bits, nsets, ovf, hit = map(
-        np.asarray,
-        query_full_intersection(
-            idx.dict_table, idx.u2c_csid, idx.dense_color_bits(), codes, k=k, max_sets=32
-        ),
+    bits = np.asarray(
+        query_full_intersection(idx.dict_table, idx.dense_color_bits(), codes, k=k)
     )
-    assert not ovf.any()
     for i, read in enumerate(reads):
         csids = naive_window_csids(idx, read, k)
         distinct = np.unique(csids[csids != INVALID])
@@ -102,19 +98,12 @@ def test_full_intersection_matches_naive(setup):
 def test_threshold_union_matches_naive(setup, threshold):
     idx, reads, codes, k = setup
     cat, offs = idx.color_sets_decoded()
-    scores, npos, ovf, hit = map(
+    scores, npos = map(
         np.asarray,
         query_threshold_union(
-            idx.dict_table,
-            idx.u2c_csid,
-            idx.dense_color_bits(),
-            codes,
-            k=k,
-            max_sets=32,
-            num_colors=idx.num_colors,
+            idx.dict_table, idx.dense_color_bits(), codes, k=k, num_colors=idx.num_colors
         ),
     )
-    assert not ovf.any()
     for i, read in enumerate(reads):
         csids = naive_window_csids(idx, read, k)
         pos = csids[csids != INVALID]
@@ -133,16 +122,28 @@ def test_threshold_union_matches_naive(setup, threshold):
             np.testing.assert_array_equal(got, expect)
 
 
-def test_overflow_flag(setup):
+def test_compact_runs(setup):
+    """compact_runs (used by the mesh path) must cover every positive window
+    with duplicate-tolerant (csid, count) runs."""
+    from fulgor_tpu.ops.intersect import compact_runs
+    import jax.numpy as jnp
+
     idx, reads, codes, k = setup
-    bits, nsets, ovf, hit = map(
-        np.asarray,
-        query_full_intersection(
-            idx.dict_table, idx.u2c_csid, idx.dense_color_bits(), codes, k=k, max_sets=1
-        ),
+    hit, csid = map(
+        np.asarray, query_window_csids(idx.dict_table, codes, k=k)
     )
-    # with max_sets=1, any read touching >1 distinct set must flag overflow
-    for i, read in enumerate(reads):
-        csids = naive_window_csids(idx, read, k)
-        distinct = np.unique(csids[csids != INVALID])
-        assert bool(ovf[i]) == (len(distinct) > 1)
+    run_csid, run_cnt, ovf = map(
+        np.asarray, compact_runs(jnp.asarray(hit), jnp.asarray(csid), 16)
+    )
+    assert not ovf.any()
+    for i in range(len(reads)):
+        pos = csid[i][hit[i]]
+        # total multiplicity per csid matches
+        exp = {}
+        for s in pos:
+            exp[int(s)] = exp.get(int(s), 0) + 1
+        got = {}
+        for s, c in zip(run_csid[i], run_cnt[i]):
+            if s != INVALID:
+                got[int(s)] = got.get(int(s), 0) + int(c)
+        assert got == exp, f"read {i}"
