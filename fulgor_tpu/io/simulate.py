@@ -1,0 +1,73 @@
+"""Deterministic read simulation from reference FASTAs (bench + tests).
+
+The reference benchmarks with SRR801268 (real SRA reads); with no network
+egress we sample reads from the indexed genomes with a controlled error
+rate, which exercises the identical code paths (hits, misses, multi-color
+intersections)."""
+
+from __future__ import annotations
+
+import gzip
+
+import numpy as np
+
+from ..core import kmers as K
+
+
+def load_genome_codes(path: str) -> np.ndarray:
+    """Concatenated base codes of all records in a FASTA(.gz); records are
+    separated by a single invalid code so windows never span records."""
+    op = gzip.open if path.endswith(".gz") else open
+    chunks = []
+    with op(path, "rb") as f:
+        data = f.read()
+    for line in data.split(b"\n"):
+        if line.startswith(b">"):
+            chunks.append(np.array([4], dtype=np.uint8))
+        elif line:
+            chunks.append(K.seq_to_codes(line))
+    return np.concatenate(chunks) if chunks else np.empty(0, np.uint8)
+
+
+def simulate_reads(
+    genome_paths: list[str],
+    num_reads: int,
+    read_len: int = 150,
+    error_rate: float = 0.005,
+    unmapped_frac: float = 0.1,
+    seed: int = 0,
+):
+    """-> (codes (N, read_len) uint8, names list). Deterministic in seed."""
+    rng = np.random.default_rng(seed)
+    genomes = [load_genome_codes(p) for p in genome_paths]
+    out = np.empty((num_reads, read_len), dtype=np.uint8)
+    n_random = int(num_reads * unmapped_frac)
+    gsel = rng.integers(0, len(genomes), size=num_reads)
+    for i in range(num_reads):
+        if i < n_random:
+            out[i] = rng.integers(0, 4, size=read_len).astype(np.uint8)
+            continue
+        g = genomes[gsel[i]]
+        while True:
+            p = int(rng.integers(0, len(g) - read_len))
+            seg = g[p : p + read_len]
+            if (seg != 4).all():
+                break
+        seg = seg.copy()
+        nerr = rng.binomial(read_len, error_rate)
+        if nerr:
+            pos = rng.choice(read_len, size=nerr, replace=False)
+            seg[pos] = (seg[pos] + rng.integers(1, 4, size=nerr)) % 4
+        out[i] = seg
+    perm = rng.permutation(num_reads)
+    return out[perm], [f"sim.{i}" for i in range(num_reads)]
+
+
+def write_fastq(path: str, codes: np.ndarray, names: list[str]):
+    lut = np.frombuffer(b"ACGTN", dtype=np.uint8)
+    op = gzip.open if path.endswith(".gz") else open
+    with op(path, "wb") as f:
+        qual = b"I" * codes.shape[1]
+        for i, name in enumerate(names):
+            f.write(b"@" + name.encode() + b"\n")
+            f.write(lut[codes[i]].tobytes() + b"\n+\n" + qual + b"\n")

@@ -63,7 +63,7 @@ class QueryEngine:
             ridx = np.flatnonzero(assign == wi)
             for lo in range(0, len(ridx), self.batch):
                 sel = ridx[lo : lo + self.batch]
-                chunk = np.full((self.batch, Wd), 4, dtype=np.int32)
+                chunk = np.full((self.batch, Wd), 4, dtype=np.uint8)
                 take = codes[sel]
                 cols = min(Wd, take.shape[1])
                 chunk[: len(sel), :cols] = take[:, :cols]
@@ -183,7 +183,7 @@ class QueryEngine:
         codes, lens, _names = native.parse_reads(query_path)
         t_parse = time.perf_counter() - t0
         t0 = time.perf_counter()
-        results = self.pseudoalign_codes(codes.astype(np.int32), lens, threshold)
+        results = self.pseudoalign_codes(codes, lens, threshold)
         t_query = time.perf_counter() - t0
         t0 = time.perf_counter()
         fmtr = make_formatter(fmt, out_path, self.idx.num_colors)
@@ -218,7 +218,7 @@ class QueryEngine:
         from ..native import lib as native
 
         codes, lens, names = native.parse_reads(query_path)
-        per_read = self.window_csids_codes(codes.astype(np.int32), lens)
+        per_read = self.window_csids_codes(codes, lens)
         with open(out_path, "w", buffering=1 << 20) as f:
             for name, (hit, csid) in zip(names, per_read):
                 triples = conservation_runs(hit, csid)
@@ -237,7 +237,7 @@ class QueryEngine:
 
         cat, offs = self._cs_cache
         codes, lens, names = native.parse_reads(query_path)
-        per_read = self.window_csids_codes(codes.astype(np.int32), lens)
+        per_read = self.window_csids_codes(codes, lens)
         C = self.idx.num_colors
         with open(out_path, "w", buffering=1 << 20) as f:
             f.write(f"num_colors={C}\n")
