@@ -18,8 +18,8 @@ from __future__ import annotations
 import numpy as np
 
 from ..constants import KIND_HYBRID
-from ..core import hybrid
 from ..core import kmers as K
+from ..core.colorstores import HybridStore
 from ..index import Index
 
 
@@ -61,9 +61,9 @@ def assemble_index(
     cs_offs: np.ndarray,
 ) -> Index:
     table, num_kmers = build_kmer_dict(unitig_codes, unitig_offs, unitig_cs, k)
-    enc = hybrid.HybridEncoder(num_colors)
-    enc.add_sets(np.asarray(cs_colors, dtype=np.uint32), np.asarray(cs_offs))
-    stream, bit_offs = enc.finalize()
+    store = HybridStore.build(
+        np.asarray(cs_colors, dtype=np.uint32), np.asarray(cs_offs), num_colors
+    )
     return Index(
         kind=KIND_HYBRID,
         k=k,
@@ -75,8 +75,7 @@ def assemble_index(
         unitig_seq=K.pack2(unitig_codes),
         unitig_offs=np.asarray(unitig_offs, dtype=np.int64),
         u2c_csid=np.asarray(unitig_cs, dtype=np.uint32),
-        cs_stream=stream,
-        cs_bit_offs=bit_offs,
+        color_store=store,
     )
 
 

@@ -1,0 +1,219 @@
+"""Re-compression builders: hybrid -> meta / diff / meta-diff indexes.
+
+Reference L6 (include/builders/{meta,differential,meta_differential}_builder.hpp,
+tools/build.cpp:247-303 `fulgor color`). Pipeline per tier:
+
+  meta      permute COLORS: HLL sketch per color over the unitigs containing
+            it -> divisive k-means -> colors grouped by cluster (partitions);
+            sets re-expressed over permuted ids; filenames permuted to match.
+            Set ids / u2c / dictionary unchanged.
+  diff      cluster COLOR SETS: HLL sketch per set over its colors, sliced
+            by density quartiles, k-means per slice; majority representative
+            per cluster, symmetric-difference coding. Set ids stay stable
+            (we store an explicit set->cluster map instead of permuting sets
+            + unitigs + rebuilding the dictionary as the reference does —
+            the TPU container gathers, it does not rank).
+  meta_diff meta partitioning, then per-partition diff clustering of the
+            partial sets + partition-set dedup (core/colorstores.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..constants import KIND_DIFF, KIND_META, KIND_META_DIFF
+from ..core import sketch as SK
+from ..core.colorstores import DiffStore, MetaDiffStore, MetaStore
+from ..index import Index
+
+KMEANS_PARAMS = dict(min_delta=1e-4, max_iter=10, min_cluster_size=50, seed=0)
+DENSITY_SLICES = (0.0, 0.25, 0.5, 0.75, 1.0)  # differential_builder.hpp:14
+
+
+def sketch_colors_by_unitigs(idx: Index) -> np.ndarray:
+    """HLL per color over the unitig ids containing that color
+    (reference build_util.hpp:8-146). -> (num_colors, 2^p) uint8."""
+    cat, offs = idx.color_sets_decoded()
+    regs = np.zeros((idx.num_colors, 1 << SK.HLL_P), dtype=np.uint8)
+    # unitigs of set s: all unitigs with u2c == s; iterate sets, add unitig
+    # ids to each member color's sketch
+    u2c = idx.u2c_csid.astype(np.int64)
+    order = np.argsort(u2c, kind="stable")
+    sorted_cs = u2c[order]
+    starts = np.searchsorted(sorted_cs, np.arange(idx.num_color_sets))
+    ends = np.searchsorted(sorted_cs, np.arange(idx.num_color_sets), side="right")
+    for s in range(idx.num_color_sets):
+        unitigs = order[starts[s] : ends[s]].astype(np.uint64)
+        if len(unitigs) == 0:
+            continue
+        for c in cat[offs[s] : offs[s + 1]]:
+            SK.hll_add(regs[c], unitigs)
+    return regs
+
+
+def permute_colors(idx: Index):
+    """-> (perm new_id_of_old (C,), partition_bounds (P+1,)).
+
+    Reference permuter (meta_builder.hpp:14-124): cluster color sketches;
+    colors ordered by (cluster, old id); partitions = cluster extents."""
+    regs = sketch_colors_by_unitigs(idx)
+    labels = SK.kmeans_divisive(regs, **KMEANS_PARAMS)
+    order = np.lexsort((np.arange(idx.num_colors), labels))  # (cluster, old id)
+    perm = np.empty(idx.num_colors, dtype=np.int64)
+    perm[order] = np.arange(idx.num_colors)
+    sizes = np.bincount(labels[order])
+    bounds = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
+    return perm, bounds
+
+
+def _permuted_sets(idx: Index, perm: np.ndarray):
+    cat, offs = idx.color_sets_decoded()
+    new_cat = perm[cat.astype(np.int64)]
+    # re-sort within each set
+    out = np.empty_like(new_cat)
+    for i in range(len(offs) - 1):
+        out[offs[i] : offs[i + 1]] = np.sort(new_cat[offs[i] : offs[i + 1]])
+    return out.astype(np.uint32), offs
+
+
+def cluster_color_sets(cat, offs, num_colors) -> np.ndarray:
+    """Set clustering for diff coding (reference differential_permuter,
+    differential_builder.hpp:7-197): sketch each set (HLL over member
+    colors), slice by density, k-means per slice; labels globally unique."""
+    n = len(offs) - 1
+    sizes = (offs[1:] - offs[:-1]).astype(np.float64)
+    frac = sizes / max(1, num_colors)
+    labels = np.zeros(n, dtype=np.int64)
+    next_label = 0
+    for lo, hi in zip(DENSITY_SLICES[:-1], DENSITY_SLICES[1:]):
+        sel = np.flatnonzero((frac > lo) & (frac <= hi))
+        if len(sel) == 0:
+            continue
+        groups = [cat[offs[i] : offs[i + 1]].astype(np.uint64) for i in sel]
+        regs = SK.sketch_matrix(groups)
+        sub = SK.kmeans_divisive(regs, **KMEANS_PARAMS)
+        labels[sel] = sub.astype(np.int64) + next_label
+        next_label += int(sub.astype(np.int64).max()) + 1
+    return labels
+
+
+def meta_color(idx: Index) -> Index:
+    """hybrid -> meta: permuted colors + partitioned store; reuses the
+    dictionary / unitigs / u2c untouched (reference meta_builder.hpp:356-366)."""
+    perm, bounds = permute_colors(idx)
+    cat, offs = _permuted_sets(idx, perm)
+    store = MetaStore.build(cat, offs, idx.num_colors, bounds)
+    filenames = [idx.filenames[old] for old in np.argsort(perm)]
+    return Index(
+        kind=KIND_META,
+        k=idx.k,
+        m=idx.m,
+        num_kmers=idx.num_kmers,
+        num_colors=idx.num_colors,
+        filenames=filenames,
+        dict_table=idx.dict_table,
+        unitig_seq=idx.unitig_seq,
+        unitig_offs=idx.unitig_offs,
+        u2c_csid=idx.u2c_csid,
+        color_store=store,
+    )
+
+
+def diff_color(idx: Index) -> Index:
+    """hybrid -> differential: clustered sets, symmetric-diff coding."""
+    cat, offs = idx.color_sets_decoded()
+    labels = cluster_color_sets(cat, offs, idx.num_colors)
+    store = DiffStore.build(cat, offs, idx.num_colors, labels)
+    return Index(
+        kind=KIND_DIFF,
+        k=idx.k,
+        m=idx.m,
+        num_kmers=idx.num_kmers,
+        num_colors=idx.num_colors,
+        filenames=list(idx.filenames),
+        dict_table=idx.dict_table,
+        unitig_seq=idx.unitig_seq,
+        unitig_offs=idx.unitig_offs,
+        u2c_csid=idx.u2c_csid,
+        color_store=store,
+    )
+
+
+def meta_diff_color(idx: Index) -> Index:
+    """hybrid (or meta) -> meta-differential. If a meta index is given its
+    permutation is reused (reference builds .mdfur from .mfur,
+    tools/build.cpp:79-134)."""
+    if idx.kind == KIND_META:
+        cat, offs = idx.color_sets_decoded()  # already permuted space
+        bounds = idx.color_store.partition_bounds
+        filenames = list(idx.filenames)
+    else:
+        perm, bounds = permute_colors(idx)
+        cat, offs = _permuted_sets(idx, perm)
+        filenames = [idx.filenames[old] for old in np.argsort(perm)]
+
+    def cluster_fn(partial_lists, psize):
+        n = len(partial_lists)
+        if n == 0:
+            return np.arange(0), np.array([0, 0])
+        po = np.concatenate([[0], np.cumsum([len(x) for x in partial_lists])]).astype(
+            np.int64
+        )
+        pc = (
+            np.concatenate(partial_lists).astype(np.uint32)
+            if partial_lists
+            else np.empty(0, np.uint32)
+        )
+        labels = cluster_color_sets(pc, po, psize)
+        perm_l = np.lexsort((np.arange(n), labels))
+        sizes = np.bincount(labels[perm_l])
+        cl_offs = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
+        return perm_l, cl_offs
+
+    store = MetaDiffStore.build(cat, offs, idx.num_colors, bounds, cluster_fn)
+    return Index(
+        kind=KIND_META_DIFF,
+        k=idx.k,
+        m=idx.m,
+        num_kmers=idx.num_kmers,
+        num_colors=idx.num_colors,
+        filenames=filenames,
+        dict_table=idx.dict_table,
+        unitig_seq=idx.unitig_seq,
+        unitig_offs=idx.unitig_offs,
+        u2c_csid=idx.u2c_csid,
+        color_store=store,
+    )
+
+
+def convert(idx: Index, meta: bool, diff: bool) -> Index:
+    if meta and diff:
+        return meta_diff_color(idx)
+    if meta:
+        return meta_color(idx)
+    if diff:
+        return diff_color(idx)
+    raise ValueError("need --meta and/or --diff")
+
+
+def check_conversion(base: Index, converted: Index) -> bool:
+    """Cross-validate: every set of the converted index must equal the base
+    set modulo the color permutation (reference per-builder ::check)."""
+    bcat, boffs = base.color_sets_decoded()
+    ccat, coffs = converted.color_sets_decoded()
+    if converted.kind in (KIND_META, KIND_META_DIFF):
+        # recover permutation from filenames order
+        pos = {fn: i for i, fn in enumerate(converted.filenames)}
+        perm = np.array([pos[fn] for fn in base.filenames], dtype=np.int64)
+    else:
+        perm = np.arange(base.num_colors, dtype=np.int64)
+    if base.num_color_sets != converted.num_color_sets:
+        print("CHECK FAILED: set count mismatch")
+        return False
+    for s in range(base.num_color_sets):
+        b = np.sort(perm[bcat[boffs[s] : boffs[s + 1]].astype(np.int64)])
+        c = ccat[coffs[s] : coffs[s + 1]].astype(np.int64)
+        if len(b) != len(c) or (b != c).any():
+            print(f"CHECK FAILED: set {s} mismatch")
+            return False
+    return True

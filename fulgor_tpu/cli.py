@@ -1,9 +1,9 @@
 """fulgor-tpu command line (reference L8: tools/fulgor.cpp subcommands).
 
-Subcommand parity with the reference binary:
-  build, pseudoalign, kmer-conservation, kmer-matches, stats, check, verify,
-  print-filenames, dump, load  (color/permute arrive with the meta/diff
-  codecs). Flag names mirror the reference where meaningful.
+Subcommand parity with the reference binary (tools/fulgor.cpp:68-109):
+  build, color, permute, pseudoalign, kmer-conservation, kmer-matches,
+  stats, check, verify, print-filenames, dump, load.
+Flag names mirror the reference where meaningful.
 """
 
 from __future__ import annotations
@@ -121,10 +121,53 @@ def cmd_check(args):
 
     idx = _load_index(args.index_filename)
     ok = check_index(idx, verbose=args.verbose)
+    if ok and args.against:
+        from .build.color_builder import check_conversion
+
+        base = _load_index(args.against)
+        ok = check_conversion(base, idx)
     if ok:
         print("EVERYTHING OK!")
         return 0
     return 1
+
+
+def cmd_color(args):
+    from .build.color_builder import check_conversion, convert
+    from .constants import KIND_META
+
+    idx = _load_index(args.index_filename)
+    out_idx = convert(idx, meta=args.meta, diff=args.diff)
+    base = args.index_filename
+    for ext in EXT.values():
+        if base.endswith(ext):
+            base = base[: -len(ext)]
+    out_path = base + EXT[out_idx.kind]
+    out_idx.save(out_path)
+    print(f"index written to '{out_path}'")
+    if args.verbose:
+        out_idx.print_stats()
+    if args.check:
+        if not check_conversion(idx, out_idx):
+            return 1
+        print("EVERYTHING OK!")
+    return 0
+
+
+def cmd_permute(args):
+    """Write the reference filenames in permuted (clustered) order — used to
+    pre-sort inputs for better compression (reference tools/permute.cpp)."""
+    import numpy as np
+
+    from .build.color_builder import permute_colors
+
+    idx = _load_index(args.index_filename)
+    perm, _bounds = permute_colors(idx)
+    with open(args.output, "w") as f:
+        for old in np.argsort(perm):
+            f.write(idx.filenames[int(old)] + "\n")
+    print(f"permuted filenames written to '{args.output}'")
+    return 0
 
 
 def main(argv=None):
@@ -190,10 +233,26 @@ def main(argv=None):
     ld.add_argument("-m", dest="m", type=int, default=20)
     ld.set_defaults(fn=cmd_load)
 
-    ck = sub.add_parser("check", help="self-check an index")
+    ck = sub.add_parser("check", help="self-check an index (optionally vs a base index)")
     ck.add_argument("-i", dest="index_filename", required=True)
+    ck.add_argument("--against", dest="against", default=None,
+                    help="base index to cross-validate color sets against")
     ck.add_argument("--verbose", action="store_true")
     ck.set_defaults(fn=cmd_check)
+
+    co = sub.add_parser("color", help="re-compress an index (meta/diff/meta-diff)")
+    co.add_argument("-i", dest="index_filename", required=True)
+    co.add_argument("-d", dest="tmp_dir", default=".", help="(accepted for parity)")
+    co.add_argument("--meta", action="store_true")
+    co.add_argument("--diff", action="store_true")
+    co.add_argument("--check", action="store_true")
+    co.add_argument("--verbose", action="store_true")
+    co.set_defaults(fn=cmd_color)
+
+    pm = sub.add_parser("permute", help="write filenames in clustered order")
+    pm.add_argument("-i", dest="index_filename", required=True)
+    pm.add_argument("-o", dest="output", required=True)
+    pm.set_defaults(fn=cmd_permute)
 
     args = p.parse_args(argv)
     if getattr(args, "threshold", None) is not None and not (0.0 < args.threshold <= 1.0):

@@ -1,0 +1,759 @@
+"""Color-set stores: hybrid, meta, differential, meta-differential.
+
+Reference: include/color_sets/{hybrid,meta,differential,meta_differential}.hpp.
+
+Design difference vs the reference (TPU-first): the stores are SERIALIZATION
+tiers only. Queries always run on the dense bitset matrix built at load from
+`decode_all()`, so no per-codec iterator algebra exists on the query path
+(the reference's leapfrog/merge specializations per codec are CPU-isms).
+What each tier preserves is the reference's compression *structure*:
+
+  hybrid    per-set sparse/bitmap/complement encoding      (hybrid.py)
+  meta      colors permuted + partitioned; sets become lists of deduplicated
+            per-partition "partial sets"; partials hybrid-coded per partition
+  diff      sets permuted into clusters; per-cluster representative set;
+            each set stored as delta-coded symmetric difference vs rep
+  meta_diff meta structure whose partial sets are diff-coded per partition,
+            plus dedup of the partition-id lists ("partition sets")
+
+Color/set id permutations are APPLIED at build time: a meta store's decoded
+sets use permuted color ids (the caller permutes filenames to match —
+reference README.md:222-231), and a diff store's set ids are the permuted
+ones (the caller rewires u2c / the dictionary).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..constants import KIND_DIFF, KIND_HYBRID, KIND_META, KIND_META_DIFF
+from . import hybrid as H
+from .bitsx import BitReader, BitWriter, EliasFano, delta_patterns
+
+
+# --------------------------------------------------------------------------
+# shared helpers
+# --------------------------------------------------------------------------
+
+
+def _ef_arrays(prefix: str, values: np.ndarray, arrays: dict, extra: dict):
+    ef = EliasFano.encode(np.asarray(values, dtype=np.uint64))
+    arrays[prefix + "_low"] = ef.low_words
+    arrays[prefix + "_high"] = ef.high_words
+    extra[prefix] = {"n": ef.n, "u": ef.u, "l": ef.l}
+
+
+def _ef_decode(prefix: str, get, extra: dict) -> np.ndarray:
+    p = extra[prefix]
+    return EliasFano(get(prefix + "_low"), get(prefix + "_high"), p["n"], p["u"], p["l"]).decode_all()
+
+
+def encode_delta_lists(lists_cat: np.ndarray, offs: np.ndarray, headers: np.ndarray | None = None):
+    """Encode records [delta(header_0) .. delta(header_h) delta(n)
+    delta(first) delta(gap-1)...] -> (words u64, bit_offs u64 (n+1,)).
+
+    headers: optional (n_records, h) extra uint values per record.
+    """
+    n = len(offs) - 1
+    sizes = (offs[1:] - offs[:-1]).astype(np.int64)
+    w = BitWriter()
+    bit_offs = [0]
+    # vectorized: build global (pattern,len) item sequence
+    h = 0 if headers is None else headers.shape[1]
+    counts = sizes + 1 + h
+    item_offs = np.concatenate([[0], np.cumsum(counts)])
+    total = int(item_offs[-1])
+    pats = np.zeros(total, dtype=np.uint64)
+    lens = np.zeros(total, dtype=np.uint64)
+    if headers is not None:
+        for j in range(h):
+            p, l = delta_patterns(headers[:, j].astype(np.uint64))
+            pats[item_offs[:-1] + j] = p
+            lens[item_offs[:-1] + j] = l
+    p, l = delta_patterns(sizes.astype(np.uint64))
+    pats[item_offs[:-1] + h] = p
+    lens[item_offs[:-1] + h] = l
+    if len(lists_cat):
+        starts = offs[:-1].astype(np.int64)
+        vals = np.empty(len(lists_cat), dtype=np.uint64)
+        c = lists_cat.astype(np.int64)
+        vals[1:] = (c[1:] - c[:-1] - 1).astype(np.uint64)
+        nz = starts[sizes > 0]
+        vals[nz] = lists_cat[nz]
+        p, l = delta_patterns(vals)
+        within = np.arange(len(lists_cat)) - np.repeat(starts, sizes)
+        dest = np.repeat(item_offs[:-1], sizes) + h + 1 + within
+        pats[dest] = p
+        lens[dest] = l
+    w.append_patterns(pats, lens)
+    per_rec = np.add.reduceat(lens, item_offs[:-1]) if n else np.empty(0)
+    bit_offs = np.concatenate([[0], np.cumsum(per_rec)]).astype(np.uint64)
+    return w.finalize(), bit_offs
+
+
+def decode_delta_lists(words: np.ndarray, bit_offs: np.ndarray, num_headers: int = 0):
+    """Inverse of encode_delta_lists (native-accelerated when available).
+    -> (headers (n, num_headers) i64, cat u32, offs i64)."""
+    n = len(bit_offs) - 1
+    headers = np.zeros((n, num_headers), dtype=np.int64)
+    sizes = np.zeros(n, dtype=np.int64)
+    chunks = []
+    for i in range(n):
+        r = BitReader(words, int(bit_offs[i]))
+        for j in range(num_headers):
+            headers[i, j] = r.read_delta()
+        sz = r.read_delta()
+        sizes[i] = sz
+        vals = np.empty(sz, dtype=np.uint32)
+        prev = -1
+        for t in range(sz):
+            d = r.read_delta()
+            prev = d if t == 0 else prev + 1 + d
+            vals[t] = prev
+        chunks.append(vals)
+    offs = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
+    cat = np.concatenate(chunks).astype(np.uint32) if chunks else np.empty(0, np.uint32)
+    return headers, cat, offs
+
+
+# --------------------------------------------------------------------------
+# hybrid
+# --------------------------------------------------------------------------
+
+
+class HybridStore:
+    kind = KIND_HYBRID
+
+    def __init__(self, num_colors: int, stream: np.ndarray, bit_offs: np.ndarray):
+        self.num_colors = int(num_colors)
+        self.stream = stream
+        self.bit_offs = bit_offs
+
+    @classmethod
+    def build(cls, cat: np.ndarray, offs: np.ndarray, num_colors: int) -> "HybridStore":
+        enc = H.HybridEncoder(num_colors)
+        enc.add_sets(np.asarray(cat, dtype=np.uint32), np.asarray(offs))
+        stream, bit_offs = enc.finalize()
+        return cls(num_colors, stream, bit_offs)
+
+    @property
+    def num_color_sets(self) -> int:
+        return len(self.bit_offs) - 1
+
+    def decode_all(self):
+        return H.decode_all(self.stream, self.bit_offs, self.num_colors)
+
+    def decode_set(self, sid: int) -> np.ndarray:
+        return H.decode_set(self.stream, self.bit_offs[sid], self.num_colors)
+
+    def arrays(self):
+        arrays = {"cs_stream": self.stream}
+        extra = {"num_colors": self.num_colors}
+        _ef_arrays("cs_offs", self.bit_offs, arrays, extra)
+        return arrays, extra
+
+    @classmethod
+    def from_arrays(cls, extra, get):
+        return cls(extra["num_colors"], get("cs_stream"), _ef_decode("cs_offs", get, extra))
+
+    def num_bytes(self) -> int:
+        return int(self.stream.nbytes + EliasFano.encode(self.bit_offs).num_bytes())
+
+    def stats(self) -> dict:
+        sizes = np.array([H.decode_set_size(self.stream, o) for o in self.bit_offs[:-1]])
+        kinds = H.encoding_kinds(sizes, self.num_colors)
+        return {
+            "sets": {
+                "sparse": int((kinds == 0).sum()),
+                "bitmap": int((kinds == 1).sum()),
+                "complement": int((kinds == 2).sum()),
+            }
+        }
+
+
+# --------------------------------------------------------------------------
+# meta
+# --------------------------------------------------------------------------
+
+
+class MetaStore:
+    """Colors permuted into P contiguous partitions; every set = union of
+    per-partition partial sets, interned per partition and hybrid-coded in
+    partition-relative color space; meta lists are fixed-width global
+    partial ids (reference include/color_sets/meta.hpp)."""
+
+    kind = KIND_META
+
+    def __init__(
+        self,
+        num_colors,
+        partition_bounds,  # (P+1,) i64 lower color bound per partition (permuted space)
+        partial_stores,  # list[HybridStore] (relative colors)
+        partial_base,  # (P+1,) i64 global partial-id base per partition
+        meta_stream,  # packed fixed-width global partial ids
+        meta_offs,  # (S+1,) element offsets into meta_stream
+        id_width,
+    ):
+        self.num_colors = int(num_colors)
+        self.partition_bounds = partition_bounds
+        self.partial_stores = partial_stores
+        self.partial_base = partial_base
+        self.meta_stream = meta_stream
+        self.meta_offs = meta_offs
+        self.id_width = int(id_width)
+
+    @classmethod
+    def build(cls, cat, offs, num_colors, partition_bounds) -> "MetaStore":
+        """cat/offs: sets with colors ALREADY permuted (sorted per set)."""
+        P = len(partition_bounds) - 1
+        n = len(offs) - 1
+        part_of_color = (
+            np.searchsorted(partition_bounds, np.arange(num_colors), side="right") - 1
+        )
+        interned: list[dict] = [dict() for _ in range(P)]
+        partial_lists: list[list[np.ndarray]] = [[] for _ in range(P)]
+        meta_ids = []
+        meta_counts = np.zeros(n, dtype=np.int64)
+        for i in range(n):
+            s = cat[offs[i] : offs[i + 1]].astype(np.int64)
+            parts = part_of_color[s]
+            ids = []
+            for p in np.unique(parts):
+                rel = (s[parts == p] - partition_bounds[p]).astype(np.uint32)
+                key = rel.tobytes()
+                d = interned[p]
+                lid = d.get(key)
+                if lid is None:
+                    lid = len(partial_lists[p])
+                    d[key] = lid
+                    partial_lists[p].append(rel)
+                ids.append((int(p), lid))
+            meta_counts[i] = len(ids)
+            meta_ids.append(ids)
+        partial_base = np.zeros(P + 1, dtype=np.int64)
+        for p in range(P):
+            partial_base[p + 1] = partial_base[p] + len(partial_lists[p])
+        total_partials = int(partial_base[-1])
+        id_width = max(1, int(total_partials - 1).bit_length())
+        w = BitWriter()
+        flat = []
+        for ids in meta_ids:
+            for p, lid in ids:
+                flat.append(partial_base[p] + lid)
+        w.append_fixed(np.array(flat, dtype=np.uint64), id_width)
+        meta_offs = np.concatenate([[0], np.cumsum(meta_counts)]).astype(np.int64)
+        stores = []
+        for p in range(P):
+            psize = int(partition_bounds[p + 1] - partition_bounds[p])
+            lists = partial_lists[p]
+            po = np.concatenate([[0], np.cumsum([len(x) for x in lists])]).astype(np.int64)
+            pc = (
+                np.concatenate(lists).astype(np.uint32) if lists else np.empty(0, np.uint32)
+            )
+            stores.append(HybridStore.build(pc, po, psize))
+        return cls(
+            num_colors,
+            np.asarray(partition_bounds, dtype=np.int64),
+            stores,
+            partial_base,
+            w.finalize(),
+            meta_offs,
+            id_width,
+        )
+
+    @property
+    def num_color_sets(self) -> int:
+        return len(self.meta_offs) - 1
+
+    def _meta_ids(self) -> np.ndarray:
+        """All meta lists unpacked -> flat global partial ids (int64)."""
+        total = int(self.meta_offs[-1])
+        if total == 0:
+            return np.empty(0, dtype=np.int64)
+        pos = np.arange(total, dtype=np.uint64) * np.uint64(self.id_width)
+        widx = (pos >> np.uint64(6)).astype(np.int64)
+        sh = pos & np.uint64(63)
+        w = self.meta_stream
+        lo = w[widx] >> sh
+        spill = (sh + np.uint64(self.id_width)) > np.uint64(64)
+        nxt = np.minimum(widx + 1, len(w) - 1)
+        hi = np.where(spill, w[nxt] << (np.uint64(64) - np.maximum(sh, np.uint64(1))), 0).astype(
+            np.uint64
+        )
+        mask = np.uint64((1 << self.id_width) - 1)
+        return ((lo | hi) & mask).astype(np.int64)
+
+    def decode_all(self):
+        # decode every partition's partials once (absolute color space)
+        pcat_all, poffs_all, psizes_all = [], [], []
+        base_off = 0
+        offs_per_store = []
+        for p, st in enumerate(self.partial_stores):
+            c, o = st.decode_all()
+            pcat_all.append(c.astype(np.int64) + int(self.partition_bounds[p]))
+            offs_per_store.append(o)
+        # global partial table
+        sizes = np.concatenate(
+            [o[1:] - o[:-1] for o in offs_per_store]
+        ) if offs_per_store else np.empty(0, np.int64)
+        gcat = np.concatenate(pcat_all) if pcat_all else np.empty(0, np.int64)
+        goffs = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
+        ids = self._meta_ids()
+        id_sizes = sizes[ids] if len(ids) else np.empty(0, np.int64)
+        # expand: for each meta element, copy its partial's colors
+        reps = np.repeat(goffs[ids], id_sizes) if len(ids) else np.empty(0, np.int64)
+        within_start = np.concatenate([[0], np.cumsum(id_sizes)])[:-1]
+        within = np.arange(int(id_sizes.sum())) - np.repeat(within_start, id_sizes)
+        cat = gcat[reps + within].astype(np.uint32)
+        # set offsets: sum partial sizes per set
+        set_sizes = np.add.reduceat(
+            id_sizes, self.meta_offs[:-1]
+        ) if self.num_color_sets else np.empty(0, np.int64)
+        set_sizes = np.where(
+            (self.meta_offs[1:] - self.meta_offs[:-1]) == 0, 0, set_sizes
+        )
+        offs = np.concatenate([[0], np.cumsum(set_sizes)]).astype(np.int64)
+        return cat, offs
+
+    def arrays(self):
+        arrays = {
+            "meta_stream": self.meta_stream,
+            "partition_bounds": self.partition_bounds.astype(np.int64),
+            "partial_base": self.partial_base.astype(np.int64),
+        }
+        extra = {
+            "num_colors": self.num_colors,
+            "id_width": self.id_width,
+            "num_partitions": len(self.partial_stores),
+        }
+        _ef_arrays("meta_offs", self.meta_offs, arrays, extra)
+        for p, st in enumerate(self.partial_stores):
+            a, e = st.arrays()
+            for k, v in a.items():
+                arrays[f"p{p}_{k}"] = v
+            extra[f"p{p}"] = e
+        return arrays, extra
+
+    @classmethod
+    def from_arrays(cls, extra, get):
+        P = extra["num_partitions"]
+        stores = []
+        for p in range(P):
+            e = extra[f"p{p}"]
+            stores.append(
+                HybridStore.from_arrays(
+                    e, lambda name, p=p: get(f"p{p}_{name}")
+                )
+            )
+        return cls(
+            extra["num_colors"],
+            get("partition_bounds"),
+            stores,
+            get("partial_base"),
+            get("meta_stream"),
+            _ef_decode("meta_offs", get, extra).astype(np.int64),
+            extra["id_width"],
+        )
+
+    def num_bytes(self) -> int:
+        n = self.meta_stream.nbytes + self.partition_bounds.nbytes + self.partial_base.nbytes
+        n += EliasFano.encode(self.meta_offs.astype(np.uint64)).num_bytes()
+        for st in self.partial_stores:
+            n += st.num_bytes()
+        return int(n)
+
+    def stats(self) -> dict:
+        return {
+            "partitions": len(self.partial_stores),
+            "partials": int(self.partial_base[-1]),
+            "meta_ints": int(self.meta_offs[-1]),
+        }
+
+
+# --------------------------------------------------------------------------
+# differential
+# --------------------------------------------------------------------------
+
+
+class DiffStore:
+    """Sets grouped into clusters; one representative per cluster (majority
+    colors); each set = delta-coded symmetric difference vs its cluster's
+    representative (reference include/color_sets/differential.hpp).
+
+    Design difference: the reference permutes set ids so cluster members are
+    contiguous and maps set->cluster with a bitmap+rank; we keep set ids
+    stable and store an explicit fixed-width set->cluster map (no unitig
+    permutation / dictionary rebuild needed; the map costs
+    ceil(log2 n_clusters) bits/set)."""
+
+    kind = KIND_DIFF
+
+    def __init__(self, num_colors, n_clusters, cluster_map, map_width,
+                 rep_stream, rep_offs, diff_stream, diff_offs):
+        self.num_colors = int(num_colors)
+        self.n_clusters = int(n_clusters)
+        self.cluster_map = cluster_map  # packed fixed-width words
+        self.map_width = int(map_width)
+        self.rep_stream = rep_stream
+        self.rep_offs = rep_offs
+        self.diff_stream = diff_stream
+        self.diff_offs = diff_offs
+
+    @staticmethod
+    def representative(cat, offs, sids, num_colors) -> np.ndarray:
+        """Majority colors (freq >= ceil(g/2)) of the given set ids
+        (reference differential_builder.hpp:289-292)."""
+        g = len(sids)
+        freq = np.zeros(num_colors, dtype=np.int64)
+        for s in sids:
+            freq[cat[offs[s] : offs[s + 1]].astype(np.int64)] += 1
+        return np.flatnonzero(freq >= (g + 1) // 2).astype(np.uint32)
+
+    @staticmethod
+    def _pack_fixed(vals: np.ndarray, width: int) -> np.ndarray:
+        w = BitWriter()
+        w.append_fixed(np.asarray(vals, dtype=np.uint64), width)
+        return w.finalize()
+
+    @staticmethod
+    def _unpack_fixed(words: np.ndarray, n: int, width: int) -> np.ndarray:
+        pos = np.arange(n, dtype=np.uint64) * np.uint64(width)
+        widx = (pos >> np.uint64(6)).astype(np.int64)
+        sh = pos & np.uint64(63)
+        lo = words[widx] >> sh
+        spill = (sh + np.uint64(width)) > np.uint64(64)
+        nxt = np.minimum(widx + 1, len(words) - 1)
+        hi = np.where(
+            spill, words[nxt] << (np.uint64(64) - np.maximum(sh, np.uint64(1))), 0
+        ).astype(np.uint64)
+        return ((lo | hi) & np.uint64((1 << width) - 1)).astype(np.int64)
+
+    @classmethod
+    def build(cls, cat, offs, num_colors, cluster_labels) -> "DiffStore":
+        """cluster_labels: (n_sets,) cluster id per set (any order)."""
+        n = len(offs) - 1
+        labels = np.asarray(cluster_labels, dtype=np.int64)
+        ncl = int(labels.max()) + 1 if n else 0
+        reps = []
+        rep_masks = []
+        for c in range(ncl):
+            sids = np.flatnonzero(labels == c)
+            rep = cls.representative(cat, offs, sids, num_colors)
+            reps.append(rep)
+            m = np.zeros(num_colors, dtype=bool)
+            m[rep.astype(np.int64)] = True
+            rep_masks.append(m)
+        diffs = []
+        sizes = np.zeros(n, dtype=np.int64)
+        for s in range(n):
+            colors = cat[offs[s] : offs[s + 1]].astype(np.int64)
+            m = np.zeros(num_colors, dtype=bool)
+            m[colors] = True
+            d = np.flatnonzero(m ^ rep_masks[labels[s]]).astype(np.uint32)
+            diffs.append(d)
+            sizes[s] = len(colors)
+        rep_offs_sets = np.concatenate([[0], np.cumsum([len(r) for r in reps])]).astype(np.int64)
+        rep_cat = np.concatenate(reps).astype(np.uint32) if reps else np.empty(0, np.uint32)
+        rep_stream, rep_bits = encode_delta_lists(rep_cat, rep_offs_sets)
+        d_offs = np.concatenate([[0], np.cumsum([len(d) for d in diffs])]).astype(np.int64)
+        d_cat = np.concatenate(diffs).astype(np.uint32) if diffs else np.empty(0, np.uint32)
+        diff_stream, diff_bits = encode_delta_lists(d_cat, d_offs, headers=sizes[:, None])
+        width = max(1, int(max(0, ncl - 1)).bit_length())
+        return cls(
+            num_colors, ncl, cls._pack_fixed(labels, width), width,
+            rep_stream, rep_bits, diff_stream, diff_bits,
+        )
+
+    @property
+    def num_color_sets(self) -> int:
+        return len(self.diff_offs) - 1
+
+    def cluster_of(self) -> np.ndarray:
+        return self._unpack_fixed(self.cluster_map, self.num_color_sets, self.map_width)
+
+    def decode_all(self):
+        _, rep_cat, rep_offs = decode_delta_lists(self.rep_stream, self.rep_offs)
+        headers, d_cat, d_offs = decode_delta_lists(self.diff_stream, self.diff_offs, 1)
+        n = self.num_color_sets
+        cluster_of = self.cluster_of()
+        chunks = []
+        sizes = np.zeros(n, dtype=np.int64)
+        for s in range(n):
+            c = cluster_of[s]
+            rep = rep_cat[rep_offs[c] : rep_offs[c + 1]]
+            d = d_cat[d_offs[s] : d_offs[s + 1]]
+            out = np.setxor1d(rep, d)
+            chunks.append(out.astype(np.uint32))
+            sizes[s] = len(out)
+            assert sizes[s] == headers[s, 0], "diff decode size mismatch"
+        offs = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
+        cat = np.concatenate(chunks).astype(np.uint32) if chunks else np.empty(0, np.uint32)
+        return cat, offs
+
+    def arrays(self):
+        arrays = {
+            "rep_stream": self.rep_stream,
+            "diff_stream": self.diff_stream,
+            "cluster_map": self.cluster_map,
+        }
+        extra = {
+            "num_colors": self.num_colors,
+            "n_clusters": self.n_clusters,
+            "map_width": self.map_width,
+            "n_sets": self.num_color_sets,
+        }
+        _ef_arrays("rep_offs", self.rep_offs, arrays, extra)
+        _ef_arrays("diff_offs", self.diff_offs, arrays, extra)
+        return arrays, extra
+
+    @classmethod
+    def from_arrays(cls, extra, get):
+        return cls(
+            extra["num_colors"],
+            extra["n_clusters"],
+            get("cluster_map"),
+            extra["map_width"],
+            get("rep_stream"),
+            _ef_decode("rep_offs", get, extra),
+            get("diff_stream"),
+            _ef_decode("diff_offs", get, extra),
+        )
+
+    def num_bytes(self) -> int:
+        return int(
+            self.rep_stream.nbytes
+            + self.diff_stream.nbytes
+            + self.cluster_map.nbytes
+            + EliasFano.encode(self.rep_offs).num_bytes()
+            + EliasFano.encode(self.diff_offs).num_bytes()
+        )
+
+    def stats(self) -> dict:
+        return {"clusters": self.n_clusters}
+
+
+# --------------------------------------------------------------------------
+# meta-differential
+# --------------------------------------------------------------------------
+
+
+class MetaDiffStore:
+    """Meta structure whose per-partition partial sets are diff-coded, with
+    the partition-id list of each meta set deduplicated ("partition sets",
+    reference include/color_sets/meta_differential.hpp)."""
+
+    kind = KIND_META_DIFF
+
+    def __init__(
+        self,
+        num_colors,
+        partition_bounds,
+        partial_stores,  # list[DiffStore] in partition-relative space
+        ps_stream,  # partition-set lists (delta-coded partition ids)
+        ps_offs,
+        meta_stream,  # per set: fixed-width psid + per-partition local ids
+        meta_bit_offs,
+        psid_width,
+        local_widths,  # (P,) bits per partition local id
+    ):
+        self.num_colors = int(num_colors)
+        self.partition_bounds = partition_bounds
+        self.partial_stores = partial_stores
+        self.ps_stream = ps_stream
+        self.ps_offs = ps_offs
+        self.meta_stream = meta_stream
+        self.meta_bit_offs = meta_bit_offs
+        self.psid_width = int(psid_width)
+        self.local_widths = local_widths
+
+    @classmethod
+    def build(cls, cat, offs, num_colors, partition_bounds, partial_cluster_fn):
+        """partial_cluster_fn(partial_lists, psize) -> (perm, cluster_offs)
+        clusters a partition's partial sets for diff coding (identity
+        permutation is valid)."""
+        P = len(partition_bounds) - 1
+        n = len(offs) - 1
+        part_of_color = (
+            np.searchsorted(partition_bounds, np.arange(num_colors), side="right") - 1
+        )
+        interned: list[dict] = [dict() for _ in range(P)]
+        partial_lists: list[list[np.ndarray]] = [[] for _ in range(P)]
+        per_set: list[list[tuple[int, int]]] = []
+        for i in range(n):
+            s = cat[offs[i] : offs[i + 1]].astype(np.int64)
+            parts = part_of_color[s]
+            ids = []
+            for p in np.unique(parts):
+                rel = (s[parts == p] - partition_bounds[p]).astype(np.uint32)
+                key = rel.tobytes()
+                d = interned[p]
+                lid = d.get(key)
+                if lid is None:
+                    lid = len(partial_lists[p])
+                    d[key] = lid
+                    partial_lists[p].append(rel)
+                ids.append((int(p), lid))
+            per_set.append(ids)
+
+        # per-partition diff stores over (permuted) partials
+        stores = []
+        lid_remap = []  # old local id -> new local id per partition
+        for p in range(P):
+            psize = int(partition_bounds[p + 1] - partition_bounds[p])
+            lists = partial_lists[p]
+            perm, cluster_offs = partial_cluster_fn(lists, psize)
+            remap = np.empty(len(lists), dtype=np.int64)
+            remap[perm] = np.arange(len(lists))
+            lid_remap.append(remap)
+            plists = [lists[j] for j in perm]
+            po = np.concatenate([[0], np.cumsum([len(x) for x in plists])]).astype(np.int64)
+            pc = (
+                np.concatenate(plists).astype(np.uint32)
+                if plists
+                else np.empty(0, np.uint32)
+            )
+            labels = (
+                np.searchsorted(cluster_offs, np.arange(len(plists)), side="right") - 1
+            )
+            stores.append(DiffStore.build(pc, po, psize, labels))
+
+        # partition sets: dedup partition-id lists
+        ps_intern: dict[bytes, int] = {}
+        ps_lists: list[np.ndarray] = []
+        psid_per_set = np.zeros(n, dtype=np.int64)
+        for i, ids in enumerate(per_set):
+            plist = np.array([p for p, _ in ids], dtype=np.uint32)
+            key = plist.tobytes()
+            v = ps_intern.get(key)
+            if v is None:
+                v = len(ps_lists)
+                ps_intern[key] = v
+                ps_lists.append(plist)
+            psid_per_set[i] = v
+        ps_o = np.concatenate([[0], np.cumsum([len(x) for x in ps_lists])]).astype(np.int64)
+        ps_c = (
+            np.concatenate(ps_lists).astype(np.uint32) if ps_lists else np.empty(0, np.uint32)
+        )
+        ps_stream, ps_offs = encode_delta_lists(ps_c, ps_o)
+
+        local_widths = np.array(
+            [max(1, int(max(0, len(partial_lists[p]) - 1)).bit_length()) for p in range(P)],
+            dtype=np.int64,
+        )
+        psid_width = max(1, int(max(0, len(ps_lists) - 1)).bit_length())
+        w = BitWriter()
+        bit_offs = [0]
+        for i, ids in enumerate(per_set):
+            w.append_fixed(np.array([psid_per_set[i]], dtype=np.uint64), psid_width)
+            for p, lid in ids:
+                w.append_fixed(
+                    np.array([lid_remap[p][lid]], dtype=np.uint64), int(local_widths[p])
+                )
+            bit_offs.append(w.num_bits)
+        return cls(
+            num_colors,
+            np.asarray(partition_bounds, dtype=np.int64),
+            stores,
+            ps_stream,
+            ps_offs,
+            w.finalize(),
+            np.array(bit_offs, dtype=np.uint64),
+            psid_width,
+            local_widths,
+        )
+
+    @property
+    def num_color_sets(self) -> int:
+        return len(self.meta_bit_offs) - 1
+
+    def decode_all(self):
+        _, ps_cat, ps_o = decode_delta_lists(self.ps_stream, self.ps_offs)
+        decoded = []
+        for p, st in enumerate(self.partial_stores):
+            c, o = st.decode_all()
+            decoded.append((c.astype(np.int64) + int(self.partition_bounds[p]), o))
+        n = self.num_color_sets
+        chunks = []
+        sizes = np.zeros(n, dtype=np.int64)
+        for i in range(n):
+            r = BitReader(self.meta_stream, int(self.meta_bit_offs[i]))
+            psid = r.read_bits(self.psid_width)
+            plist = ps_cat[ps_o[psid] : ps_o[psid + 1]]
+            parts = []
+            for p in plist:
+                lid = r.read_bits(int(self.local_widths[p]))
+                c, o = decoded[p]
+                parts.append(c[o[lid] : o[lid + 1]])
+            out = np.concatenate(parts) if parts else np.empty(0, np.int64)
+            chunks.append(out.astype(np.uint32))
+            sizes[i] = len(out)
+        offs = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
+        cat = np.concatenate(chunks).astype(np.uint32) if chunks else np.empty(0, np.uint32)
+        return cat, offs
+
+    def arrays(self):
+        arrays = {
+            "ps_stream": self.ps_stream,
+            "meta_stream": self.meta_stream,
+            "partition_bounds": self.partition_bounds.astype(np.int64),
+            "local_widths": self.local_widths.astype(np.int64),
+        }
+        extra = {
+            "num_colors": self.num_colors,
+            "psid_width": self.psid_width,
+            "num_partitions": len(self.partial_stores),
+        }
+        _ef_arrays("ps_offs", self.ps_offs, arrays, extra)
+        _ef_arrays("meta_bit_offs", self.meta_bit_offs, arrays, extra)
+        for p, st in enumerate(self.partial_stores):
+            a, e = st.arrays()
+            for k, v in a.items():
+                arrays[f"p{p}_{k}"] = v
+            extra[f"p{p}"] = e
+        return arrays, extra
+
+    @classmethod
+    def from_arrays(cls, extra, get):
+        P = extra["num_partitions"]
+        stores = [
+            DiffStore.from_arrays(extra[f"p{p}"], lambda name, p=p: get(f"p{p}_{name}"))
+            for p in range(P)
+        ]
+        return cls(
+            extra["num_colors"],
+            get("partition_bounds"),
+            stores,
+            get("ps_stream"),
+            _ef_decode("ps_offs", get, extra),
+            get("meta_stream"),
+            _ef_decode("meta_bit_offs", get, extra),
+            extra["psid_width"],
+            get("local_widths"),
+        )
+
+    def num_bytes(self) -> int:
+        n = (
+            self.ps_stream.nbytes
+            + self.meta_stream.nbytes
+            + self.partition_bounds.nbytes
+            + self.local_widths.nbytes
+            + EliasFano.encode(self.ps_offs).num_bytes()
+            + EliasFano.encode(self.meta_bit_offs).num_bytes()
+        )
+        for st in self.partial_stores:
+            n += st.num_bytes()
+        return int(n)
+
+    def stats(self) -> dict:
+        return {
+            "partitions": len(self.partial_stores),
+            "partition_sets": len(self.ps_offs) - 1,
+        }
+
+
+STORE_CLASSES = {
+    KIND_HYBRID: HybridStore,
+    KIND_META: MetaStore,
+    KIND_DIFF: DiffStore,
+    KIND_META_DIFF: MetaDiffStore,
+}

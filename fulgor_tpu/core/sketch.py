@@ -1,0 +1,125 @@
+"""HyperLogLog sketches + divisive k-means (build-time clustering).
+
+Replaces the reference's dnbaker/sketch (hll_t) and jermp/kmeans submodules
+(use-sites: include/build_util.hpp:8-253, builders/meta_builder.hpp:14-124,
+builders/differential_builder.hpp:7-197). Only the clustering *quality*
+affects the reference's behavior (compression ratio); correctness never
+depends on it, so the algorithms here are deterministic re-implementations,
+not ports: an HLL with p-bit register indexing and a bisecting k-means over
+register vectors (seeded, largest-cluster-first splits).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+HLL_P = 10  # 2^10 registers (reference: p=10, meta_builder.hpp:24)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    z = x
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def hll_add(registers: np.ndarray, values: np.ndarray):
+    """Add uint64 values into a (2^p,) uint8 register array (in place)."""
+    h = _splitmix64(np.asarray(values, dtype=np.uint64))
+    idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rest = (h << np.uint64(HLL_P)) | np.uint64((1 << HLL_P) - 1)
+    # rank = leading zeros of rest + 1  (rest has low bits forced to 1)
+    lz = (63 - np.floor(np.log2(rest.astype(np.float64) + 0.0))).astype(np.int64)
+    rank = (lz + 1).astype(np.uint8)
+    np.maximum.at(registers, idx, rank)
+
+
+def hll_sketch(values: np.ndarray) -> np.ndarray:
+    regs = np.zeros(1 << HLL_P, dtype=np.uint8)
+    hll_add(regs, values)
+    return regs
+
+
+def sketch_matrix(groups: list[np.ndarray]) -> np.ndarray:
+    """One HLL per group of uint64 values -> (n, 2^p) uint8."""
+    out = np.zeros((len(groups), 1 << HLL_P), dtype=np.uint8)
+    for i, vals in enumerate(groups):
+        if len(vals):
+            hll_add(out[i], vals)
+    return out
+
+
+def kmeans_divisive(
+    points: np.ndarray,
+    min_delta: float = 1e-4,
+    max_iter: int = 10,
+    min_cluster_size: int = 50,
+    seed: int = 0,
+) -> np.ndarray:
+    """Bisecting k-means over float-converted rows -> cluster label per row.
+
+    Deterministic: fixed seed, largest-cluster-first split order, split
+    accepted only if it reduces within-cluster SSE by > min_delta
+    (relative). Parameters mirror the reference's clustering_parameters
+    (meta_builder.hpp:56-64)."""
+    n = len(points)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint32)
+    X = points.astype(np.float32)
+    rng = np.random.default_rng(seed)
+    labels = np.zeros(n, dtype=np.uint32)
+    next_label = 1
+
+    def sse(idx):
+        if len(idx) == 0:
+            return 0.0
+        c = X[idx].mean(axis=0)
+        return float(((X[idx] - c) ** 2).sum())
+
+    # queue of clusters to consider splitting, largest first
+    work = [np.arange(n)]
+    while work:
+        work.sort(key=len, reverse=True)
+        idx = work.pop(0)
+        if len(idx) <= min_cluster_size:
+            continue
+        base = sse(idx)
+        if base <= 0:
+            continue
+        # 2-means on this cluster
+        sub = X[idx]
+        c0 = sub[int(rng.integers(len(sub)))]
+        d = ((sub - c0) ** 2).sum(axis=1)
+        c1 = sub[int(np.argmax(d))]
+        cent = np.stack([c0, c1])
+        assign = None
+        for _ in range(max_iter):
+            d0 = ((sub - cent[0]) ** 2).sum(axis=1)
+            d1 = ((sub - cent[1]) ** 2).sum(axis=1)
+            new_assign = (d1 < d0).astype(np.int32)
+            if assign is not None and (new_assign == assign).all():
+                break
+            assign = new_assign
+            for j in (0, 1):
+                sel = sub[assign == j]
+                if len(sel):
+                    cent[j] = sel.mean(axis=0)
+        part0 = idx[assign == 0]
+        part1 = idx[assign == 1]
+        if len(part0) == 0 or len(part1) == 0:
+            continue
+        new_sse = sse(part0) + sse(part1)
+        if base - new_sse <= min_delta * base:
+            continue
+        labels[part1] = next_label
+        next_label += 1
+        work.append(part0)
+        work.append(part1)
+
+    # compact labels to 0..k-1 in first-appearance order
+    uniq, first = np.unique(labels, return_index=True)
+    order = uniq[np.argsort(first)]
+    remap = np.zeros(labels.max() + 1, dtype=np.uint32)
+    remap[order] = np.arange(len(order), dtype=np.uint32)
+    return remap[labels]

@@ -3,18 +3,20 @@
 Composition (hybrid kind; meta/diff variants layer on the color-set store):
 
     k-mer dictionary : bucketed cuckoo table (nb, 12) uint32 rows
-                       [key_lo x4 | key_hi x4 | unitig_id x4]; empty slot has
-                       key_hi == 0xFFFFFFFF. Replaces SSHash lookup; the
-                       device probes it with 2 gathers/k-mer (ops/lookup.py).
+                       [key_lo x4 | key_hi x4 | color_set_id x4]; empty slot
+                       has key_hi == 0xFFFFFFFF. Replaces SSHash lookup with
+                       u2c folded in; the device probes it with 2 gathers per
+                       k-mer (ops/lookup.py).
     unitig text      : concatenated 2-bit packed bases + base offsets
                        (replaces SSHash's packed contigs; used by dump()/
                        check tooling, not by the query hot path).
     u2c              : dense uint32 unitig_id -> color_set_id (the reference
                        stores a boundary bitmap + rank9 — a CPU-ism; dense
                        gather is the TPU layout).
-    color sets       : hybrid codec stream + Elias-Fano bit offsets
-                       (core/hybrid.py); expanded at load into a dense
-                       bitset matrix (num_sets, ceil(C/32)) for the device.
+    color sets       : one of four stores (core/colorstores.py: hybrid /
+                       meta / diff / meta-diff); expanded at load into a
+                       dense bitset matrix (num_sets, ceil(C/32)) for the
+                       device.
     filenames        : reference names in color-id order.
 """
 
@@ -27,9 +29,9 @@ import numpy as np
 
 from . import INDEX_VERSION
 from .constants import EXT, KIND_FROM_EXT, KIND_HYBRID
-from .core import container, hybrid
+from .core import container
 from .core import kmers as K
-from .core.bitsx import EliasFano
+from .core.colorstores import STORE_CLASSES, HybridStore
 
 
 @dataclass
@@ -41,13 +43,12 @@ class Index:
     num_colors: int
     filenames: list[str]
 
-    dict_table: np.ndarray  # (nb, 12) uint32
+    dict_table: np.ndarray  # (nb, 12) uint32; value = color_set_id
     unitig_seq: np.ndarray  # uint64 2-bit packed concat
     unitig_offs: np.ndarray  # int64 (U+1,) base offsets
     u2c_csid: np.ndarray  # uint32 (U,)
 
-    cs_stream: np.ndarray  # uint64 words (hybrid codec)
-    cs_bit_offs: np.ndarray  # uint64 (S+1,)
+    color_store: object  # Hybrid/Meta/Diff/MetaDiff store (core/colorstores)
 
     _dense_bits: np.ndarray | None = field(default=None, repr=False)
     _cs_cache: tuple | None = field(default=None, repr=False)
@@ -60,20 +61,21 @@ class Index:
 
     @property
     def num_color_sets(self) -> int:
-        return len(self.cs_bit_offs) - 1
+        return self.color_store.num_color_sets
 
     def u2c(self, unitig_id: int) -> int:
         return int(self.u2c_csid[unitig_id])
 
     def color_set(self, cs_id: int) -> np.ndarray:
-        return hybrid.decode_set(self.cs_stream, self.cs_bit_offs[cs_id], self.num_colors)
+        cat, offs = self.color_sets_decoded()
+        return cat[offs[cs_id] : offs[cs_id + 1]]
 
     def color_sets_decoded(self):
-        """(cat u32, offs i64) for all sets, cached."""
+        """(cat u32, offs i64) for all sets, cached. For meta/meta-diff
+        kinds the color ids are the PERMUTED ids (filenames are stored in
+        the same permuted order, reference README.md:222-231)."""
         if self._cs_cache is None:
-            self._cs_cache = hybrid.decode_all(
-                self.cs_stream, self.cs_bit_offs, self.num_colors
-            )
+            self._cs_cache = self.color_store.decode_all()
         return self._cs_cache
 
     def unitig_codes(self, i: int) -> np.ndarray:
@@ -116,7 +118,6 @@ class Index:
     # ------------------------------------------------ serialization
 
     def save(self, path: str):
-        ef = EliasFano.encode(self.cs_bit_offs)
         meta = {
             "index_version": list(INDEX_VERSION),
             "k": self.k,
@@ -127,30 +128,28 @@ class Index:
             "num_color_sets": self.num_color_sets,
         }
         fn_blob = "\n".join(self.filenames).encode()
+        cs_arrays, cs_extra = self.color_store.arrays()
+        arrays = {
+            "dict_table": self.dict_table,
+            "unitig_seq": self.unitig_seq,
+            "unitig_offs": self.unitig_offs,
+            "u2c_csid": self.u2c_csid,
+            "filenames": np.frombuffer(fn_blob, dtype=np.uint8),
+        }
+        for name, arr in cs_arrays.items():
+            arrays["cs." + name] = arr
         container.save(
-            path,
-            kind=self.kind,
-            meta=meta,
-            extra={"ef_offsets": {"n": ef.n, "u": ef.u, "l": ef.l}},
-            arrays={
-                "dict_table": self.dict_table,
-                "unitig_seq": self.unitig_seq,
-                "unitig_offs": self.unitig_offs,
-                "u2c_csid": self.u2c_csid,
-                "cs_stream": self.cs_stream,
-                "cs_ef_low": ef.low_words,
-                "cs_ef_high": ef.high_words,
-                "filenames": np.frombuffer(fn_blob, dtype=np.uint8),
-            },
+            path, kind=self.kind, meta=meta, extra={"color_store": cs_extra}, arrays=arrays
         )
 
     @classmethod
     def load(cls, path: str) -> "Index":
         c = container.Container(path)
-        efp = c.extra["ef_offsets"]
-        ef = EliasFano(c.array("cs_ef_low"), c.array("cs_ef_high"), efp["n"], efp["u"], efp["l"])
         fn_blob = c.array("filenames").tobytes().decode()
         meta = c.meta
+        store = STORE_CLASSES[c.kind].from_arrays(
+            c.extra["color_store"], lambda name: c.array("cs." + name)
+        )
         idx = cls(
             kind=c.kind,
             k=meta["k"],
@@ -162,8 +161,7 @@ class Index:
             unitig_seq=c.array("unitig_seq"),
             unitig_offs=c.array("unitig_offs"),
             u2c_csid=c.array("u2c_csid"),
-            cs_stream=c.array("cs_stream"),
-            cs_bit_offs=ef.decode_all(),
+            color_store=store,
         )
         assert meta["num_unitigs"] == idx.num_unitigs
         assert meta["num_color_sets"] == idx.num_color_sets
@@ -183,11 +181,10 @@ class Index:
     # ------------------------------------------------ stats
 
     def component_bytes(self) -> dict:
-        ef = EliasFano.encode(self.cs_bit_offs)
         return {
             "dictionary": int(self.dict_table.nbytes),
             "unitig_text": int(self.unitig_seq.nbytes + self.unitig_offs.nbytes),
-            "color_sets": int(self.cs_stream.nbytes + ef.num_bytes()),
+            "color_sets": int(self.color_store.num_bytes()),
             "u2c": int(self.u2c_csid.nbytes),
             "filenames": sum(len(f) for f in self.filenames) + 4 * len(self.filenames),
         }
@@ -214,6 +211,7 @@ class Index:
             f"({8.0 * (comp['dictionary'] + comp['unitig_text']) / max(1, self.num_kmers):.5f} bits/kmer)"
         )
         print(f"Number of unitigs in dBG: {self.num_unitigs}")
+        print(f"color store [{self.kind}]: {self.color_store.stats()}")
 
     # ------------------------------------------------ dump / load (text interchange)
 

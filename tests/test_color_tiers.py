@@ -1,0 +1,91 @@
+"""meta / diff / meta-diff conversion tests: build, check, query parity."""
+
+import numpy as np
+import pytest
+
+from fulgor_tpu import cli
+from fulgor_tpu.core import kmers as K
+from fulgor_tpu.index import Index
+from tests.test_ccdbg import random_genomes
+from tests.test_native import write_fasta
+
+K_LEN = 15
+
+
+@pytest.fixture(scope="module")
+def base(tmp_path_factory):
+    rng = np.random.default_rng(21)
+    tmp = tmp_path_factory.mktemp("tiers")
+    genomes = random_genomes(rng, num_colors=12, length=1200, mut=0.02, k=K_LEN)
+    paths = []
+    for i, seqs in enumerate(genomes):
+        p = str(tmp / f"g{i}.fa")
+        write_fasta(p, seqs)
+        paths.append(p)
+    listfile = str(tmp / "list.txt")
+    with open(listfile, "w") as f:
+        f.write("\n".join(paths) + "\n")
+    out_base = str(tmp / "idx")
+    assert cli.main(["build", "-l", listfile, "-o", out_base, "-k", str(K_LEN), "-m", "9"]) == 0
+    reads = []
+    for _ in range(50):
+        g = rng.integers(0, len(genomes))
+        s = genomes[g][0]
+        p = rng.integers(0, len(s) - 60)
+        reads.append(s[p : p + 60])
+    qfile = str(tmp / "reads.fa")
+    with open(qfile, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">r{i}\n{r}\n")
+    return tmp, out_base, qfile, reads
+
+
+@pytest.mark.parametrize("flags,ext", [(["--meta"], ".tmfur"), (["--diff"], ".tdfur"),
+                                       (["--meta", "--diff"], ".tmdfur")])
+def test_color_conversion(base, flags, ext, tmp_path):
+    tmp, out_base, qfile, reads = base
+    rc = cli.main(["color", "-i", out_base + ".tfur", "--check"] + flags)
+    assert rc == 0
+    conv_path = out_base + ext
+    idx = Index.load(conv_path)
+    base_idx = Index.load(out_base + ".tfur")
+    assert idx.num_color_sets == base_idx.num_color_sets
+    assert cli.main(["check", "-i", conv_path, "--against", out_base + ".tfur"]) == 0
+
+    # pseudoalign outputs agree modulo the color permutation
+    out_a = str(tmp_path / "a.tsv")
+    out_b = str(tmp_path / "b.tsv")
+    assert cli.main(["pseudoalign", "-i", out_base + ".tfur", "-q", qfile, "-o", out_a]) == 0
+    assert cli.main(["pseudoalign", "-i", conv_path, "-q", qfile, "-o", out_b]) == 0
+    pos = {fn: i for i, fn in enumerate(idx.filenames)}
+    perm = np.array([pos[fn] for fn in base_idx.filenames], dtype=np.int64)
+    la = open(out_a).read().splitlines()
+    lb = open(out_b).read().splitlines()
+    assert len(la) == len(lb)
+    for ln_a, ln_b in zip(la, lb):
+        pa = ln_a.split("\t")
+        pb = ln_b.split("\t")
+        assert pa[:2] == pb[:2]
+        ca = np.sort(perm[np.array(pa[2:], dtype=np.int64)]) if len(pa) > 2 else []
+        cb = np.array(pb[2:], dtype=np.int64) if len(pb) > 2 else []
+        np.testing.assert_array_equal(ca, cb)
+
+
+def test_permute_cli(base, tmp_path):
+    tmp, out_base, qfile, reads = base
+    out = str(tmp_path / "perm.txt")
+    assert cli.main(["permute", "-i", out_base + ".tfur", "-o", out]) == 0
+    base_idx = Index.load(out_base + ".tfur")
+    perm_files = [ln for ln in open(out).read().splitlines() if ln]
+    assert sorted(perm_files) == sorted(base_idx.filenames)
+
+
+def test_tier_save_load_roundtrip(base):
+    tmp, out_base, qfile, reads = base
+    for ext in (".tmfur", ".tdfur", ".tmdfur"):
+        idx = Index.load(out_base + ext)
+        cat, offs = idx.color_sets_decoded()
+        idx2 = Index.load(out_base + ext)
+        cat2, offs2 = idx2.color_sets_decoded()
+        np.testing.assert_array_equal(cat, cat2)
+        np.testing.assert_array_equal(offs, offs2)

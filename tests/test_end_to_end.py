@@ -173,5 +173,5 @@ def test_stats_verify_dump_load(built, tmp_path, capsys):
     idx1 = Index.load(index_path)
     idx2 = Index.load(out2 + ".tfur")
     np.testing.assert_array_equal(idx1.u2c_csid, idx2.u2c_csid)
-    np.testing.assert_array_equal(idx1.cs_stream, idx2.cs_stream)
+    np.testing.assert_array_equal(idx1.color_store.stream, idx2.color_store.stream)
     assert cli.main(["check", "-i", out2 + ".tfur"]) == 0

@@ -61,8 +61,8 @@ def test_save_load_roundtrip(small_index, tmp_path):
     np.testing.assert_array_equal(idx2.unitig_seq, idx.unitig_seq)
     np.testing.assert_array_equal(idx2.unitig_offs, idx.unitig_offs)
     np.testing.assert_array_equal(idx2.u2c_csid, idx.u2c_csid)
-    np.testing.assert_array_equal(idx2.cs_stream, idx.cs_stream)
-    np.testing.assert_array_equal(idx2.cs_bit_offs, idx.cs_bit_offs)
+    np.testing.assert_array_equal(idx2.color_store.stream, idx.color_store.stream)
+    np.testing.assert_array_equal(idx2.color_store.bit_offs, idx.color_store.bit_offs)
 
 
 def test_dump_from_dump_roundtrip(small_index, tmp_path):
@@ -74,8 +74,8 @@ def test_dump_from_dump_roundtrip(small_index, tmp_path):
     assert idx2.num_colors == idx.num_colors
     np.testing.assert_array_equal(idx2.unitig_offs, idx.unitig_offs)
     np.testing.assert_array_equal(idx2.u2c_csid, idx.u2c_csid)
-    np.testing.assert_array_equal(idx2.cs_bit_offs, idx.cs_bit_offs)
-    np.testing.assert_array_equal(idx2.cs_stream, idx.cs_stream)
+    np.testing.assert_array_equal(idx2.color_store.bit_offs, idx.color_store.bit_offs)
+    np.testing.assert_array_equal(idx2.color_store.stream, idx.color_store.stream)
     # dictionary content equivalent (same key-value map, maybe same table)
     codes = K.unpack2(idx.unitig_seq, int(idx.unitig_offs[-1]))
     keys, uids = unitig_kmers(codes, idx.unitig_offs, idx.k)
