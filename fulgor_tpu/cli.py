@@ -47,12 +47,16 @@ def cmd_pseudoalign(args):
 
     idx = _load_index(args.index_filename)
     eng = QueryEngine(idx, batch_size=args.batch_size)
+    if args.deduplicate and args.threshold is not None:
+        print("Deduplication not available for threshold < 1.0. Remove --deduplicate flag.")
+        return 1
     eng.pseudoalign_file(
         args.query_filename,
         args.output_filename,
         threshold=args.threshold,
         fmt=args.format,
         verbose=args.verbose,
+        deduplicate=args.deduplicate,
     )
     return 0
 
@@ -198,6 +202,9 @@ def main(argv=None):
     add_query_args(q)
     q.add_argument("-r", dest="threshold", type=float, default=None,
                    help="threshold-union threshold in (0.0, 1.0]")
+    q.add_argument("--deduplicate", action="store_true",
+                   help="group reads with identical color-set-id lists and "
+                        "intersect each distinct list once")
     q.add_argument("--format", dest="format", default="ascii",
                    choices=["ascii", "binary", "compressed"])
     q.set_defaults(fn=cmd_pseudoalign)

@@ -71,6 +71,15 @@ def _load():
             ct.POINTER(ct.c_int32),
         ]
         lib.fn_parse_reads.restype = ct.c_int
+        lib.fn_format_psa_ascii.argtypes = [
+            ct.POINTER(ct.c_uint32),
+            ct.POINTER(ct.c_uint32),
+            ct.POINTER(ct.c_int64),
+            ct.c_int64,
+            ct.POINTER(ct.POINTER(ct.c_char)),
+            ct.POINTER(ct.c_int64),
+        ]
+        lib.fn_format_psa_ascii.restype = ct.c_int
         _lib = lib
         return lib
 
@@ -184,3 +193,28 @@ def parse_reads(path: str, max_reads: int = 0):
         lib.fn_free(names_p)
     names = [blob[noffs[i] : noffs[i + 1]] for i in range(n)]
     return codes, lens, names
+
+
+def format_psa_ascii(qids: np.ndarray, colors_cat: np.ndarray, offs: np.ndarray) -> bytes:
+    """ascii pseudoalignment block for a batch of results."""
+    lib = _load()
+    qids = np.ascontiguousarray(qids, dtype=np.uint32)
+    colors_cat = np.ascontiguousarray(colors_cat, dtype=np.uint32)
+    if len(colors_cat) == 0:
+        colors_cat = np.zeros(1, dtype=np.uint32)
+    offs = np.ascontiguousarray(offs, dtype=np.int64)
+    buf = ct.POINTER(ct.c_char)()
+    blen = ct.c_int64()
+    rc = lib.fn_format_psa_ascii(
+        qids.ctypes.data_as(ct.POINTER(ct.c_uint32)),
+        colors_cat.ctypes.data_as(ct.POINTER(ct.c_uint32)),
+        offs.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        len(qids),
+        ct.byref(buf),
+        ct.byref(blen),
+    )
+    if rc != 0:
+        raise RuntimeError("format_psa_ascii failed")
+    out = ct.string_at(buf, blen.value)
+    lib.fn_free(buf)
+    return out

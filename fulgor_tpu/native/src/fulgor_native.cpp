@@ -710,3 +710,39 @@ extern "C" int fn_parse_reads(const char* path, int64_t max_reads, uint8_t** out
     return 0;
 }
 
+
+// ---------------------------------------------------------------- formatting
+
+// ascii pseudoalignment lines: "qid\tn[\tc1\tc2...]\n" (reference
+// psa_ascii_formatter, src/ps_utils.cpp:48-83). Returns malloc'd buffer.
+extern "C" int fn_format_psa_ascii(const uint32_t* qids, const uint32_t* colors_cat,
+                                   const int64_t* offs, int64_t n, char** out_buf,
+                                   int64_t* out_len) {
+    size_t cap = (size_t)(n * 8 + (offs[n] - offs[0]) * 11 + 1024);
+    char* buf = (char*)malloc(cap);
+    if (!buf) return 1;
+    char* p = buf;
+    char tmp[16];
+    auto put_u32 = [&](uint32_t v) {
+        int len = 0;
+        do {
+            tmp[len++] = (char)('0' + v % 10);
+            v /= 10;
+        } while (v);
+        while (len) *p++ = tmp[--len];
+    };
+    for (int64_t i = 0; i < n; ++i) {
+        put_u32(qids[i]);
+        *p++ = '\t';
+        int64_t lo = offs[i], hi = offs[i + 1];
+        put_u32((uint32_t)(hi - lo));
+        for (int64_t j = lo; j < hi; ++j) {
+            *p++ = '\t';
+            put_u32(colors_cat[j]);
+        }
+        *p++ = '\n';
+    }
+    *out_buf = buf;
+    *out_len = (int64_t)(p - buf);
+    return 0;
+}

@@ -167,6 +167,47 @@ class QueryEngine:
                     out[ridx] = (hit[j, :w], csid[j, :w])
         return out
 
+    def pseudoalign_codes_dedup(self, codes: np.ndarray, lens: np.ndarray):
+        """--deduplicate path (reference fetch_and_deduplicate_sets,
+        tools/pseudoalign.cpp:91-226): fetch per-read distinct color-set-id
+        lists, group identical lists, intersect each DISTINCT list once on
+        host dense bits, then fan results back out to reads."""
+        N = len(lens)
+        C = self.idx.num_colors
+        dense = self.idx.dense_color_bits()
+        ones = np.full(dense.shape[1], 0xFFFFFFFF, dtype=np.uint32)
+        groups: dict[bytes, list[int]] = {}
+        keys_per_read: list[bytes] = [b""] * N
+        pending = []
+        for sel, chunk in self._iter_batches(codes, lens):
+            pending.append((sel, query_window_csids(self.table, chunk, k=self.k)))
+        for sel, (hit, csid) in pending:
+            csid = np.asarray(csid[: len(sel)])
+            s = np.sort(csid, axis=1)
+            uniq_mask = np.concatenate(
+                [np.ones((len(sel), 1), dtype=bool), s[:, 1:] != s[:, :-1]], axis=1
+            ) & (s != INVALID_U32)
+            for j, ridx in enumerate(sel):
+                key = s[j][uniq_mask[j]].tobytes()
+                keys_per_read[ridx] = key
+                groups.setdefault(key, []).append(int(ridx))
+        results: list = [None] * N
+        for key, readlist in groups.items():
+            sids = np.frombuffer(key, dtype=np.uint32)
+            if len(sids) == 0:
+                colors = np.empty(0, dtype=np.uint32)
+            else:
+                acc = dense[sids.astype(np.int64)].copy()
+                word = acc[0]
+                for r in acc[1:]:
+                    word &= r
+                colors = np.flatnonzero(
+                    np.unpackbits(word.view(np.uint8), bitorder="little")[:C]
+                ).astype(np.uint32)
+            for ridx in readlist:
+                results[ridx] = colors
+        return results
+
     # ---------------------------------------------------------------- file drivers
 
     def pseudoalign_file(
@@ -176,6 +217,7 @@ class QueryEngine:
         threshold=None,
         fmt: str = "ascii",
         verbose: bool = False,
+        deduplicate: bool = False,
     ):
         from ..native import lib as native
 
@@ -183,7 +225,11 @@ class QueryEngine:
         codes, lens, _names = native.parse_reads(query_path)
         t_parse = time.perf_counter() - t0
         t0 = time.perf_counter()
-        results = self.pseudoalign_codes(codes, lens, threshold)
+        if deduplicate:
+            assert threshold is None, "--deduplicate requires full-intersection"
+            results = self.pseudoalign_codes_dedup(codes, lens)
+        else:
+            results = self.pseudoalign_codes(codes, lens, threshold)
         t_query = time.perf_counter() - t0
         t0 = time.perf_counter()
         fmtr = make_formatter(fmt, out_path, self.idx.num_colors)

@@ -19,16 +19,24 @@ from ..core.hybrid import thresholds
 
 class AsciiFormatter:
     def __init__(self, path: str):
-        self.f = open(path, "w", buffering=1 << 20)
+        self.f = open(path, "wb", buffering=1 << 20)
 
     def write_batch(self, qids, colors_per_read):
-        out = []
-        for qid, cols in zip(qids, colors_per_read):
-            if len(cols):
-                out.append(f"{qid}\t{len(cols)}\t" + "\t".join(map(str, cols)) + "\n")
-            else:
-                out.append(f"{qid}\t0\n")
-        self.f.writelines(out)
+        import numpy as np
+
+        from ..native import lib as native
+
+        qarr = np.fromiter(qids, dtype=np.uint32, count=len(colors_per_read))
+        sizes = np.fromiter(
+            (len(c) for c in colors_per_read), dtype=np.int64, count=len(colors_per_read)
+        )
+        offs = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
+        cat = (
+            np.concatenate(colors_per_read).astype(np.uint32)
+            if offs[-1]
+            else np.empty(0, np.uint32)
+        )
+        self.f.write(native.format_psa_ascii(qarr, cat, offs))
 
     def close(self):
         self.f.close()

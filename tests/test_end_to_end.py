@@ -175,3 +175,14 @@ def test_stats_verify_dump_load(built, tmp_path, capsys):
     np.testing.assert_array_equal(idx1.u2c_csid, idx2.u2c_csid)
     np.testing.assert_array_equal(idx1.color_store.stream, idx2.color_store.stream)
     assert cli.main(["check", "-i", out2 + ".tfur"]) == 0
+
+
+def test_pseudoalign_deduplicate(built, tmp_path):
+    tmp, index_path, qfile, reads, _ = built
+    out_a = str(tmp_path / "plain.tsv")
+    out_d = str(tmp_path / "dedup.tsv")
+    assert cli.main(["pseudoalign", "-i", index_path, "-q", qfile, "-o", out_a]) == 0
+    assert cli.main(
+        ["pseudoalign", "-i", index_path, "-q", qfile, "-o", out_d, "--deduplicate"]
+    ) == 0
+    assert open(out_a).read() == open(out_d).read()
