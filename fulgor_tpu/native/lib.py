@@ -114,7 +114,7 @@ def build_ccdbg(paths: list[str], k: int):
 
 
 def cuckoo_build(keys: np.ndarray, vals: np.ndarray):
-    """-> table (num_buckets, 12) uint32. Layout: [lo x4 | hi x4 | val x4]."""
+    """-> table (num_buckets, 6) uint32. Layout: [lo x2 | hi x2 | val x2]."""
     lib = _load()
     keys = np.ascontiguousarray(keys, dtype=np.uint64)
     vals = np.ascontiguousarray(vals, dtype=np.uint32)
@@ -127,7 +127,7 @@ def cuckoo_build(keys: np.ndarray, vals: np.ndarray):
     )
     if nb == 0:
         raise RuntimeError("cuckoo build failed")
-    return _take(ptr, nb * 12, np.uint32).reshape(int(nb), 12)
+    return _take(ptr, nb * 6, np.uint32).reshape(int(nb), 6)
 
 
 def hybrid_decode_all(words: np.ndarray, bit_offsets: np.ndarray, num_colors: int):

@@ -428,18 +428,23 @@ static inline uint32_t mix32(uint32_t x) {
     return x;
 }
 static const uint32_t CK_SEED1 = 0x8BADF00DU, CK_SEED2 = 0x5EEDCAFEU;
-static inline uint32_t bucket_of(uint32_t lo, uint32_t hi, uint32_t seed, uint32_t nb_mask) {
-    return mix32(lo ^ mix32(hi ^ seed)) & nb_mask;
+// Lemire fast-range: uniform hash -> [0, nb) for ARBITRARY nb (no pow2
+// rounding, so the table load factor is pinned instead of swinging 2x).
+static inline uint32_t bucket_of(uint32_t lo, uint32_t hi, uint32_t seed, uint32_t nb) {
+    uint32_t h = mix32(lo ^ mix32(hi ^ seed));
+    return (uint32_t)(((uint64_t)h * nb) >> 32);
 }
 
-// Build bucketed cuckoo table: 4 slots/bucket, 2 hash choices.
-// table layout: (num_buckets, 12) uint32 rows = [lo x4 | hi x4 | val x4].
+// Build bucketed cuckoo table: CK_SLOTS slots/bucket, 2 hash choices.
+// table layout: (num_buckets, 3*CK_SLOTS) uint32 rows = [lo xS | hi xS | val xS].
 // empty slot: hi == 0xFFFFFFFF. Returns 0 ok, 1 fail (caller grows).
+static const int CK_SLOTS = 2;
 static int cuckoo_try(const uint64_t* keys, const uint32_t* vals, int64_t n,
                       uint32_t* table, uint64_t num_buckets) {
-    uint32_t nb_mask = (uint32_t)(num_buckets - 1);
+    const int S = CK_SLOTS, R = 3 * CK_SLOTS;
+    uint32_t nb_mask = (uint32_t)num_buckets;
     for (uint64_t b = 0; b < num_buckets; ++b)
-        for (int s = 0; s < 4; ++s) table[b * 12 + 4 + s] = 0xFFFFFFFFU;
+        for (int s = 0; s < S; ++s) table[b * R + S + s] = 0xFFFFFFFFU;
     uint64_t rng = 0x243F6A8885A308D3ULL;
     for (int64_t i = 0; i < n; ++i) {
         uint32_t lo = (uint32_t)keys[i];
@@ -451,12 +456,12 @@ static int cuckoo_try(const uint64_t* keys, const uint32_t* vals, int64_t n,
             uint32_t b2 = bucket_of(lo, hi, CK_SEED2, nb_mask);
             bool placed = false;
             for (uint32_t b : {b1, b2}) {
-                uint32_t* row = table + (uint64_t)b * 12;
-                for (int s = 0; s < 4; ++s) {
-                    if (row[4 + s] == 0xFFFFFFFFU) {
+                uint32_t* row = table + (uint64_t)b * R;
+                for (int s = 0; s < S; ++s) {
+                    if (row[S + s] == 0xFFFFFFFFU) {
                         row[s] = lo;
-                        row[4 + s] = hi;
-                        row[8 + s] = val;
+                        row[S + s] = hi;
+                        row[2 * S + s] = val;
                         placed = true;
                         break;
                     }
@@ -464,16 +469,16 @@ static int cuckoo_try(const uint64_t* keys, const uint32_t* vals, int64_t n,
                 if (placed) break;
             }
             if (placed) break;
-            if (++depth > 500) return 1;
+            if (++depth > 2000) return 1;
             // evict a pseudo-random slot from a pseudo-random choice
             rng = rng * 6364136223846793005ULL + 1442695040888963407ULL;
             uint32_t b = ((rng >> 33) & 1) ? b2 : b1;
-            int s = (int)((rng >> 34) & 3);
-            uint32_t* row = table + (uint64_t)b * 12;
-            uint32_t elo = row[s], ehi = row[4 + s], ev = row[8 + s];
+            int s = (int)((rng >> 34) & (CK_SLOTS - 1));
+            uint32_t* row = table + (uint64_t)b * R;
+            uint32_t elo = row[s], ehi = row[S + s], ev = row[2 * S + s];
             row[s] = lo;
-            row[4 + s] = hi;
-            row[8 + s] = val;
+            row[S + s] = hi;
+            row[2 * S + s] = val;
             lo = elo;
             hi = ehi;
             val = ev;
@@ -482,20 +487,19 @@ static int cuckoo_try(const uint64_t* keys, const uint32_t* vals, int64_t n,
     return 0;
 }
 
-// out_table: malloc'd (num_buckets*12) u32; returns num_buckets or 0 on error.
+// out_table: malloc'd (num_buckets*3*CK_SLOTS) u32; returns num_buckets or 0.
 extern "C" uint64_t fn_cuckoo_build(const uint64_t* keys, const uint32_t* vals, int64_t n,
                          uint32_t** out_table) {
-    uint64_t nb = 1;
-    while (nb * 4 * 85 < (uint64_t)n * 100) nb <<= 1;  // target <= 0.85 load
+    uint64_t nb = (uint64_t)(n / (CK_SLOTS * 0.80)) + 1;  // target 0.8 load
     for (;;) {
-        uint32_t* table = (uint32_t*)malloc(nb * 12 * sizeof(uint32_t));
+        uint32_t* table = (uint32_t*)malloc(nb * 3 * CK_SLOTS * sizeof(uint32_t));
         if (!table) return 0;
         if (cuckoo_try(keys, vals, n, table, nb) == 0) {
             *out_table = table;
             return nb;
         }
         free(table);
-        nb <<= 1;
+        nb += nb / 8 + 1;  // grow 12.5% on failure
         if (nb > (1ULL << 34)) return 0;
     }
 }

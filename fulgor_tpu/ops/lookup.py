@@ -69,21 +69,33 @@ def pack_windows(codes: jax.Array, k: int):
     return lo, hi, ok
 
 
+def _fastrange(h, nb: int):
+    """floor(h * nb / 2^32) via 16-bit-limb mulhi (TPUs have no uint64).
+    Must match native bucket_of / host_lookup.buckets exactly."""
+    a0 = h & jnp.uint32(0xFFFF)
+    a1 = h >> 16
+    nb0, nb1 = nb & 0xFFFF, nb >> 16
+    lo = a0 * jnp.uint32(nb0)
+    t = a1 * jnp.uint32(nb0) + (lo >> 16)
+    t2 = a0 * jnp.uint32(nb1) + (t & jnp.uint32(0xFFFF))
+    return a1 * jnp.uint32(nb1) + (t >> 16) + (t2 >> 16)
+
+
 def probe(table: jax.Array, lo: jax.Array, hi: jax.Array, valid: jax.Array):
-    """Cuckoo probe. table: (nb, 12) uint32. -> (hit bool, val uint32)."""
+    """Cuckoo probe: 2 hash choices x 2 slots. table: (nb, 6) uint32 rows
+    [lo x2 | hi x2 | val x2]. -> (hit bool, val uint32)."""
     nb = table.shape[0]
-    mask = jnp.uint32(nb - 1)
-    b1 = (mix32(lo ^ mix32(hi ^ jnp.uint32(SEED1))) & mask).astype(jnp.int32)
-    b2 = (mix32(lo ^ mix32(hi ^ jnp.uint32(SEED2))) & mask).astype(jnp.int32)
-    r1 = jnp.take(table, b1, axis=0)  # (..., 12)
+    b1 = _fastrange(mix32(lo ^ mix32(hi ^ jnp.uint32(SEED1))), nb).astype(jnp.int32)
+    b2 = _fastrange(mix32(lo ^ mix32(hi ^ jnp.uint32(SEED2))), nb).astype(jnp.int32)
+    r1 = jnp.take(table, b1, axis=0)  # (..., 6)
     r2 = jnp.take(table, b2, axis=0)
     hit = jnp.zeros(lo.shape, dtype=bool)
     val = jnp.full(lo.shape, INVALID_U32, dtype=jnp.uint32)
     for rows in (r1, r2):
-        for s in range(4):
-            h = (rows[..., s] == lo) & (rows[..., 4 + s] == hi)
+        for s in range(2):
+            h = (rows[..., s] == lo) & (rows[..., 2 + s] == hi)
             hit = hit | h
-            val = jnp.where(h, rows[..., 8 + s], val)
+            val = jnp.where(h, rows[..., 4 + s], val)
     hit = hit & valid
     val = jnp.where(hit, val, jnp.uint32(INVALID_U32))
     return hit, val

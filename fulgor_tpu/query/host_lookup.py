@@ -23,9 +23,9 @@ def mix32(x: np.ndarray) -> np.ndarray:
 
 
 def buckets(lo: np.ndarray, hi: np.ndarray, num_buckets: int):
-    mask = np.uint32(num_buckets - 1)
-    b1 = mix32(lo ^ mix32(hi ^ SEED1)) & mask
-    b2 = mix32(lo ^ mix32(hi ^ SEED2)) & mask
+    nb = np.uint64(num_buckets)
+    b1 = ((mix32(lo ^ mix32(hi ^ SEED1)).astype(np.uint64) * nb) >> np.uint64(32)).astype(np.uint32)
+    b2 = ((mix32(lo ^ mix32(hi ^ SEED2)).astype(np.uint64) * nb) >> np.uint64(32)).astype(np.uint32)
     return b1, b2
 
 
@@ -38,8 +38,8 @@ def lookup_host(table: np.ndarray, keys: np.ndarray) -> np.ndarray:
     b1, b2 = buckets(lo, hi, nb)
     out = np.full(len(keys), INVALID_U32, dtype=np.uint32)
     for b in (b1, b2):
-        rows = table[b.astype(np.int64)]  # (n, 12)
-        for s in range(4):
-            hit = (rows[:, s] == lo) & (rows[:, 4 + s] == hi)
-            out[hit] = rows[hit, 8 + s]
+        rows = table[b.astype(np.int64)]  # (n, 6)
+        for s in range(2):
+            hit = (rows[:, s] == lo) & (rows[:, 2 + s] == hi)
+            out[hit] = rows[hit, 4 + s]
     return out
