@@ -218,3 +218,65 @@ def format_psa_ascii(qids: np.ndarray, colors_cat: np.ndarray, offs: np.ndarray)
     out = ct.string_at(buf, blen.value)
     lib.fn_free(buf)
     return out
+
+
+class ReadsStream:
+    """Chunked FASTA/FASTQ(.gz) reader (native): overlaps parsing with
+    device compute. Yields fixed-shape padded chunks."""
+
+    def __init__(self, path: str, chunk_reads: int, row_len: int = 1024):
+        lib = _load()
+        lib.fn_reads_open.argtypes = [ct.c_char_p]
+        lib.fn_reads_open.restype = ct.c_void_p
+        lib.fn_reads_next.argtypes = [
+            ct.c_void_p, ct.c_int64, ct.c_int32,
+            ct.POINTER(ct.c_uint8), ct.POINTER(ct.c_int32),
+            ct.POINTER(ct.c_char), ct.c_int64,
+            ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int),
+        ]
+        lib.fn_reads_next.restype = ct.c_int64
+        lib.fn_reads_close.argtypes = [ct.c_void_p]
+        self._lib = lib
+        self._h = lib.fn_reads_open(path.encode())
+        if not self._h:
+            raise RuntimeError(f"cannot open reads file: {path}")
+        self.chunk_reads = chunk_reads
+        self.row_len = row_len
+        self._codes = np.empty((chunk_reads, row_len), dtype=np.uint8)
+        self._lens = np.empty(chunk_reads, dtype=np.int32)
+        self._names_cap = chunk_reads * 64
+        self._names = ct.create_string_buffer(self._names_cap)
+        self._noffs = np.empty(chunk_reads + 1, dtype=np.int64)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._h is None:
+            raise StopIteration
+        done = ct.c_int(0)
+        n = self._lib.fn_reads_next(
+            self._h,
+            self.chunk_reads,
+            self.row_len,
+            self._codes.ctypes.data_as(ct.POINTER(ct.c_uint8)),
+            self._lens.ctypes.data_as(ct.POINTER(ct.c_int32)),
+            self._names,
+            self._names_cap,
+            self._noffs.ctypes.data_as(ct.POINTER(ct.c_int64)),
+            ct.byref(done),
+        )
+        if n == 0:
+            self.close()
+            raise StopIteration
+        blob = self._names.raw[: self._noffs[n]].decode(errors="replace")
+        names = [blob[self._noffs[i] : self._noffs[i + 1]] for i in range(n)]
+        out = (self._codes[:n], self._lens[:n].copy(), names)
+        if done.value:
+            self.close()
+        return out
+
+    def close(self):
+        if self._h is not None:
+            self._lib.fn_reads_close(self._h)
+            self._h = None

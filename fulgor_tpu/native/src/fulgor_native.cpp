@@ -750,3 +750,151 @@ extern "C" int fn_format_psa_ascii(const uint32_t* qids, const uint32_t* colors_
     *out_len = (int64_t)(p - buf);
     return 0;
 }
+
+// ---------------------------------------------------------------- streaming reads
+
+// Stateful chunked FASTA/FASTQ reader so parsing overlaps device compute.
+struct ReadsStream {
+    gzFile f = nullptr;
+    int mode = -1;  // 0 fasta, 1 fastq
+    int fq_phase = 0;
+    std::string pending;
+    std::vector<char> buf;
+    bool eof = false;
+    std::vector<uint8_t> cur_seq;
+    std::string cur_name;
+    bool have_record = false;  // fasta: a record is open
+    // completed records waiting to be handed out
+    struct Rec {
+        std::vector<uint8_t> seq;
+        std::string name;
+    };
+    std::vector<Rec> ready;
+    size_t ready_pos = 0;
+};
+
+extern "C" void* fn_reads_open(const char* path) {
+    gzFile f = gzopen(path, "rb");
+    if (!f) return nullptr;
+    gzbuffer(f, 1 << 20);
+    ReadsStream* rs = new ReadsStream();
+    rs->f = f;
+    rs->buf.resize(1 << 20);
+    return rs;
+}
+
+extern "C" void fn_reads_close(void* h) {
+    ReadsStream* rs = (ReadsStream*)h;
+    if (rs->f) gzclose(rs->f);
+    delete rs;
+}
+
+static void rs_handle_line(ReadsStream* rs, const std::string& ln) {
+    if (ln.empty()) {
+        if (rs->mode == 1) rs->fq_phase = (rs->fq_phase + 1) & 3;
+        return;
+    }
+    if (rs->mode == -1) rs->mode = (ln[0] == '@') ? 1 : 0;
+    auto finish = [&]() {
+        rs->ready.push_back({std::move(rs->cur_seq), std::move(rs->cur_name)});
+        rs->cur_seq = {};
+        rs->cur_name = {};
+    };
+    if (rs->mode == 0) {
+        if (ln[0] == '>') {
+            if (rs->have_record) finish();
+            rs->have_record = true;
+            size_t b = ln.find_first_not_of(" \t", 1);
+            if (b == std::string::npos) b = ln.size();
+            size_t sp = ln.find_first_of(" \t", b);
+            rs->cur_name = ln.substr(b, sp == std::string::npos ? ln.size() - b : sp - b);
+        } else if (rs->have_record) {
+            for (char ch : ln) rs->cur_seq.push_back(CODE[(uint8_t)ch]);
+        }
+    } else {
+        switch (rs->fq_phase) {
+            case 0: {
+                size_t b = ln.find_first_not_of(" \t", 1);
+                if (b == std::string::npos) b = ln.size();
+                size_t sp = ln.find_first_of(" \t", b);
+                rs->cur_name = ln.substr(b, sp == std::string::npos ? ln.size() - b : sp - b);
+                break;
+            }
+            case 1:
+                for (char ch : ln) rs->cur_seq.push_back(CODE[(uint8_t)ch]);
+                break;
+            case 3:
+                finish();
+                break;
+            default:
+                break;
+        }
+        rs->fq_phase = (rs->fq_phase + 1) & 3;
+    }
+}
+
+// Fill up to max_reads rows (fixed width row_len, padded with code 4;
+// out_lens reports TRUE lengths — callers route rows with len > row_len to
+// a slow path). Returns reads produced; sets *done=1 once fully drained.
+extern "C" int64_t fn_reads_next(void* h, int64_t max_reads, int32_t row_len,
+                                 uint8_t* out_codes, int32_t* out_lens,
+                                 char* out_names, int64_t names_cap,
+                                 int64_t* out_name_offs, int* done) {
+    ReadsStream* rs = (ReadsStream*)h;
+    *done = 0;
+    // parse until enough records are ready or input is exhausted
+    while ((int64_t)(rs->ready.size() - rs->ready_pos) < max_reads && !rs->eof) {
+        int n = gzread(rs->f, rs->buf.data(), (unsigned)rs->buf.size());
+        if (n <= 0) {
+            rs->eof = true;
+            if (!rs->pending.empty()) {
+                std::string line;
+                line.swap(rs->pending);
+                if (!line.empty() && line.back() == '\r') line.pop_back();
+                rs_handle_line(rs, line);
+            }
+            if (rs->mode == 0 && rs->have_record) {
+                rs->ready.push_back({std::move(rs->cur_seq), std::move(rs->cur_name)});
+                rs->have_record = false;
+            }
+            break;
+        }
+        int start = 0;
+        for (int i = 0; i < n; ++i) {
+            if (rs->buf[i] == '\n') {
+                rs->pending.append(rs->buf.data() + start, i - start);
+                if (!rs->pending.empty() && rs->pending.back() == '\r') rs->pending.pop_back();
+                std::string line;
+                line.swap(rs->pending);
+                rs_handle_line(rs, line);
+                start = i + 1;
+            }
+        }
+        rs->pending.append(rs->buf.data() + start, n - start);
+    }
+    int64_t avail = (int64_t)(rs->ready.size() - rs->ready_pos);
+    int64_t take = std::min(avail, max_reads);
+    memset(out_codes, 4, (size_t)max_reads * row_len);
+    size_t name_pos = 0;
+    out_name_offs[0] = 0;
+    for (int64_t i = 0; i < take; ++i) {
+        auto& r = rs->ready[rs->ready_pos + i];
+        int32_t len = (int32_t)r.seq.size();
+        memcpy(out_codes + i * row_len, r.seq.data(),
+               (size_t)std::min<int64_t>(len, row_len));
+        out_lens[i] = len;
+        size_t nl = r.name.size();
+        if (name_pos + nl <= (size_t)names_cap) {
+            memcpy(out_names + name_pos, r.name.data(), nl);
+            name_pos += nl;
+        }
+        out_name_offs[i + 1] = (int64_t)name_pos;
+    }
+    rs->ready_pos += take;
+    if (rs->ready_pos == rs->ready.size()) {
+        rs->ready.clear();
+        rs->ready_pos = 0;
+        if (rs->eof) *done = 1;
+    }
+    return take;
+}

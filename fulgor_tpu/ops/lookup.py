@@ -34,6 +34,36 @@ def mix32(x):
     return x
 
 
+def pack_reads_host(chunk):
+    """Host-side 2-bit packing of a (B, W) uint8 code chunk (W % 32 == 0):
+    -> (codes2 (B, W//4) uint8, bad (B, W//8) uint8 bitmask). Cuts the
+    host->device transfer ~2.7x (the tunnel/PCIe is a pipeline stage)."""
+    import numpy as np
+
+    B, W = chunk.shape
+    assert W % 32 == 0
+    bad = chunk >= 4
+    c = np.where(bad, 0, chunk).astype(np.uint8)
+    codes2 = (
+        c[:, 0::4] | (c[:, 1::4] << 2) | (c[:, 2::4] << 4) | (c[:, 3::4] << 6)
+    ).astype(np.uint8)
+    badm = np.packbits(bad, axis=1, bitorder="little")
+    return codes2, badm
+
+
+def unpack_reads(codes2: jax.Array, bad: jax.Array, width: int) -> jax.Array:
+    """Device-side inverse of pack_reads_host -> (B, W) uint8-like codes
+    (values 0..3, 4 for invalid/pad)."""
+    B = codes2.shape[0]
+    c = codes2.astype(jnp.uint32)
+    shifts = jnp.arange(4, dtype=jnp.uint32) * 2
+    codes = ((c[:, :, None] >> shifts) & jnp.uint32(3)).reshape(B, width)
+    b = bad.astype(jnp.uint32)
+    bshifts = jnp.arange(8, dtype=jnp.uint32)
+    badbits = ((b[:, :, None] >> bshifts) & jnp.uint32(1)).reshape(B, width)
+    return jnp.where(badbits == 1, jnp.uint32(4), codes)
+
+
 def pack_windows(codes: jax.Array, k: int):
     """codes: (B, L) int32 base codes (0..3 valid, >=4 pad/invalid).
 

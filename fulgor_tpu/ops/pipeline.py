@@ -23,7 +23,7 @@ from .intersect import (
     threshold_union_scores_onehot,
     threshold_union_scores_windows,
 )
-from .lookup import lookup_batch
+from .lookup import lookup_batch, unpack_reads
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -53,4 +53,33 @@ def query_threshold_union(table, dense_bits, codes, *, k: int, num_colors: int):
 def query_window_csids(table, codes, *, k: int):
     """Per-window positivity + color-set id (kmer-conservation / kmer-matches
     drivers post-process on host). -> (hit (B, W) bool, csid (B, W) u32)."""
+    return lookup_batch(table, codes, k)
+
+
+@partial(jax.jit, static_argnames=("k", "width"))
+def query_full_intersection_packed(table, dense_bits, codes2, bad, *, k: int, width: int):
+    codes = unpack_reads(codes2, bad, width)
+    hit, csid = lookup_batch(table, codes, k)
+    if dense_bits.shape[0] <= ONEHOT_MAX_SETS:
+        return full_intersection_onehot(dense_bits, hit, csid)
+    return full_intersection_windows(dense_bits, hit, csid)
+
+
+@partial(jax.jit, static_argnames=("k", "width", "num_colors"))
+def query_threshold_union_packed(
+    table, dense_bits, codes2, bad, *, k: int, width: int, num_colors: int
+):
+    codes = unpack_reads(codes2, bad, width)
+    hit, csid = lookup_batch(table, codes, k)
+    if dense_bits.shape[0] <= ONEHOT_MAX_SETS:
+        scores = threshold_union_scores_onehot(dense_bits, hit, csid, num_colors)
+    else:
+        scores = threshold_union_scores_windows(dense_bits, hit, csid, num_colors)
+    npos = jnp.sum(hit.astype(jnp.int32), axis=1)
+    return scores, npos
+
+
+@partial(jax.jit, static_argnames=("k", "width"))
+def query_window_csids_packed(table, codes2, bad, *, k: int, width: int):
+    codes = unpack_reads(codes2, bad, width)
     return lookup_batch(table, codes, k)

@@ -1,15 +1,24 @@
 """Host query orchestration (reference L7/L8: tools/pseudoalign.cpp et al.).
 
-The reference's thread-pool-of-readers becomes: parse reads natively into
-padded code matrices, bucket by length, stream fixed-shape batches through
-the jitted device pipeline (async dispatch, fetched in a second pass so the
-device stays busy), post-process/format on host. All device paths are exact;
-the host mirrors (_host_*) exist for tooling and tests.
+The reference's thread-pool-of-readers becomes a streaming pipeline:
+
+    native chunked FASTA/FASTQ parse  ->  fixed-shape device batches
+    (ReadsStream, overlaps device)        (async jit dispatch, <=2 in flight)
+    ->  host fetch + native formatting (runs while the device computes the
+        next chunks)
+
+Batch widths come from a small ladder so jit compiles stay bounded; reads
+longer than the widest rung take an exact host path whose lines are appended
+at the end (the reference's output order across worker threads is explicitly
+nondeterministic — README.md:220 — ours is in-order except those stragglers).
+All device paths are exact; the host mirrors (_host_*) exist for tooling,
+long reads, and tests.
 """
 
 from __future__ import annotations
 
 import time
+from collections import deque
 
 import jax
 import jax.numpy as jnp
@@ -18,13 +27,20 @@ import numpy as np
 from ..constants import INVALID_U32
 from ..core import kmers as K
 from ..index import Index
+from ..ops.lookup import pack_reads_host
 from ..ops.pipeline import (
     query_full_intersection,
+    query_full_intersection_packed,
     query_threshold_union,
+    query_threshold_union_packed,
     query_window_csids,
+    query_window_csids_packed,
 )
 from .host_lookup import lookup_host
 from .formatters import make_formatter
+
+WIDTH_LADDER = (64, 96, 128, 160, 192, 256, 384, 512, 768, 1024)
+MAX_STREAM_WIDTH = WIDTH_LADDER[-1]
 
 
 def _round_up(x, m):
@@ -41,10 +57,9 @@ def bucket_widths(lens: np.ndarray, k: int, max_buckets: int = 4):
 
 
 class QueryEngine:
-    def __init__(self, index: Index, batch_size: int = 2048, max_sets: int = 64):
+    def __init__(self, index: Index, batch_size: int = 32768):
         self.idx = index
         self.batch = batch_size
-        self.max_sets = max_sets
         self.k = index.k
         self.table = jnp.asarray(index.dict_table)
         self.bits = jnp.asarray(index.dense_color_bits())
@@ -52,10 +67,16 @@ class QueryEngine:
 
     # ---------------------------------------------------------------- helpers
 
+    def _width_for(self, maxlen: int) -> int:
+        need = max(int(maxlen), self.k + 1)
+        for w in WIDTH_LADDER:
+            if w >= need:
+                return w
+        return MAX_STREAM_WIDTH
+
     def _iter_batches(self, codes: np.ndarray, lens: np.ndarray):
-        """Yield (read_indices, padded (B, W) int32 batch). Reads bucketed by
-        length; each bucket streamed in fixed-size batches."""
-        N = len(lens)
+        """Array-API batching (library/tests): yield (read_indices, padded
+        (B, W) uint8 batch), bucketing reads by length."""
         widths = bucket_widths(lens, self.k)
         assign = np.searchsorted(widths, np.maximum(lens, self.k), side="left")
         assign = np.minimum(assign, len(widths) - 1)
@@ -115,15 +136,20 @@ class QueryEngine:
         rows, cols = np.nonzero(bm)
         return np.split(cols.astype(np.uint32), np.cumsum(counts))[:-1], counts
 
-    # ---------------------------------------------------------------- queries
+    def _scores_to_lists(self, scores, npos, threshold):
+        min_score = (npos.astype(np.float64) * threshold).astype(np.int64)
+        bm = (scores >= min_score[:, None]) & (npos > 0)[:, None]
+        counts = bm.sum(axis=1)
+        rows, cols = np.nonzero(bm)
+        return np.split(cols.astype(np.uint32), np.cumsum(counts))[:-1], counts
+
+    # ---------------------------------------------------------------- array API
 
     def pseudoalign_codes(self, codes: np.ndarray, lens: np.ndarray, threshold=None):
         """-> list (per read, input order) of sorted uint32 color arrays."""
         N = len(lens)
         results: list = [None] * N
         C = self.idx.num_colors
-        # two-phase: enqueue every device batch (async dispatch), then fetch
-        # in order — device compute overlaps host post-processing/transfer.
         pending = []
         for sel, chunk in self._iter_batches(codes, lens):
             if threshold is None:
@@ -137,18 +163,50 @@ class QueryEngine:
             nsel = len(sel)
             if threshold is None:
                 lists, _ = self._bits_to_lists(np.asarray(out[:nsel]), C)
-                for j, ridx in enumerate(sel):
-                    results[ridx] = lists[j]
             else:
-                scores = np.asarray(out[0][:nsel])
-                npos = np.asarray(out[1][:nsel])
-                min_score = (npos.astype(np.float64) * threshold).astype(np.int64)
-                bm = (scores >= min_score[:, None]) & (npos > 0)[:, None]
-                counts = bm.sum(axis=1)
-                rows, cols = np.nonzero(bm)
-                lists = np.split(cols.astype(np.uint32), np.cumsum(counts))[:-1]
-                for j, ridx in enumerate(sel):
-                    results[ridx] = lists[j]
+                lists, _ = self._scores_to_lists(
+                    np.asarray(out[0][:nsel]), np.asarray(out[1][:nsel]), threshold
+                )
+            for j, ridx in enumerate(sel):
+                results[ridx] = lists[j]
+        return results
+
+    def pseudoalign_codes_dedup(self, codes: np.ndarray, lens: np.ndarray):
+        """--deduplicate path (reference fetch_and_deduplicate_sets,
+        tools/pseudoalign.cpp:91-226): fetch per-read distinct color-set-id
+        lists, group identical lists, intersect each DISTINCT list once on
+        host dense bits, then fan results back out to reads."""
+        N = len(lens)
+        C = self.idx.num_colors
+        dense = self.idx.dense_color_bits()
+        groups: dict[bytes, list[int]] = {}
+        pending = []
+        for sel, chunk in self._iter_batches(codes, lens):
+            pending.append((sel, query_window_csids(self.table, chunk, k=self.k)))
+        for sel, (hit, csid) in pending:
+            csid = np.asarray(csid[: len(sel)])
+            s = np.sort(csid, axis=1)
+            uniq_mask = np.concatenate(
+                [np.ones((len(sel), 1), dtype=bool), s[:, 1:] != s[:, :-1]], axis=1
+            ) & (s != INVALID_U32)
+            for j, ridx in enumerate(sel):
+                key = s[j][uniq_mask[j]].tobytes()
+                groups.setdefault(key, []).append(int(ridx))
+        results: list = [None] * N
+        for key, readlist in groups.items():
+            sids = np.frombuffer(key, dtype=np.uint32)
+            if len(sids) == 0:
+                colors = np.empty(0, dtype=np.uint32)
+            else:
+                acc = dense[sids.astype(np.int64)]
+                word = acc[0].copy()
+                for r in acc[1:]:
+                    word &= r
+                colors = np.flatnonzero(
+                    np.unpackbits(word.view(np.uint8), bitorder="little")[:C]
+                ).astype(np.uint32)
+            for ridx in readlist:
+                results[ridx] = colors
         return results
 
     def window_csids_codes(self, codes: np.ndarray, lens: np.ndarray):
@@ -167,46 +225,37 @@ class QueryEngine:
                     out[ridx] = (hit[j, :w], csid[j, :w])
         return out
 
-    def pseudoalign_codes_dedup(self, codes: np.ndarray, lens: np.ndarray):
-        """--deduplicate path (reference fetch_and_deduplicate_sets,
-        tools/pseudoalign.cpp:91-226): fetch per-read distinct color-set-id
-        lists, group identical lists, intersect each DISTINCT list once on
-        host dense bits, then fan results back out to reads."""
-        N = len(lens)
-        C = self.idx.num_colors
-        dense = self.idx.dense_color_bits()
-        ones = np.full(dense.shape[1], 0xFFFFFFFF, dtype=np.uint32)
-        groups: dict[bytes, list[int]] = {}
-        keys_per_read: list[bytes] = [b""] * N
-        pending = []
-        for sel, chunk in self._iter_batches(codes, lens):
-            pending.append((sel, query_window_csids(self.table, chunk, k=self.k)))
-        for sel, (hit, csid) in pending:
-            csid = np.asarray(csid[: len(sel)])
-            s = np.sort(csid, axis=1)
-            uniq_mask = np.concatenate(
-                [np.ones((len(sel), 1), dtype=bool), s[:, 1:] != s[:, :-1]], axis=1
-            ) & (s != INVALID_U32)
-            for j, ridx in enumerate(sel):
-                key = s[j][uniq_mask[j]].tobytes()
-                keys_per_read[ridx] = key
-                groups.setdefault(key, []).append(int(ridx))
-        results: list = [None] * N
-        for key, readlist in groups.items():
-            sids = np.frombuffer(key, dtype=np.uint32)
-            if len(sids) == 0:
-                colors = np.empty(0, dtype=np.uint32)
-            else:
-                acc = dense[sids.astype(np.int64)].copy()
-                word = acc[0]
-                for r in acc[1:]:
-                    word &= r
-                colors = np.flatnonzero(
-                    np.unpackbits(word.view(np.uint8), bitorder="little")[:C]
-                ).astype(np.uint32)
-            for ridx in readlist:
-                results[ridx] = colors
-        return results
+    # ---------------------------------------------------------------- streaming core
+
+    def _stream(self, query_path: str, dispatch, consume, need_names=False):
+        """Streaming driver: parse chunk -> dispatch(chunk)->device handles
+        (<=2 in flight) -> consume(qid0, n, lens, names, handle).
+        Returns (num_reads, long_read_qids)."""
+        from ..native.lib import ReadsStream
+
+        stream = ReadsStream(query_path, self.batch, row_len=MAX_STREAM_WIDTH)
+        inflight: deque = deque()
+        qid0 = 0
+        long_ids: list[int] = []
+        for codes, lens, names in stream:
+            n = len(lens)
+            maxl = int(lens.max()) if n else 0
+            too_long = lens > MAX_STREAM_WIDTH
+            if too_long.any():
+                long_ids.extend((qid0 + np.flatnonzero(too_long)).tolist())
+            W = self._width_for(min(maxl, MAX_STREAM_WIDTH))
+            chunk = np.ascontiguousarray(codes[:, :W])
+            if n < self.batch:
+                pad = np.full((self.batch - n, W), 4, dtype=np.uint8)
+                chunk = np.concatenate([chunk, pad], axis=0)
+            handle = dispatch(chunk)
+            inflight.append((qid0, n, lens, names if need_names else None, handle))
+            if len(inflight) > 2:
+                consume(*inflight.popleft())
+            qid0 += n
+        while inflight:
+            consume(*inflight.popleft())
+        return qid0, long_ids
 
     # ---------------------------------------------------------------- file drivers
 
@@ -221,83 +270,188 @@ class QueryEngine:
     ):
         from ..native import lib as native
 
+        C = self.idx.num_colors
         t0 = time.perf_counter()
-        codes, lens, _names = native.parse_reads(query_path)
-        t_parse = time.perf_counter() - t0
-        t0 = time.perf_counter()
+
         if deduplicate:
             assert threshold is None, "--deduplicate requires full-intersection"
+            codes, lens, _names = native.parse_reads(query_path)
             results = self.pseudoalign_codes_dedup(codes, lens)
-        else:
-            results = self.pseudoalign_codes(codes, lens, threshold)
-        t_query = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        fmtr = make_formatter(fmt, out_path, self.idx.num_colors)
-        B = 1 << 16
-        for lo in range(0, len(results), B):
-            fmtr.write_batch(range(lo, min(len(results), lo + B)), results[lo : lo + B])
+            fmtr = make_formatter(fmt, out_path, C)
+            B = 1 << 16
+            for lo in range(0, len(results), B):
+                fmtr.write_batch(
+                    range(lo, min(len(results), lo + B)), results[lo : lo + B]
+                )
+            fmtr.close()
+            num_mapped = sum(1 for r in results if len(r))
+            elapsed = time.perf_counter() - t0
+            stats = dict(
+                num_reads=len(results), num_mapped=num_mapped,
+                parse_sec=0.0, query_sec=elapsed, write_sec=0.0,
+            )
+            if verbose:
+                self._print_stats(stats, elapsed)
+            return stats
+
+        fmtr = make_formatter(fmt, out_path, C)
+        num_mapped = 0
+        num_reads = 0
+
+        def dispatch(chunk):
+            codes2, bad = pack_reads_host(chunk)
+            if threshold is None:
+                return query_full_intersection_packed(
+                    self.table, self.bits, codes2, bad, k=self.k, width=chunk.shape[1]
+                )
+            return query_threshold_union_packed(
+                self.table, self.bits, codes2, bad,
+                k=self.k, width=chunk.shape[1], num_colors=C,
+            )
+
+        def consume(qid0, n, lens, _names, handle):
+            nonlocal num_mapped, num_reads
+            if threshold is None:
+                lists, counts = self._bits_to_lists(np.asarray(handle[:n]), C)
+            else:
+                lists, counts = self._scores_to_lists(
+                    np.asarray(handle[0][:n]), np.asarray(handle[1][:n]), threshold
+                )
+            keep = lens <= MAX_STREAM_WIDTH
+            if keep.all():
+                fmtr.write_batch(range(qid0, qid0 + n), lists)
+                num_mapped += int((counts > 0).sum())
+            else:
+                ids = qid0 + np.flatnonzero(keep)
+                sel = [lists[j] for j in np.flatnonzero(keep)]
+                fmtr.write_batch(ids, sel)
+                num_mapped += sum(1 for s in sel if len(s))
+            num_reads += n
+
+        total, long_ids = self._stream(query_path, dispatch, consume)
+        if long_ids:
+            # exact host pass for reads wider than the stream ladder
+            codes, lens, _names = native.parse_reads(query_path)
+            extra = []
+            for qid in long_ids:
+                row = codes[qid][: lens[qid]]
+                if threshold is None:
+                    extra.append(self._host_full_intersection(row))
+                else:
+                    extra.append(self._host_threshold(row, threshold))
+            fmtr.write_batch(long_ids, extra)
+            num_mapped += sum(1 for s in extra if len(s))
         fmtr.close()
-        t_write = time.perf_counter() - t0
-        num_mapped = sum(1 for r in results if len(r))
+
+        elapsed = time.perf_counter() - t0
         stats = dict(
-            num_reads=len(results),
+            num_reads=num_reads,
             num_mapped=num_mapped,
-            parse_sec=t_parse,
-            query_sec=t_query,
-            write_sec=t_write,
+            parse_sec=0.0,
+            query_sec=elapsed,
+            write_sec=0.0,
         )
         if verbose:
-            n = max(1, len(results))
-            total = t_parse + t_query + t_write
-            print(f"mapped {len(results)} reads")
-            print(
-                f"elapsed = {total * 1e3:.0f} millisec / {total:.3f} sec / "
-                f"{total / 60:.5f} min / {total * 1e6 / n:.4f} musec/read"
-            )
-            print(
-                f"num_mapped_reads {num_mapped}/{len(results)} "
-                f"({100.0 * num_mapped / n:.3f}%)"
-            )
+            self._print_stats(stats, elapsed)
         return stats
 
-    def kmer_conservation_file(self, query_path: str, out_path: str, verbose=False):
-        from ..native import lib as native
+    @staticmethod
+    def _print_stats(stats, elapsed):
+        n = max(1, stats["num_reads"])
+        print(f"mapped {stats['num_reads']} reads")
+        print(
+            f"elapsed = {elapsed * 1e3:.0f} millisec / {elapsed:.3f} sec / "
+            f"{elapsed / 60:.5f} min / {elapsed * 1e6 / n:.4f} musec/read"
+        )
+        print(
+            f"num_mapped_reads {stats['num_mapped']}/{stats['num_reads']} "
+            f"({100.0 * stats['num_mapped'] / n:.3f}%)"
+        )
 
-        codes, lens, names = native.parse_reads(query_path)
-        per_read = self.window_csids_codes(codes, lens)
-        with open(out_path, "w", buffering=1 << 20) as f:
-            for name, (hit, csid) in zip(names, per_read):
-                triples = conservation_runs(hit, csid)
-                if triples:
-                    f.write(
-                        f"{name}\t{len(triples)}\t"
-                        + "\t".join(f"({p} {n} {i})" for p, n, i in triples)
-                        + "\n"
-                    )
-                else:
-                    f.write(f"{name}\t0\n")
-        return dict(num_reads=len(names))
+    def kmer_conservation_file(self, query_path: str, out_path: str, verbose=False):
+        f = open(out_path, "w", buffering=1 << 20)
+
+        def write_one(name, hit, csid):
+            triples = conservation_runs(hit, csid)
+            if triples:
+                f.write(
+                    f"{name}\t{len(triples)}\t"
+                    + "\t".join(f"({p} {nn} {i})" for p, nn, i in triples)
+                    + "\n"
+                )
+            else:
+                f.write(f"{name}\t0\n")
+
+        def dispatch(chunk):
+            codes2, bad = pack_reads_host(chunk)
+            return query_window_csids_packed(
+                self.table, codes2, bad, k=self.k, width=chunk.shape[1]
+            )
+
+        def consume(qid0, n, lens, names, handle):
+            hit = np.asarray(handle[0][:n])
+            csid = np.asarray(handle[1][:n])
+            W = hit.shape[1]
+            for j in range(n):
+                w = max(0, int(lens[j]) - self.k + 1)
+                if w > W:
+                    continue  # long read: handled in the final pass
+                write_one(names[j], hit[j, :w], csid[j, :w])
+
+        total, long_ids = self._stream(query_path, dispatch, consume, need_names=True)
+        if long_ids:
+            from ..native import lib as native
+
+            codes, lens, names = native.parse_reads(query_path)
+            for qid in long_ids:
+                c = self._host_csids(codes[qid][: lens[qid]])
+                write_one(names[qid], c != INVALID_U32, c)
+        f.close()
+        return dict(num_reads=total)
 
     def kmer_matches_file(self, query_path: str, out_path: str, verbose=False):
-        from ..native import lib as native
-
         cat, offs = self._cs_cache
-        codes, lens, names = native.parse_reads(query_path)
-        per_read = self.window_csids_codes(codes, lens)
         C = self.idx.num_colors
-        with open(out_path, "w", buffering=1 << 20) as f:
-            f.write(f"num_colors={C}\n")
-            for name, (hit, csid) in zip(names, per_read):
-                counts = np.zeros(C, dtype=np.int64)
-                for sid in csid[hit]:
-                    counts[cat[offs[sid] : offs[sid + 1]].astype(np.int64)] += 1
+        f = open(out_path, "w", buffering=1 << 20)
+        f.write(f"num_colors={C}\n")
+
+        def write_one(name, hit, csid):
+            counts = np.zeros(C, dtype=np.int64)
+            for sid in csid[hit]:
+                counts[cat[offs[sid] : offs[sid + 1]].astype(np.int64)] += 1
+            cntstr = "\t".join(map(str, counts))
+            if len(hit):
                 bitstr = "\t".join("1" if h else "0" for h in hit)
-                cntstr = "\t".join(map(str, counts))
-                if len(hit):
-                    f.write(f"{name}\t{len(hit)}\t{bitstr}\t{cntstr}\n")
-                else:
-                    f.write(f"{name}\t0\t{cntstr}\n")
-        return dict(num_reads=len(names))
+                f.write(f"{name}\t{len(hit)}\t{bitstr}\t{cntstr}\n")
+            else:
+                f.write(f"{name}\t0\t{cntstr}\n")
+
+        def dispatch(chunk):
+            codes2, bad = pack_reads_host(chunk)
+            return query_window_csids_packed(
+                self.table, codes2, bad, k=self.k, width=chunk.shape[1]
+            )
+
+        def consume(qid0, n, lens, names, handle):
+            hit = np.asarray(handle[0][:n])
+            csid = np.asarray(handle[1][:n])
+            W = hit.shape[1]
+            for j in range(n):
+                w = max(0, int(lens[j]) - self.k + 1)
+                if w > W:
+                    continue
+                write_one(names[j], hit[j, :w], csid[j, :w])
+
+        total, long_ids = self._stream(query_path, dispatch, consume, need_names=True)
+        if long_ids:
+            from ..native import lib as native
+
+            codes, lens, names = native.parse_reads(query_path)
+            for qid in long_ids:
+                c = self._host_csids(codes[qid][: lens[qid]])
+                write_one(names[qid], c != INVALID_U32, c)
+        f.close()
+        return dict(num_reads=total)
 
 
 def conservation_runs(hit: np.ndarray, csid: np.ndarray):
