@@ -83,3 +83,17 @@ def query_threshold_union_packed(
 def query_window_csids_packed(table, codes2, bad, *, k: int, width: int):
     codes = unpack_reads(codes2, bad, width)
     return lookup_batch(table, codes, k)
+
+
+@partial(jax.jit, static_argnames=("k", "width", "num_colors"))
+def query_kmer_matches_packed(table, dense_bits, codes2, bad, *, k, width, num_colors):
+    """kmer-matches (reference src/kmer_matches.cpp): per-window positivity
+    plus counts[c] = #positive windows whose set contains c — identical
+    algebra to the threshold-union scores matmul with unit weights."""
+    codes = unpack_reads(codes2, bad, width)
+    hit, csid = lookup_batch(table, codes, k)
+    if dense_bits.shape[0] <= ONEHOT_MAX_SETS:
+        scores = threshold_union_scores_onehot(dense_bits, hit, csid, num_colors)
+    else:
+        scores = threshold_union_scores_windows(dense_bits, hit, csid, num_colors)
+    return hit, scores

@@ -31,6 +31,7 @@ from ..ops.lookup import pack_reads_host
 from ..ops.pipeline import (
     query_full_intersection,
     query_full_intersection_packed,
+    query_kmer_matches_packed,
     query_threshold_union,
     query_threshold_union_packed,
     query_window_csids,
@@ -415,10 +416,7 @@ class QueryEngine:
         f = open(out_path, "w", buffering=1 << 20)
         f.write(f"num_colors={C}\n")
 
-        def write_one(name, hit, csid):
-            counts = np.zeros(C, dtype=np.int64)
-            for sid in csid[hit]:
-                counts[cat[offs[sid] : offs[sid + 1]].astype(np.int64)] += 1
+        def write_line(name, hit, counts):
             cntstr = "\t".join(map(str, counts))
             if len(hit):
                 bitstr = "\t".join("1" if h else "0" for h in hit)
@@ -428,19 +426,20 @@ class QueryEngine:
 
         def dispatch(chunk):
             codes2, bad = pack_reads_host(chunk)
-            return query_window_csids_packed(
-                self.table, codes2, bad, k=self.k, width=chunk.shape[1]
+            return query_kmer_matches_packed(
+                self.table, self.bits, codes2, bad,
+                k=self.k, width=chunk.shape[1], num_colors=C,
             )
 
         def consume(qid0, n, lens, names, handle):
             hit = np.asarray(handle[0][:n])
-            csid = np.asarray(handle[1][:n])
+            counts = np.asarray(handle[1][:n]).astype(np.int64)
             W = hit.shape[1]
             for j in range(n):
                 w = max(0, int(lens[j]) - self.k + 1)
                 if w > W:
                     continue
-                write_one(names[j], hit[j, :w], csid[j, :w])
+                write_line(names[j], hit[j, :w], counts[j])
 
         total, long_ids = self._stream(query_path, dispatch, consume, need_names=True)
         if long_ids:
@@ -449,7 +448,11 @@ class QueryEngine:
             codes, lens, names = native.parse_reads(query_path)
             for qid in long_ids:
                 c = self._host_csids(codes[qid][: lens[qid]])
-                write_one(names[qid], c != INVALID_U32, c)
+                hitm = c != INVALID_U32
+                counts = np.zeros(C, dtype=np.int64)
+                for sid in c[hitm]:
+                    counts[cat[offs[sid] : offs[sid + 1]].astype(np.int64)] += 1
+                write_line(names[qid], hitm, counts)
         f.close()
         return dict(num_reads=total)
 
