@@ -18,11 +18,13 @@
 //    stream order is not rebuild-stable, README.md:318)
 
 #include <algorithm>
+#include <atomic>
 #include <cassert>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -172,11 +174,35 @@ struct Graph {
     int k;
     std::vector<uint64_t> kmers;  // sorted distinct canonical
     std::vector<uint32_t> kset;   // intern id per kmer
+    // open-addressing index over kmers (linear probing) — the walk makes
+    // ~8 membership queries per kmer; binary search would dominate build
+    std::vector<uint64_t> hkey;
+    std::vector<uint32_t> hval;
+    uint64_t hmask = 0;
+
+    void build_hash() {
+        uint64_t cap = 1;
+        while (cap < kmers.size() * 8 / 5 + 1) cap <<= 1;
+        hmask = cap - 1;
+        hkey.assign(cap, ~0ULL);
+        hval.assign(cap, UINT32_MAX);
+        for (size_t i = 0; i < kmers.size(); ++i) {
+            uint64_t h = kmers[i] * 0x9E3779B97F4A7C15ULL;
+            uint64_t p = (h ^ (h >> 29)) & hmask;
+            while (hval[p] != UINT32_MAX) p = (p + 1) & hmask;
+            hkey[p] = kmers[i];
+            hval[p] = (uint32_t)i;
+        }
+    }
 
     inline int64_t find(uint64_t x) const {
-        auto it = std::lower_bound(kmers.begin(), kmers.end(), x);
-        if (it != kmers.end() && *it == x) return it - kmers.begin();
-        return -1;
+        uint64_t h = x * 0x9E3779B97F4A7C15ULL;
+        uint64_t p = (h ^ (h >> 29)) & hmask;
+        for (;;) {
+            if (hval[p] == UINT32_MAX) return -1;
+            if (hkey[p] == x) return hval[p];
+            p = (p + 1) & hmask;
+        }
     }
     inline uint64_t canon(uint64_t x) const {
         uint64_t r = revcomp(x, k);
@@ -242,21 +268,51 @@ extern "C" int fn_build_ccdbg(const char* paths, int num_files, int k, CcdbgOut*
     if (k < 1 || k > 31 || (k % 2) == 0) return 2;
     std::vector<KC> pairs;
     {
-        const char* p = paths;
-        std::vector<uint64_t> gk;
+        // per-genome distinct canonical k-mers, parsed in parallel
+        std::vector<const char*> files(num_files);
+        {
+            const char* p = paths;
+            for (int i = 0; i < num_files; ++i) {
+                files[i] = p;
+                p += strlen(p) + 1;
+            }
+        }
+        std::vector<std::vector<uint64_t>> per_genome(num_files);
+        std::atomic<int> next{0};
+        std::atomic<bool> failed{false};
+        int nthreads = (int)std::min<size_t>(
+            {(size_t)num_files, std::max(1u, std::thread::hardware_concurrency()), 16});
+        auto work = [&]() {
+            for (;;) {
+                int color = next.fetch_add(1);
+                if (color >= num_files || failed.load()) return;
+                auto& gk = per_genome[color];
+                RollingKmers rk(k, &gk);
+                bool ok = stream_fastx(
+                    files[color], [&](uint8_t c) { rk.push(c); }, [&]() { rk.reset(); });
+                if (!ok) {
+                    failed.store(true);
+                    return;
+                }
+                std::sort(gk.begin(), gk.end());
+                gk.erase(std::unique(gk.begin(), gk.end()), gk.end());
+            }
+        };
+        std::vector<std::thread> ths;
+        for (int t = 0; t < nthreads; ++t) ths.emplace_back(work);
+        for (auto& t : ths) t.join();
+        if (failed.load()) return 1;
+        size_t total = 0;
+        for (auto& g : per_genome) total += g.size();
+        pairs.resize(total);
+        size_t base = 0;
         for (int color = 0; color < num_files; ++color) {
-            gk.clear();
-            RollingKmers rk(k, &gk);
-            bool ok = stream_fastx(
-                p, [&](uint8_t c) { rk.push(c); }, [&]() { rk.reset(); });
-            if (!ok) return 1;
-            std::sort(gk.begin(), gk.end());
-            gk.erase(std::unique(gk.begin(), gk.end()), gk.end());
-            size_t base = pairs.size();
-            pairs.resize(base + gk.size());
+            auto& gk = per_genome[color];
             for (size_t i = 0; i < gk.size(); ++i)
                 pairs[base + i] = {gk[i], (uint32_t)color};
-            p += strlen(p) + 1;
+            base += gk.size();
+            gk.clear();
+            gk.shrink_to_fit();
         }
     }
     std::sort(pairs.begin(), pairs.end(), [](const KC& a, const KC& b) {
@@ -304,7 +360,29 @@ extern "C" int fn_build_ccdbg(const char* paths, int num_files, int k, CcdbgOut*
         pairs.shrink_to_fit();
     }
 
+    g.build_hash();
     const int64_t nk = (int64_t)g.kmers.size();
+    // parallel start classification (read-only on the graph)
+    std::vector<uint8_t> start_orient(nk, 255);  // 0=fwd, 1=rc, 255=none
+    {
+        int nthreads = (int)std::min<unsigned>(
+            std::max(1u, std::thread::hardware_concurrency()), 16);
+        std::vector<std::thread> ths;
+        int64_t step = (nk + nthreads - 1) / nthreads;
+        for (int t = 0; t < nthreads; ++t) {
+            int64_t lo = t * step, hi = std::min(nk, lo + step);
+            ths.emplace_back([&, lo, hi]() {
+                for (int64_t idx = lo; idx < hi; ++idx) {
+                    uint64_t x0 = g.kmers[idx];
+                    if (g.is_start(idx, x0))
+                        start_orient[idx] = 0;
+                    else if (g.is_start(idx, revcomp(x0, k)))
+                        start_orient[idx] = 1;
+                }
+            });
+        }
+        for (auto& t : ths) t.join();
+    }
     std::vector<uint8_t> visited(nk, 0);
 
     struct Uni {
@@ -344,12 +422,8 @@ extern "C" int fn_build_ccdbg(const char* paths, int num_files, int k, CcdbgOut*
     };
 
     for (int64_t idx = 0; idx < nk; ++idx) {
-        if (visited[idx]) continue;
-        uint64_t x0 = g.kmers[idx];
-        if (g.is_start(idx, x0))
-            walk_emit(idx, 0);
-        else if (g.is_start(idx, revcomp(x0, k)))
-            walk_emit(idx, 1);
+        if (visited[idx] || start_orient[idx] == 255) continue;
+        walk_emit(idx, start_orient[idx]);
     }
     for (int64_t idx = 0; idx < nk; ++idx)
         if (!visited[idx]) walk_emit(idx, 0);  // pure cycles
