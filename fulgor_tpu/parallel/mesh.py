@@ -34,7 +34,7 @@ from ..ops.intersect import (
     full_intersection_runs,
     threshold_union_scores_runs,
 )
-from ..ops.lookup import lookup_batch
+from ..ops.lookup import lookup_batch, unpack_reads
 
 
 def make_mesh(devices=None, data: int | None = None, color: int | None = None) -> Mesh:
@@ -118,3 +118,63 @@ def shard_inputs(mesh: Mesh, table, bits, codes):
         jax.device_put(bits, NamedSharding(mesh, P(None, "color"))),
         jax.device_put(codes, NamedSharding(mesh, P(("data", "color"), None))),
     )
+
+
+def make_sharded_full_intersection_packed(mesh: Mesh, k: int, width: int, max_runs: int):
+    """Packed-read variant of make_sharded_full_intersection (2-bit codes +
+    validity bitmask, see ops/lookup.pack_reads_host)."""
+
+    def step(table, bits_shard, codes2, bad):
+        codes = unpack_reads(codes2, bad, width)
+        hit, csid = lookup_batch(table, codes, k)
+        run_csid, _cnt, ovf = compact_runs(hit, csid, max_runs)
+        mapped = jnp.any(hit, axis=1)
+        run_all = jax.lax.all_gather(run_csid, "color", axis=0, tiled=True)
+        mapped_all = jax.lax.all_gather(mapped, "color", axis=0, tiled=True)
+        ovf_all = jax.lax.all_gather(ovf, "color", axis=0, tiled=True)
+        out = full_intersection_runs(bits_shard, run_all, mapped_all)
+        return out, mapped_all, ovf_all
+
+    sm = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P(None, "color"), P(("data", "color"), None), P(("data", "color"), None)),
+        out_specs=(P("data", "color"), P("data"), P("data")),
+        check_vma=False,
+    )
+    return jax.jit(sm)
+
+
+def make_sharded_threshold_union_packed(
+    mesh: Mesh, k: int, width: int, num_colors_padded: int, max_runs: int
+):
+    P_ = mesh.shape["color"]
+    assert num_colors_padded % (32 * P_) == 0
+
+    def step(table, bits_shard, codes2, bad):
+        codes = unpack_reads(codes2, bad, width)
+        hit, csid = lookup_batch(table, codes, k)
+        run_csid, run_cnt, ovf = compact_runs(hit, csid, max_runs)
+        npos = jnp.sum(hit.astype(jnp.int32), axis=1)
+        run_all = jax.lax.all_gather(run_csid, "color", axis=0, tiled=True)
+        cnt_all = jax.lax.all_gather(run_cnt, "color", axis=0, tiled=True)
+        npos_all = jax.lax.all_gather(npos, "color", axis=0, tiled=True)
+        ovf_all = jax.lax.all_gather(ovf, "color", axis=0, tiled=True)
+        scores = threshold_union_scores_runs(
+            bits_shard, run_all, cnt_all, num_colors_padded // P_
+        )
+        return scores, npos_all, ovf_all
+
+    sm = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P(None, "color"), P(("data", "color"), None), P(("data", "color"), None)),
+        out_specs=(P("data", "color"), P("data"), P("data")),
+        check_vma=False,
+    )
+    return jax.jit(sm)
+
+
+def place_packed(mesh: Mesh, codes2, bad):
+    sh = NamedSharding(mesh, P(("data", "color"), None))
+    return jax.device_put(codes2, sh), jax.device_put(bad, sh)

@@ -58,13 +58,36 @@ def bucket_widths(lens: np.ndarray, k: int, max_buckets: int = 4):
 
 
 class QueryEngine:
-    def __init__(self, index: Index, batch_size: int = 32768):
+    """use_mesh: None = auto (mesh when >1 device), True/False to force.
+    With a mesh, reads are data-parallel and the color-bit words are
+    tensor-parallel across all devices (parallel/mesh.py)."""
+
+    def __init__(self, index: Index, batch_size: int = 32768, use_mesh=None):
         self.idx = index
-        self.batch = batch_size
         self.k = index.k
-        self.table = jnp.asarray(index.dict_table)
-        self.bits = jnp.asarray(index.dense_color_bits())
         self._cs_cache = index.color_sets_decoded()
+        n_dev = len(jax.devices())
+        self.mesh = None
+        if use_mesh or (use_mesh is None and n_dev > 1):
+            from ..parallel import mesh as M
+
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self.mesh = M.make_mesh()
+            shards = self.mesh.shape["color"]
+            bits = M.pad_bits_for_mesh(index.dense_color_bits(), shards)
+            self.table = jax.device_put(
+                index.dict_table, NamedSharding(self.mesh, P())
+            )
+            self.bits = jax.device_put(bits, NamedSharding(self.mesh, P(None, "color")))
+            self._mesh_mod = M
+            n_cells = self.mesh.shape["data"] * shards
+            batch_size = _round_up(batch_size, n_cells)
+        else:
+            self.table = jnp.asarray(index.dict_table)
+            self.bits = jnp.asarray(index.dense_color_bits())
+        self.batch = batch_size
+        self._mesh_fns = {}
 
     # ---------------------------------------------------------------- helpers
 
@@ -228,6 +251,28 @@ class QueryEngine:
 
     # ---------------------------------------------------------------- streaming core
 
+    def _mesh_dispatch(self, chunk, threshold, C):
+        """Sharded dispatch for one packed chunk (exact: max_runs = #windows)."""
+        M = self._mesh_mod
+        W = chunk.shape[1]
+        codes2, bad = pack_reads_host(chunk)
+        codes2, bad = M.place_packed(self.mesh, codes2, bad)
+        max_runs = W - self.k + 1
+        key = ("fi" if threshold is None else "tu", W)
+        if key not in self._mesh_fns:
+            if threshold is None:
+                self._mesh_fns[key] = M.make_sharded_full_intersection_packed(
+                    self.mesh, self.k, W, max_runs
+                )
+            else:
+                self._mesh_fns[key] = M.make_sharded_threshold_union_packed(
+                    self.mesh, self.k, W, self.bits.shape[1] * 32, max_runs
+                )
+        out = self._mesh_fns[key](self.table, self.bits, codes2, bad)
+        if threshold is None:
+            return out[0]  # (B, C32pad) result bits
+        return out[0][:, :C], out[1]  # scores (slice pad), npos
+
     def _stream(self, query_path: str, dispatch, consume, need_names=False):
         """Streaming driver: parse chunk -> dispatch(chunk)->device handles
         (<=2 in flight) -> consume(qid0, n, lens, names, handle).
@@ -300,6 +345,8 @@ class QueryEngine:
         num_reads = 0
 
         def dispatch(chunk):
+            if self.mesh is not None:
+                return self._mesh_dispatch(chunk, threshold, C)
             codes2, bad = pack_reads_host(chunk)
             if threshold is None:
                 return query_full_intersection_packed(

@@ -11,6 +11,7 @@ from fulgor_tpu.ops.pipeline import query_full_intersection, query_threshold_uni
 from fulgor_tpu.parallel import mesh as M
 from tests.test_ccdbg import random_genomes
 from tests.test_native import write_fasta
+import numpy as np
 
 K_LEN = 13
 
@@ -66,3 +67,38 @@ def test_sharded_threshold_union(setup):
     )
     np.testing.assert_array_equal(np.asarray(scores), np.asarray(ref_scores))
     np.testing.assert_array_equal(np.asarray(npos), np.asarray(ref_npos))
+
+
+def test_engine_mesh_equals_single(tmp_path):
+    """QueryEngine(use_mesh=True) over the 8-device CPU mesh must match the
+    single-device engine byte for byte."""
+    import gzip
+
+    from fulgor_tpu.build.builder import build_index
+    from fulgor_tpu.query.engine import QueryEngine
+
+    rng = np.random.default_rng(9)
+    genomes = random_genomes(rng, num_colors=40, length=800, mut=0.04, k=K_LEN)
+    paths = []
+    for i, seqs in enumerate(genomes):
+        p = str(tmp_path / f"g{i}.fa")
+        write_fasta(p, seqs)
+        paths.append(p)
+    idx = build_index(paths, k=K_LEN, m=9)
+    qfile = str(tmp_path / "reads.fq.gz")
+    with gzip.open(qfile, "wt") as f:
+        for i in range(100):
+            g = rng.integers(0, len(genomes))
+            s = genomes[g][0]
+            p = rng.integers(0, len(s) - 50)
+            f.write(f"@r{i}\n{s[p : p + 50]}\n+\n{'I' * 50}\n")
+    out1 = str(tmp_path / "single.tsv")
+    out2 = str(tmp_path / "mesh.tsv")
+    out3 = str(tmp_path / "mesh_thr.tsv")
+    out4 = str(tmp_path / "single_thr.tsv")
+    QueryEngine(idx, batch_size=64, use_mesh=False).pseudoalign_file(qfile, out1)
+    QueryEngine(idx, batch_size=64, use_mesh=True).pseudoalign_file(qfile, out2)
+    assert open(out1).read() == open(out2).read()
+    QueryEngine(idx, batch_size=64, use_mesh=False).pseudoalign_file(qfile, out4, threshold=0.8)
+    QueryEngine(idx, batch_size=64, use_mesh=True).pseudoalign_file(qfile, out3, threshold=0.8)
+    assert open(out3).read() == open(out4).read()
