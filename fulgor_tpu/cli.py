@@ -39,6 +39,15 @@ def cmd_build(args):
         if not ok:
             sys.exit(1)
         print("EVERYTHING OK!")
+    if args.meta or args.diff:
+        from .build.color_builder import check_conversion, convert
+
+        conv = convert(idx, meta=args.meta, diff=args.diff)
+        conv_path = args.output + EXT[conv.kind]
+        conv.save(conv_path)
+        print(f"index written to '{conv_path}'")
+        if args.check and not check_conversion(idx, conv):
+            sys.exit(1)
     return 0
 
 
@@ -188,6 +197,10 @@ def main(argv=None):
     b.add_argument("-t", dest="threads", type=int, default=1, help="(accepted for parity)")
     b.add_argument("--verbose", action="store_true")
     b.add_argument("--check", action="store_true")
+    b.add_argument("--meta", action="store_true",
+                   help="also build the meta-colored index")
+    b.add_argument("--diff", action="store_true",
+                   help="also build the differential-colored index")
     b.set_defaults(fn=cmd_build)
 
     def add_query_args(q):
@@ -260,6 +273,9 @@ def main(argv=None):
     pm.add_argument("-i", dest="index_filename", required=True)
     pm.add_argument("-o", dest="output", required=True)
     pm.set_defaults(fn=cmd_permute)
+
+    hp = sub.add_parser("help", help="print this helper and exit gracefully")
+    hp.set_defaults(fn=lambda a: (p.print_help(), 0)[1])
 
     args = p.parse_args(argv)
     if getattr(args, "threshold", None) is not None and not (0.0 < args.threshold <= 1.0):

@@ -94,6 +94,12 @@ def encode_delta_lists(lists_cat: np.ndarray, offs: np.ndarray, headers: np.ndar
 def decode_delta_lists(words: np.ndarray, bit_offs: np.ndarray, num_headers: int = 0):
     """Inverse of encode_delta_lists (native-accelerated when available).
     -> (headers (n, num_headers) i64, cat u32, offs i64)."""
+    try:
+        from ..native import lib as _native
+
+        return _native.delta_records_decode(words, bit_offs, num_headers)
+    except Exception:
+        pass
     n = len(bit_offs) - 1
     headers = np.zeros((n, num_headers), dtype=np.int64)
     sizes = np.zeros(n, dtype=np.int64)

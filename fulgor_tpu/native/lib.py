@@ -80,6 +80,17 @@ def _load():
             ct.POINTER(ct.c_int64),
         ]
         lib.fn_format_psa_ascii.restype = ct.c_int
+        lib.fn_delta_records_decode.argtypes = [
+            ct.POINTER(ct.c_uint64),
+            ct.POINTER(ct.c_uint64),
+            ct.c_int64,
+            ct.c_int,
+            ct.POINTER(ct.POINTER(ct.c_int64)),
+            ct.POINTER(ct.POINTER(ct.c_uint32)),
+            ct.POINTER(ct.POINTER(ct.c_int64)),
+            ct.POINTER(ct.c_int64),
+        ]
+        lib.fn_delta_records_decode.restype = ct.c_int
         _lib = lib
         return lib
 
@@ -280,3 +291,35 @@ class ReadsStream:
         if self._h is not None:
             self._lib.fn_reads_close(self._h)
             self._h = None
+
+
+def delta_records_decode(words: np.ndarray, bit_offs: np.ndarray, num_headers: int):
+    """-> (headers (n, H) i64, cat u32, offs i64); see encode_delta_lists."""
+    lib = _load()
+    words = np.ascontiguousarray(words, dtype=np.uint64)
+    if len(words) == 0:
+        words = np.zeros(1, dtype=np.uint64)
+    offs_in = np.ascontiguousarray(bit_offs, dtype=np.uint64)
+    n = len(offs_in) - 1
+    h_p = ct.POINTER(ct.c_int64)()
+    cat_p = ct.POINTER(ct.c_uint32)()
+    offs_p = ct.POINTER(ct.c_int64)()
+    cat_len = ct.c_int64()
+    rc = lib.fn_delta_records_decode(
+        words.ctypes.data_as(ct.POINTER(ct.c_uint64)),
+        offs_in.ctypes.data_as(ct.POINTER(ct.c_uint64)),
+        n,
+        num_headers,
+        ct.byref(h_p),
+        ct.byref(cat_p),
+        ct.byref(offs_p),
+        ct.byref(cat_len),
+    )
+    if rc != 0:
+        raise RuntimeError("delta_records_decode failed")
+    headers = _take(h_p, max(1, n * num_headers), np.int64)[: n * num_headers].reshape(
+        n, num_headers
+    )
+    cat = _take(cat_p, cat_len.value, np.uint32)
+    offs = _take(offs_p, n + 1, np.int64)
+    return headers, cat, offs

@@ -972,3 +972,37 @@ extern "C" int64_t fn_reads_next(void* h, int64_t max_reads, int32_t row_len,
     }
     return take;
 }
+
+// ---------------------------------------------------------------- delta records
+
+// Decode records of the form [delta(hdr_0)..delta(hdr_{H-1}) delta(n)
+// delta(first) delta(gap-1)...] — the diff/meta-diff stream layout
+// (core/colorstores.encode_delta_lists).
+extern "C" int fn_delta_records_decode(const uint64_t* words, const uint64_t* bit_offs,
+                                       int64_t n_recs, int num_headers,
+                                       int64_t** out_headers, uint32_t** out_cat,
+                                       int64_t** out_offs, int64_t* out_len) {
+    int64_t* headers = (int64_t*)malloc(std::max<int64_t>(1, n_recs * num_headers) * 8);
+    int64_t* offs = (int64_t*)malloc((n_recs + 1) * 8);
+    std::vector<uint32_t> cat;
+    offs[0] = 0;
+    for (int64_t i = 0; i < n_recs; ++i) {
+        BitRd r{words, bit_offs[i]};
+        for (int j = 0; j < num_headers; ++j) headers[i * num_headers + j] = (int64_t)r.delta();
+        uint64_t n = r.delta();
+        uint32_t prev = 0;
+        for (uint64_t t = 0; t < n; ++t) {
+            uint64_t d = r.delta();
+            prev = (t == 0) ? (uint32_t)d : prev + 1 + (uint32_t)d;
+            cat.push_back(prev);
+        }
+        offs[i + 1] = (int64_t)cat.size();
+    }
+    uint32_t* catp = (uint32_t*)malloc(cat.size() * 4 + 4);
+    memcpy(catp, cat.data(), cat.size() * 4);
+    *out_headers = headers;
+    *out_cat = catp;
+    *out_offs = offs;
+    *out_len = (int64_t)cat.size();
+    return 0;
+}
