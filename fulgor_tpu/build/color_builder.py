@@ -32,22 +32,31 @@ DENSITY_SLICES = (0.0, 0.25, 0.5, 0.75, 1.0)  # differential_builder.hpp:14
 
 def sketch_colors_by_unitigs(idx: Index) -> np.ndarray:
     """HLL per color over the unitig ids containing that color
-    (reference build_util.hpp:8-146). -> (num_colors, 2^p) uint8."""
+    (reference build_util.hpp:8-146). -> (num_colors, 2^p) uint8.
+
+    Two-level merge exploiting HLL's max-mergeability: sketch each SET over
+    its unitig ids (one pass over all unitigs), then each color's sketch =
+    register-max over the sets containing it (chunked np.maximum.at). This
+    turns O(sum |set| * unitigs(set)) scalar adds into O(unitigs) adds +
+    O(total ints in sets) register merges."""
     cat, offs = idx.color_sets_decoded()
-    regs = np.zeros((idx.num_colors, 1 << SK.HLL_P), dtype=np.uint8)
-    # unitigs of set s: all unitigs with u2c == s; iterate sets, add unitig
-    # ids to each member color's sketch
+    S = idx.num_color_sets
+    R = 1 << SK.HLL_P
+    regs_sets = np.zeros((S, R), dtype=np.uint8)
     u2c = idx.u2c_csid.astype(np.int64)
-    order = np.argsort(u2c, kind="stable")
-    sorted_cs = u2c[order]
-    starts = np.searchsorted(sorted_cs, np.arange(idx.num_color_sets))
-    ends = np.searchsorted(sorted_cs, np.arange(idx.num_color_sets), side="right")
-    for s in range(idx.num_color_sets):
-        unitigs = order[starts[s] : ends[s]].astype(np.uint64)
-        if len(unitigs) == 0:
-            continue
-        for c in cat[offs[s] : offs[s + 1]]:
-            SK.hll_add(regs[c], unitigs)
+    uid = np.arange(len(u2c), dtype=np.uint64)
+    idx_r, rank = SK.hll_parts(uid)
+    np.maximum.at(regs_sets, (u2c, idx_r), rank)
+    regs = np.zeros((idx.num_colors, R), dtype=np.uint8)
+    sizes = (offs[1:] - offs[:-1]).astype(np.int64)
+    set_of_pair = np.repeat(np.arange(S, dtype=np.int64), sizes)
+    color_of_pair = cat.astype(np.int64)
+    CH = 1 << 16
+    for lo in range(0, len(cat), CH):
+        hi = min(len(cat), lo + CH)
+        np.maximum.at(
+            regs, color_of_pair[lo:hi], regs_sets[set_of_pair[lo:hi]]
+        )
     return regs
 
 

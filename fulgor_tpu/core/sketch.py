@@ -24,6 +24,16 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
+def hll_parts(values: np.ndarray):
+    """-> (register index, rank) per value — for vectorized scatter-max."""
+    h = _splitmix64(np.asarray(values, dtype=np.uint64))
+    idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rest = (h << np.uint64(HLL_P)) | np.uint64((1 << HLL_P) - 1)
+    lz = (63 - np.floor(np.log2(rest.astype(np.float64) + 0.0))).astype(np.int64)
+    rank = (lz + 1).astype(np.uint8)
+    return idx, rank
+
+
 def hll_add(registers: np.ndarray, values: np.ndarray):
     """Add uint64 values into a (2^p,) uint8 register array (in place)."""
     h = _splitmix64(np.asarray(values, dtype=np.uint64))
