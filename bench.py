@@ -89,6 +89,22 @@ def main():
         f"write {stats['write_sec']:.2f}s); mapped {stats['num_mapped']}",
         file=sys.stderr,
     )
+
+    # secondary configs (BASELINE.json): threshold-union, kmer-conservation,
+    # kmer-matches — recorded on stderr; the JSON line below is the primary.
+    if not os.environ.get("BENCH_PRIMARY_ONLY"):
+        for label, fn in [
+            ("threshold-union(0.8)",
+             lambda: eng.pseudoalign_file(reads_path, out_path, threshold=0.8)),
+            ("kmer-conservation", lambda: eng.kmer_conservation_file(reads_path, out_path)),
+            ("kmer-matches", lambda: eng.kmer_matches_file(reads_path, out_path)),
+        ]:
+            fn()  # warm (compile)
+            t0 = time.perf_counter()
+            s = fn()
+            dt = time.perf_counter() - t0
+            print(f"[bench] {label}: {s['num_reads'] / dt:,.0f} reads/s", file=sys.stderr)
+
     print(json.dumps(result))
 
 

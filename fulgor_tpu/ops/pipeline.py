@@ -18,12 +18,40 @@ import jax.numpy as jnp
 
 from .intersect import (
     ONEHOT_MAX_SETS,
+    compact_runs,
     full_intersection_onehot,
+    full_intersection_runs,
     full_intersection_windows,
     threshold_union_scores_onehot,
+    threshold_union_scores_runs,
     threshold_union_scores_windows,
 )
 from .lookup import lookup_batch, unpack_reads
+
+# With wide color rows (C32 > RUNS_MIN_WORDS) gathering one row per WINDOW
+# is wasteful: collapse adjacent equal-csid windows into runs first (exact
+# with max_runs = #windows) so a typical read gathers ~3 wide rows, not ~130.
+RUNS_MIN_WORDS = 64
+
+
+def _fi_dispatch(dense_bits, hit, csid):
+    S, C32 = dense_bits.shape
+    if S <= ONEHOT_MAX_SETS:
+        return full_intersection_onehot(dense_bits, hit, csid)
+    if C32 > RUNS_MIN_WORDS:
+        run_csid, _cnt, _ovf = compact_runs(hit, csid, hit.shape[1])
+        return full_intersection_runs(dense_bits, run_csid, jnp.any(hit, axis=1))
+    return full_intersection_windows(dense_bits, hit, csid)
+
+
+def _tu_dispatch(dense_bits, hit, csid, num_colors):
+    S, C32 = dense_bits.shape
+    if S <= ONEHOT_MAX_SETS:
+        return threshold_union_scores_onehot(dense_bits, hit, csid, num_colors)
+    if C32 > RUNS_MIN_WORDS:
+        run_csid, run_cnt, _ovf = compact_runs(hit, csid, hit.shape[1])
+        return threshold_union_scores_runs(dense_bits, run_csid, run_cnt, num_colors)
+    return threshold_union_scores_windows(dense_bits, hit, csid, num_colors)
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -32,19 +60,14 @@ def query_full_intersection(table, dense_bits, codes, *, k: int):
     result is non-empty (reference counts mapped reads the same way,
     tools/pseudoalign.cpp:42)."""
     hit, csid = lookup_batch(table, codes, k)
-    if dense_bits.shape[0] <= ONEHOT_MAX_SETS:
-        return full_intersection_onehot(dense_bits, hit, csid)
-    return full_intersection_windows(dense_bits, hit, csid)
+    return _fi_dispatch(dense_bits, hit, csid)
 
 
 @partial(jax.jit, static_argnames=("k", "num_colors"))
 def query_threshold_union(table, dense_bits, codes, *, k: int, num_colors: int):
     """-> (scores (B, C) f32, num_positive (B,) i32)."""
     hit, csid = lookup_batch(table, codes, k)
-    if dense_bits.shape[0] <= ONEHOT_MAX_SETS:
-        scores = threshold_union_scores_onehot(dense_bits, hit, csid, num_colors)
-    else:
-        scores = threshold_union_scores_windows(dense_bits, hit, csid, num_colors)
+    scores = _tu_dispatch(dense_bits, hit, csid, num_colors)
     npos = jnp.sum(hit.astype(jnp.int32), axis=1)
     return scores, npos
 
@@ -60,9 +83,7 @@ def query_window_csids(table, codes, *, k: int):
 def query_full_intersection_packed(table, dense_bits, codes2, bad, *, k: int, width: int):
     codes = unpack_reads(codes2, bad, width)
     hit, csid = lookup_batch(table, codes, k)
-    if dense_bits.shape[0] <= ONEHOT_MAX_SETS:
-        return full_intersection_onehot(dense_bits, hit, csid)
-    return full_intersection_windows(dense_bits, hit, csid)
+    return _fi_dispatch(dense_bits, hit, csid)
 
 
 @partial(jax.jit, static_argnames=("k", "width", "num_colors"))
@@ -71,10 +92,7 @@ def query_threshold_union_packed(
 ):
     codes = unpack_reads(codes2, bad, width)
     hit, csid = lookup_batch(table, codes, k)
-    if dense_bits.shape[0] <= ONEHOT_MAX_SETS:
-        scores = threshold_union_scores_onehot(dense_bits, hit, csid, num_colors)
-    else:
-        scores = threshold_union_scores_windows(dense_bits, hit, csid, num_colors)
+    scores = _tu_dispatch(dense_bits, hit, csid, num_colors)
     npos = jnp.sum(hit.astype(jnp.int32), axis=1)
     return scores, npos
 
@@ -92,8 +110,5 @@ def query_kmer_matches_packed(table, dense_bits, codes2, bad, *, k, width, num_c
     algebra to the threshold-union scores matmul with unit weights."""
     codes = unpack_reads(codes2, bad, width)
     hit, csid = lookup_batch(table, codes, k)
-    if dense_bits.shape[0] <= ONEHOT_MAX_SETS:
-        scores = threshold_union_scores_onehot(dense_bits, hit, csid, num_colors)
-    else:
-        scores = threshold_union_scores_windows(dense_bits, hit, csid, num_colors)
+    scores = _tu_dispatch(dense_bits, hit, csid, num_colors)
     return hit, scores

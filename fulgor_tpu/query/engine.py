@@ -504,6 +504,31 @@ class QueryEngine:
         return dict(num_reads=total)
 
 
+def conservation_runs_batch(hit: np.ndarray, csid: np.ndarray, widths: np.ndarray):
+    """Vectorized run extraction for a (n, W) batch; widths = true window
+    counts per row. -> list per row of (starts, lengths, ids) arrays."""
+    n, W = hit.shape
+    col = np.arange(W)[None, :]
+    valid = hit & (col < widths[:, None])
+    prev_valid = np.concatenate([np.zeros((n, 1), bool), valid[:, :-1]], axis=1)
+    prev_csid = np.concatenate([np.zeros((n, 1), csid.dtype), csid[:, :-1]], axis=1)
+    next_valid = np.concatenate([valid[:, 1:], np.zeros((n, 1), bool)], axis=1)
+    next_csid = np.concatenate([csid[:, 1:], np.zeros((n, 1), csid.dtype)], axis=1)
+    is_start = valid & (~prev_valid | (csid != prev_csid))
+    is_end = valid & (~next_valid | (csid != next_csid))
+    srow, scol = np.nonzero(is_start)
+    erow, ecol = np.nonzero(is_end)
+    assert len(srow) == len(erow)
+    lengths = ecol - scol + 1
+    ids = csid[srow, scol]
+    counts = np.bincount(srow, minlength=n)
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    return [
+        (scol[offs[i] : offs[i + 1]], lengths[offs[i] : offs[i + 1]], ids[offs[i] : offs[i + 1]])
+        for i in range(n)
+    ]
+
+
 def conservation_runs(hit: np.ndarray, csid: np.ndarray):
     """Maximal runs of consecutive positive windows with equal color-set id
     (reference src/kmer_conservation.cpp:6-54). -> [(start, len, csid)]."""

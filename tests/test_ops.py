@@ -147,3 +147,41 @@ def test_compact_runs(setup):
             if s != INVALID:
                 got[int(s)] = got.get(int(s), 0) + int(c)
         assert got == exp, f"read {i}"
+
+
+def test_runs_strategy_large_colors(rng):
+    """For wide color rows the pipeline compacts runs before gathering;
+    verify against naive on a synthetic large-C index."""
+    from fulgor_tpu.ops.pipeline import RUNS_MIN_WORDS, query_full_intersection
+    from fulgor_tpu.ops import intersect as I
+    import jax.numpy as jnp
+
+    C32 = RUNS_MIN_WORDS + 8  # force the runs path (with S > onehot cutoff)
+    S = I.ONEHOT_MAX_SETS + 100
+    dense = rng.integers(0, 1 << 32, size=(S, C32), dtype=np.uint64).astype(np.uint32)
+    B, W = 32, 40
+    hit = rng.random((B, W)) < 0.8
+    csid = rng.integers(0, S, size=(B, W)).astype(np.uint32)
+    # adjacent runs: smear values to create realistic run structure
+    for b in range(B):
+        for w in range(1, W):
+            if rng.random() < 0.7:
+                csid[b, w] = csid[b, w - 1]
+    run_csid, run_cnt, ovf = map(
+        np.asarray, I.compact_runs(jnp.asarray(hit), jnp.asarray(csid), W)
+    )
+    assert not ovf.any()
+    got = np.asarray(
+        I.full_intersection_runs(
+            jnp.asarray(dense), jnp.asarray(run_csid), jnp.asarray(hit.any(axis=1))
+        )
+    )
+    for b in range(B):
+        sids = np.unique(csid[b][hit[b]])
+        if len(sids) == 0:
+            expect = np.zeros(C32, dtype=np.uint32)
+        else:
+            expect = dense[sids[0]].copy()
+            for s in sids[1:]:
+                expect &= dense[s]
+        np.testing.assert_array_equal(got[b], expect, err_msg=f"row {b}")
