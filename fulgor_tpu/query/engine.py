@@ -276,14 +276,41 @@ class QueryEngine:
     def _stream(self, query_path: str, dispatch, consume, need_names=False):
         """Streaming driver: parse chunk -> dispatch(chunk)->device handles
         (<=2 in flight) -> consume(qid0, n, lens, names, handle).
-        Returns (num_reads, long_read_qids)."""
+        Returns (num_reads, long_read_qids).
+
+        Parsing runs on a prefetch thread (the native parser releases the
+        GIL), overlapping with device dispatch and host formatting."""
+        import queue
+        import threading
+
         from ..native.lib import ReadsStream
 
         stream = ReadsStream(query_path, self.batch, row_len=MAX_STREAM_WIDTH)
+        q: queue.Queue = queue.Queue(maxsize=2)
+
+        def producer():
+            try:
+                for codes, lens, names in stream:
+                    # copy out of the stream's reused buffers before queueing
+                    q.put((codes.copy(), lens, names))
+            finally:
+                q.put(None)
+
+        th = threading.Thread(target=producer, daemon=True)
+        th.start()
+
+        def chunks():
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+            th.join()
+
         inflight: deque = deque()
         qid0 = 0
         long_ids: list[int] = []
-        for codes, lens, names in stream:
+        for codes, lens, names in chunks():
             n = len(lens)
             maxl = int(lens.max()) if n else 0
             too_long = lens > MAX_STREAM_WIDTH
