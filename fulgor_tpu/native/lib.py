@@ -91,6 +91,21 @@ def _load():
             ct.POINTER(ct.c_int64),
         ]
         lib.fn_delta_records_decode.restype = ct.c_int
+        lib.fn_format_kc.argtypes = [
+            ct.c_char_p, ct.POINTER(ct.c_int64),
+            ct.POINTER(ct.c_uint32), ct.POINTER(ct.c_uint32), ct.POINTER(ct.c_uint32),
+            ct.POINTER(ct.c_int64), ct.c_int64,
+            ct.POINTER(ct.POINTER(ct.c_char)), ct.POINTER(ct.c_int64),
+        ]
+        lib.fn_format_kc.restype = ct.c_int
+        lib.fn_format_km.argtypes = [
+            ct.c_char_p, ct.POINTER(ct.c_int64),
+            ct.POINTER(ct.c_uint32), ct.c_int64,
+            ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int64),
+            ct.c_int64, ct.c_int64,
+            ct.POINTER(ct.POINTER(ct.c_char)), ct.POINTER(ct.c_int64),
+        ]
+        lib.fn_format_km.restype = ct.c_int
         _lib = lib
         return lib
 
@@ -323,3 +338,63 @@ def delta_records_decode(words: np.ndarray, bit_offs: np.ndarray, num_headers: i
     cat = _take(cat_p, cat_len.value, np.uint32)
     offs = _take(offs_p, n + 1, np.int64)
     return headers, cat, offs
+
+
+def _names_blob(names):
+    blob = "".join(names).encode()
+    offs = np.zeros(len(names) + 1, dtype=np.int64)
+    pos = 0
+    for i, nm in enumerate(names):
+        pos += len(nm.encode())
+        offs[i + 1] = pos
+    return blob, offs
+
+
+def format_kc(names, starts, lens_, ids, run_offs) -> bytes:
+    lib = _load()
+    blob, noffs = _names_blob(names)
+    starts = np.ascontiguousarray(starts, dtype=np.uint32)
+    lens_ = np.ascontiguousarray(lens_, dtype=np.uint32)
+    ids = np.ascontiguousarray(ids, dtype=np.uint32)
+    if len(starts) == 0:
+        starts = lens_ = ids = np.zeros(1, dtype=np.uint32)
+    run_offs = np.ascontiguousarray(run_offs, dtype=np.int64)
+    buf = ct.POINTER(ct.c_char)()
+    blen = ct.c_int64()
+    rc = lib.fn_format_kc(
+        blob, noffs.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        starts.ctypes.data_as(ct.POINTER(ct.c_uint32)),
+        lens_.ctypes.data_as(ct.POINTER(ct.c_uint32)),
+        ids.ctypes.data_as(ct.POINTER(ct.c_uint32)),
+        run_offs.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        len(names), ct.byref(buf), ct.byref(blen),
+    )
+    if rc != 0:
+        raise RuntimeError("format_kc failed")
+    out = ct.string_at(buf, blen.value)
+    lib.fn_free(buf)
+    return out
+
+
+def format_km(names, hit_words, widths, counts) -> bytes:
+    lib = _load()
+    blob, noffs = _names_blob(names)
+    hit_words = np.ascontiguousarray(hit_words, dtype=np.uint32)
+    widths = np.ascontiguousarray(widths, dtype=np.int32)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    n, wpr = hit_words.shape
+    C = counts.shape[1]
+    buf = ct.POINTER(ct.c_char)()
+    blen = ct.c_int64()
+    rc = lib.fn_format_km(
+        blob, noffs.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        hit_words.ctypes.data_as(ct.POINTER(ct.c_uint32)), wpr,
+        widths.ctypes.data_as(ct.POINTER(ct.c_int32)),
+        counts.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        C, n, ct.byref(buf), ct.byref(blen),
+    )
+    if rc != 0:
+        raise RuntimeError("format_km failed")
+    out = ct.string_at(buf, blen.value)
+    lib.fn_free(buf)
+    return out

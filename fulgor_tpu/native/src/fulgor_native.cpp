@@ -1006,3 +1006,80 @@ extern "C" int fn_delta_records_decode(const uint64_t* words, const uint64_t* bi
     *out_len = (int64_t)cat.size();
     return 0;
 }
+
+// kmer-conservation lines: "name\tn\t(p l i)\t..." (reference
+// tools/kmer_conservation.cpp:26-35). Runs given as flat arrays + offsets.
+extern "C" int fn_format_kc(const char* names, const int64_t* name_offs,
+                            const uint32_t* starts, const uint32_t* lens,
+                            const uint32_t* ids, const int64_t* run_offs, int64_t n,
+                            char** out_buf, int64_t* out_len) {
+    size_t cap = (size_t)(name_offs[n] + n * 8 + (run_offs[n] - run_offs[0]) * 36 + 1024);
+    char* buf = (char*)malloc(cap);
+    if (!buf) return 1;
+    char* p = buf;
+    char tmp[16];
+    auto put_u32 = [&](uint32_t v) {
+        int len = 0;
+        do { tmp[len++] = (char)('0' + v % 10); v /= 10; } while (v);
+        while (len) *p++ = tmp[--len];
+    };
+    for (int64_t i = 0; i < n; ++i) {
+        memcpy(p, names + name_offs[i], name_offs[i + 1] - name_offs[i]);
+        p += name_offs[i + 1] - name_offs[i];
+        *p++ = '\t';
+        int64_t lo = run_offs[i], hi = run_offs[i + 1];
+        put_u32((uint32_t)(hi - lo));
+        for (int64_t j = lo; j < hi; ++j) {
+            *p++ = '\t'; *p++ = '(';
+            put_u32(starts[j]); *p++ = ' ';
+            put_u32(lens[j]); *p++ = ' ';
+            put_u32(ids[j]); *p++ = ')';
+        }
+        *p++ = '\n';
+    }
+    *out_buf = buf;
+    *out_len = (int64_t)(p - buf);
+    return 0;
+}
+
+// kmer-matches lines: "name\tW\tb1..bW\tc1..cC" (reference
+// tools/kmer_matches.cpp:29-35); hit bits packed little-endian in u32 words.
+extern "C" int fn_format_km(const char* names, const int64_t* name_offs,
+                            const uint32_t* hit_words, int64_t words_per_row,
+                            const int32_t* widths, const int64_t* counts,
+                            int64_t num_colors, int64_t n, char** out_buf,
+                            int64_t* out_len) {
+    int64_t maxw = 0;
+    for (int64_t i = 0; i < n; ++i) maxw = std::max<int64_t>(maxw, widths[i]);
+    size_t cap = (size_t)(name_offs[n] + n * (8 + 2 * maxw + 12 * num_colors) + 1024);
+    char* buf = (char*)malloc(cap);
+    if (!buf) return 1;
+    char* p = buf;
+    char tmp[24];
+    auto put_u64 = [&](uint64_t v) {
+        int len = 0;
+        do { tmp[len++] = (char)('0' + v % 10); v /= 10; } while (v);
+        while (len) *p++ = tmp[--len];
+    };
+    for (int64_t i = 0; i < n; ++i) {
+        memcpy(p, names + name_offs[i], name_offs[i + 1] - name_offs[i]);
+        p += name_offs[i + 1] - name_offs[i];
+        *p++ = '\t';
+        int64_t w = widths[i];
+        put_u64((uint64_t)w);
+        const uint32_t* row = hit_words + i * words_per_row;
+        for (int64_t b = 0; b < w; ++b) {
+            *p++ = '\t';
+            *p++ = (char)('0' + ((row[b >> 5] >> (b & 31)) & 1));
+        }
+        const int64_t* cnts = counts + i * num_colors;
+        for (int64_t c = 0; c < num_colors; ++c) {
+            *p++ = '\t';
+            put_u64((uint64_t)cnts[c]);
+        }
+        *p++ = '\n';
+    }
+    *out_buf = buf;
+    *out_len = (int64_t)(p - buf);
+    return 0;
+}

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from .intersect import (
     ONEHOT_MAX_SETS,
     compact_runs,
+    pack_bool_bits,
     full_intersection_onehot,
     full_intersection_runs,
     full_intersection_windows,
@@ -112,3 +113,35 @@ def query_kmer_matches_packed(table, dense_bits, codes2, bad, *, k, width, num_c
     hit, csid = lookup_batch(table, codes, k)
     scores = _tu_dispatch(dense_bits, hit, csid, num_colors)
     return hit, scores
+
+
+def _pack_hits(hit):
+    W = hit.shape[1]
+    pad = (-W) % 32
+    if pad:
+        hit = jnp.pad(hit, ((0, 0), (0, pad)))
+    return pack_bool_bits(hit)
+
+
+@partial(jax.jit, static_argnames=("k", "width", "small_csid"))
+def query_conservation_packed(table, codes2, bad, *, k, width, small_csid: bool):
+    """kmer-conservation device step: positivity packed to bit words and
+    csid narrowed to u16 when the set count allows — the device->host link
+    is a pipeline stage (docs/DESIGN-NOTES.md §1)."""
+    codes = unpack_reads(codes2, bad, width)
+    hit, csid = lookup_batch(table, codes, k)
+    hitw = _pack_hits(hit)
+    if small_csid:
+        csid_out = jnp.where(hit, csid, jnp.uint32(0xFFFF)).astype(jnp.uint16)
+    else:
+        csid_out = csid
+    return hitw, csid_out
+
+
+@partial(jax.jit, static_argnames=("k", "width", "num_colors"))
+def query_kmer_matches_packed2(table, dense_bits, codes2, bad, *, k, width, num_colors):
+    """kmer-matches with bit-packed positivity (fetch-size optimized)."""
+    codes = unpack_reads(codes2, bad, width)
+    hit, csid = lookup_batch(table, codes, k)
+    scores = _tu_dispatch(dense_bits, hit, csid, num_colors)
+    return _pack_hits(hit), scores

@@ -29,9 +29,10 @@ from ..core import kmers as K
 from ..index import Index
 from ..ops.lookup import pack_reads_host
 from ..ops.pipeline import (
+    query_conservation_packed,
     query_full_intersection,
     query_full_intersection_packed,
-    query_kmer_matches_packed,
+    query_kmer_matches_packed2,
     query_threshold_union,
     query_threshold_union_packed,
     query_window_csids,
@@ -444,39 +445,63 @@ class QueryEngine:
         )
 
     def kmer_conservation_file(self, query_path: str, out_path: str, verbose=False):
-        f = open(out_path, "w", buffering=1 << 20)
+        from ..native import lib as native
+
+        f = open(out_path, "wb", buffering=1 << 20)
+        small = self.idx.num_color_sets < 0xFFFF
+        INV16 = 0xFFFF
 
         def write_one(name, hit, csid):
             triples = conservation_runs(hit, csid)
             if triples:
-                f.write(
-                    f"{name}\t{len(triples)}\t"
-                    + "\t".join(f"({p} {nn} {i})" for p, nn, i in triples)
-                    + "\n"
-                )
+                body = "\t".join(f"({p} {nn} {i})" for p, nn, i in triples)
+                f.write(f"{name}\t{len(triples)}\t{body}\n".encode())
             else:
-                f.write(f"{name}\t0\n")
+                f.write(f"{name}\t0\n".encode())
 
         def dispatch(chunk):
             codes2, bad = pack_reads_host(chunk)
-            return query_window_csids_packed(
-                self.table, codes2, bad, k=self.k, width=chunk.shape[1]
+            return query_conservation_packed(
+                self.table, codes2, bad, k=self.k, width=chunk.shape[1], small_csid=small
             )
 
         def consume(qid0, n, lens, names, handle):
-            hit = np.asarray(handle[0][:n])
+            hitw = np.asarray(handle[0][:n])
             csid = np.asarray(handle[1][:n])
-            W = hit.shape[1]
+            W = csid.shape[1]
+            hit = np.unpackbits(hitw.view(np.uint8), axis=1, bitorder="little")[
+                :, :W
+            ].astype(bool)
+            if small:
+                hit = hit & (csid != INV16)
+            widths = np.maximum(0, lens.astype(np.int64) - self.k + 1)
+            keep = widths <= W
+            per_row = conservation_runs_batch(
+                hit, csid.astype(np.uint32), np.minimum(widths, W)
+            )
+            sel_names, starts, lens_r, ids, run_offs = [], [], [], [], [0]
             for j in range(n):
-                w = max(0, int(lens[j]) - self.k + 1)
-                if w > W:
-                    continue  # long read: handled in the final pass
-                write_one(names[j], hit[j, :w], csid[j, :w])
+                if not keep[j]:
+                    continue
+                s, l, i = per_row[j]
+                sel_names.append(names[j])
+                starts.append(s)
+                lens_r.append(l)
+                ids.append(i)
+                run_offs.append(run_offs[-1] + len(s))
+            if sel_names:
+                f.write(
+                    native.format_kc(
+                        sel_names,
+                        np.concatenate(starts) if run_offs[-1] else np.empty(0, np.uint32),
+                        np.concatenate(lens_r) if run_offs[-1] else np.empty(0, np.uint32),
+                        np.concatenate(ids) if run_offs[-1] else np.empty(0, np.uint32),
+                        np.array(run_offs, dtype=np.int64),
+                    )
+                )
 
         total, long_ids = self._stream(query_path, dispatch, consume, need_names=True)
         if long_ids:
-            from ..native import lib as native
-
             codes, lens, names = native.parse_reads(query_path)
             for qid in long_ids:
                 c = self._host_csids(codes[qid][: lens[qid]])
@@ -485,48 +510,56 @@ class QueryEngine:
         return dict(num_reads=total)
 
     def kmer_matches_file(self, query_path: str, out_path: str, verbose=False):
+        from ..native import lib as native
+
         cat, offs = self._cs_cache
         C = self.idx.num_colors
-        f = open(out_path, "w", buffering=1 << 20)
-        f.write(f"num_colors={C}\n")
+        f = open(out_path, "wb", buffering=1 << 20)
+        f.write(f"num_colors={C}\n".encode())
 
-        def write_line(name, hit, counts):
-            cntstr = "\t".join(map(str, counts))
-            if len(hit):
-                bitstr = "\t".join("1" if h else "0" for h in hit)
-                f.write(f"{name}\t{len(hit)}\t{bitstr}\t{cntstr}\n")
-            else:
-                f.write(f"{name}\t0\t{cntstr}\n")
+        def write_one(name, hit, csid):
+            counts = np.zeros(C, dtype=np.int64)
+            for sid in csid[hit]:
+                counts[cat[offs[sid] : offs[sid + 1]].astype(np.int64)] += 1
+            wpr = max(1, (len(hit) + 31) // 32)
+            hw = np.packbits(
+                np.pad(hit, (0, wpr * 32 - len(hit))), bitorder="little"
+            ).view(np.uint32)[None, :]
+            f.write(
+                native.format_km(
+                    [name], hw, np.array([len(hit)], np.int32), counts[None, :]
+                )
+            )
 
         def dispatch(chunk):
             codes2, bad = pack_reads_host(chunk)
-            return query_kmer_matches_packed(
+            return query_kmer_matches_packed2(
                 self.table, self.bits, codes2, bad,
                 k=self.k, width=chunk.shape[1], num_colors=C,
             )
 
         def consume(qid0, n, lens, names, handle):
-            hit = np.asarray(handle[0][:n])
+            hitw = np.asarray(handle[0][:n])
             counts = np.asarray(handle[1][:n]).astype(np.int64)
-            W = hit.shape[1]
-            for j in range(n):
-                w = max(0, int(lens[j]) - self.k + 1)
-                if w > W:
-                    continue
-                write_line(names[j], hit[j, :w], counts[j])
+            widths = np.maximum(0, lens.astype(np.int64) - self.k + 1)
+            Wcap = hitw.shape[1] * 32
+            keep = np.flatnonzero(widths <= Wcap)
+            if len(keep):
+                f.write(
+                    native.format_km(
+                        [names[j] for j in keep],
+                        hitw[keep],
+                        widths[keep].astype(np.int32),
+                        counts[keep],
+                    )
+                )
 
         total, long_ids = self._stream(query_path, dispatch, consume, need_names=True)
         if long_ids:
-            from ..native import lib as native
-
             codes, lens, names = native.parse_reads(query_path)
             for qid in long_ids:
                 c = self._host_csids(codes[qid][: lens[qid]])
-                hitm = c != INVALID_U32
-                counts = np.zeros(C, dtype=np.int64)
-                for sid in c[hitm]:
-                    counts[cat[offs[sid] : offs[sid + 1]].astype(np.int64)] += 1
-                write_line(names[qid], hitm, counts)
+                write_one(names[qid], c != INVALID_U32, c)
         f.close()
         return dict(num_reads=total)
 
