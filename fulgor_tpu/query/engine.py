@@ -154,6 +154,7 @@ class QueryEngine:
 
     @staticmethod
     def _bits_to_lists(bits_np: np.ndarray, num_colors: int):
+        bits_np = np.ascontiguousarray(bits_np)
         bm = np.unpackbits(bits_np.view(np.uint8), axis=1, bitorder="little")[
             :, :num_colors
         ].astype(bool)
@@ -466,7 +467,7 @@ class QueryEngine:
             )
 
         def consume(qid0, n, lens, names, handle):
-            hitw = np.asarray(handle[0][:n])
+            hitw = np.ascontiguousarray(np.asarray(handle[0][:n]))
             csid = np.asarray(handle[1][:n])
             W = csid.shape[1]
             hit = np.unpackbits(hitw.view(np.uint8), axis=1, bitorder="little")[
@@ -539,7 +540,7 @@ class QueryEngine:
             )
 
         def consume(qid0, n, lens, names, handle):
-            hitw = np.asarray(handle[0][:n])
+            hitw = np.ascontiguousarray(np.asarray(handle[0][:n]))
             counts = np.asarray(handle[1][:n]).astype(np.int64)
             widths = np.maximum(0, lens.astype(np.int64) - self.k + 1)
             Wcap = hitw.shape[1] * 32
