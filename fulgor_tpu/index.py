@@ -2,11 +2,12 @@
 
 Composition (hybrid kind; meta/diff variants layer on the color-set store):
 
-    k-mer dictionary : bucketed cuckoo table (nb, 6) uint32 rows
-                       [key_lo x2 | key_hi x2 | color_set_id x2]; empty slot
-                       has key_hi == 0xFFFFFFFF. Replaces SSHash lookup with
-                       u2c folded in; the device probes it with 2 gathers per
-                       k-mer (ops/lookup.py).
+    k-mer dictionary : quotient cuckoo table (nb, 4) uint32 rows = two u64
+                       slots [value | key-remainder | which-hash]; invertible
+                       62-bit permutations make (bucket, remainder) identify
+                       the key exactly with no key storage. Replaces SSHash
+                       lookup with u2c folded in; the device probes it with
+                       two 16-byte gathers per k-mer (ops/lookup.py).
     unitig text      : concatenated 2-bit packed bases + base offsets
                        (replaces SSHash's packed contigs; used by dump()/
                        check tooling, not by the query hot path).
@@ -43,7 +44,7 @@ class Index:
     num_colors: int
     filenames: list[str]
 
-    dict_table: np.ndarray  # (nb, 6) uint32; value = color_set_id
+    dict_table: np.ndarray  # (nb, 4) uint32; value = color_set_id
     unitig_seq: np.ndarray  # uint64 2-bit packed concat
     unitig_offs: np.ndarray  # int64 (U+1,) base offsets
     u2c_csid: np.ndarray  # uint32 (U,)

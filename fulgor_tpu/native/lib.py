@@ -140,7 +140,8 @@ def build_ccdbg(paths: list[str], k: int):
 
 
 def cuckoo_build(keys: np.ndarray, vals: np.ndarray):
-    """-> table (num_buckets, 6) uint32. Layout: [lo x2 | hi x2 | val x2]."""
+    """-> quotient-cuckoo table (nb, 4) uint32: two u64 slots per bucket
+    (see native fn_cuckoo_build / query/host_lookup.py for the layout)."""
     lib = _load()
     keys = np.ascontiguousarray(keys, dtype=np.uint64)
     vals = np.ascontiguousarray(vals, dtype=np.uint32)
@@ -153,7 +154,7 @@ def cuckoo_build(keys: np.ndarray, vals: np.ndarray):
     )
     if nb == 0:
         raise RuntimeError("cuckoo build failed")
-    return _take(ptr, nb * 6, np.uint32).reshape(int(nb), 6)
+    return _take(ptr, nb * 4, np.uint32).reshape(int(nb), 4)
 
 
 def hybrid_decode_all(words: np.ndarray, bit_offsets: np.ndarray, num_colors: int):

@@ -6,11 +6,12 @@ probe with a streaming fast path. The TPU formulation is batch-parallel:
   1. pack every k-window of a (B, L) batch of 2-bit read codes into
      (hi, lo) uint32 pairs — O(k) static shift-adds on the VPU, no scan;
   2. canonicalize (min of forward / reverse-complement, big-endian order);
-  3. probe a bucketed cuckoo table with 2 hashes x 4 slots: exactly two
-     row gathers per k-mer, compare, select. No data-dependent loops.
+  3. probe a quotient cuckoo table (2 invertible-permutation hashes x 2
+     slots): exactly two 16-byte row gathers per k-mer, compare remainders,
+     select. No data-dependent loops.
 
-Hash (mix32/seeds) must match native cuckoo_build and query/host_lookup.
-All ops are uint32; TPUs have no native 64-bit integers.
+The permutations/layout must match native fn_cuckoo_build and
+query/host_lookup. All ops are uint32; TPUs have no native 64-bit integers.
 """
 
 from __future__ import annotations
@@ -99,33 +100,84 @@ def pack_windows(codes: jax.Array, k: int):
     return lo, hi, ok
 
 
-def _fastrange(h, nb: int):
-    """floor(h * nb / 2^32) via 16-bit-limb mulhi (TPUs have no uint64).
-    Must match native bucket_of / host_lookup.buckets exactly."""
-    a0 = h & jnp.uint32(0xFFFF)
-    a1 = h >> 16
-    nb0, nb1 = nb & 0xFFFF, nb >> 16
-    lo = a0 * jnp.uint32(nb0)
-    t = a1 * jnp.uint32(nb0) + (lo >> 16)
-    t2 = a0 * jnp.uint32(nb1) + (t & jnp.uint32(0xFFFF))
-    return a1 * jnp.uint32(nb1) + (t >> 16) + (t2 >> 16)
+def mulhi32(a, c: int):
+    """floor(a * c / 2^32) for uint32 a and 32-bit constant c, via 16-bit
+    limbs (TPUs have no 64-bit integers)."""
+    a0 = a & jnp.uint32(0xFFFF)
+    a1 = a >> 16
+    c0, c1 = c & 0xFFFF, c >> 16
+    lo = a0 * jnp.uint32(c0)
+    t = a1 * jnp.uint32(c0) + (lo >> 16)
+    t2 = a0 * jnp.uint32(c1) + (t & jnp.uint32(0xFFFF))
+    return a1 * jnp.uint32(c1) + (t >> 16) + (t2 >> 16)
+
+
+# --- quotient dictionary (must match native pi62 / host_lookup exactly) ---
+
+PI1 = (0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9)
+PI2 = (0x94D049BB133111EB, 0xD6E8FEB86659FD93)
+HI62 = 0x3FFFFFFF  # mask for the high 30 bits of a 62-bit value
+
+
+def _shr62(lo, hi, s: int):
+    """(lo, hi) >> s for a 62-bit value in u32 limbs, 0 < s < 32."""
+    return (lo >> s) | (hi << (32 - s)), hi >> s
+
+
+def _mul62(lo, hi, c: int):
+    """(lo, hi) * c mod 2^62 in u32 limbs (c is a 64-bit constant)."""
+    c0, c1 = c & 0xFFFFFFFF, c >> 32
+    res_lo = lo * jnp.uint32(c0)
+    res_hi = mulhi32(lo, c0) + lo * jnp.uint32(c1) + hi * jnp.uint32(c0)
+    return res_lo, res_hi & jnp.uint32(HI62)
+
+
+def pi62_u32(lo, hi, consts):
+    """Invertible 62-bit permutation on (lo32, hi30) limbs."""
+    for step, c in ((31, consts[0]), (29, consts[1]), (31, None)):
+        slo, shi = _shr62(lo, hi, step)
+        lo, hi = lo ^ slo, hi ^ shi
+        if c is not None:
+            lo, hi = _mul62(lo, hi, c)
+    return lo, hi
 
 
 def probe(table: jax.Array, lo: jax.Array, hi: jax.Array, valid: jax.Array):
-    """Cuckoo probe: 2 hash choices x 2 slots. table: (nb, 6) uint32 rows
-    [lo x2 | hi x2 | val x2]. -> (hit bool, val uint32)."""
+    """Quotient cuckoo probe. table: (nb, 4) uint32 rows = two little-endian
+    u64 slots [val(b+1) | rem(62-b) | which(1)]; nb = 2^b. The invertible
+    permutations make (bucket, rem, which) identify the key exactly (see
+    native fn_cuckoo_build). One 16-byte row gather per hash choice.
+    -> (hit bool, val uint32)."""
     nb = table.shape[0]
-    b1 = _fastrange(mix32(lo ^ mix32(hi ^ jnp.uint32(SEED1))), nb).astype(jnp.int32)
-    b2 = _fastrange(mix32(lo ^ mix32(hi ^ jnp.uint32(SEED2))), nb).astype(jnp.int32)
-    r1 = jnp.take(table, b1, axis=0)  # (..., 6)
-    r2 = jnp.take(table, b2, axis=0)
+    b = nb.bit_length() - 1
+    assert (1 << b) == nb
+    val_bits = b + 1
+    val_mask = jnp.uint32((1 << val_bits) - 1) if val_bits < 32 else jnp.uint32(0xFFFFFFFF)
+    rem_hi_mask = jnp.uint32((1 << (30 - b)) - 1)
+
     hit = jnp.zeros(lo.shape, dtype=bool)
     val = jnp.full(lo.shape, INVALID_U32, dtype=jnp.uint32)
-    for rows in (r1, r2):
+    for which, consts in ((0, PI1), (1, PI2)):
+        plo, phi = pi62_u32(lo, hi, consts)
+        bkt = (phi >> (30 - b)).astype(jnp.int32)
+        rem_lo = plo
+        rem_hi = phi & rem_hi_mask
+        rows = jnp.take(table, bkt, axis=0)  # (..., 4)
         for s in range(2):
-            h = (rows[..., s] == lo) & (rows[..., 2 + s] == hi)
+            slo = rows[..., 2 * s]
+            shi = rows[..., 2 * s + 1]
+            v = slo & val_mask
+            r_lo = (slo >> val_bits) | (shi << (32 - val_bits))
+            r_hi = (shi >> val_bits) & rem_hi_mask
+            w = shi >> 31
+            h = (
+                (v != val_mask)
+                & (w == jnp.uint32(which))
+                & (r_lo == rem_lo)
+                & (r_hi == rem_hi)
+            )
             hit = hit | h
-            val = jnp.where(h, rows[..., 4 + s], val)
+            val = jnp.where(h, v, val)
     hit = hit & valid
     val = jnp.where(hit, val, jnp.uint32(INVALID_U32))
     return hit, val

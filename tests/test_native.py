@@ -60,45 +60,26 @@ def test_native_ccdbg_ns_and_multirecord(tmp_path, rng):
     np.testing.assert_array_equal(got["cs_colors"], ref.cs_colors)
 
 
-def _mix32(x):
-    x = np.uint32(x)
-    x ^= x >> np.uint32(16)
-    x = np.uint32((int(x) * 0x85EBCA6B) & 0xFFFFFFFF)
-    x ^= x >> np.uint32(13)
-    x = np.uint32((int(x) * 0xC2B2AE35) & 0xFFFFFFFF)
-    x ^= x >> np.uint32(16)
-    return x
-
-
-def _bucket(lo, hi, seed, nb):
-    h = int(_mix32(np.uint32(lo) ^ _mix32(np.uint32(hi) ^ np.uint32(seed))))
-    return (h * nb) >> 32
-
-
 def test_cuckoo_table(rng):
+    from fulgor_tpu.query.host_lookup import lookup_host
+
     n = 5000
     keys = np.unique(rng.integers(0, 1 << 62, size=n).astype(np.uint64))
-    vals = rng.integers(0, 1 << 31, size=len(keys)).astype(np.uint32)
+    vals = rng.integers(0, 1 << 10, size=len(keys)).astype(np.uint32)
     table = N.cuckoo_build(keys, vals)
     nb = table.shape[0]
-    # every key findable in one of its two buckets, with correct value
-    found = 0
-    for key, val in zip(keys[:500], vals[:500]):
-        lo, hi = int(key & 0xFFFFFFFF), int(key >> 32)
-        ok = False
-        for seed in (0x8BADF00D, 0x5EEDCAFE):
-            b = _bucket(lo, hi, seed, nb)
-            row = table[b]
-            for s in range(2):
-                if row[s] == lo and row[2 + s] == hi:
-                    assert row[4 + s] == val
-                    ok = True
-        assert ok, f"key {key} not found"
-        found += 1
-    assert found == 500
-    # empty slots marked with hi == 0xFFFFFFFF
-    n_filled = int((table[:, 2:4] != 0xFFFFFFFF).sum())
-    assert n_filled == len(keys)
+    assert nb & (nb - 1) == 0  # quotient layout requires pow2 buckets
+    np.testing.assert_array_equal(lookup_host(table, keys), vals)
+    # misses stay misses (quotienting must not create false positives)
+    miss = rng.integers(0, 1 << 62, size=20000).astype(np.uint64)
+    miss = miss[~np.isin(miss, keys)]
+    assert (lookup_host(table, miss) == 0xFFFFFFFF).all()
+    # slots used == number of keys
+    slots = table.view(np.uint64).reshape(nb, 2)
+    b = nb.bit_length() - 1
+    val_mask = np.uint64((1 << (b + 1)) - 1)
+    filled = int(((slots & val_mask) != val_mask).sum())
+    assert filled == len(keys)
 
 
 def test_parse_reads_fastq(tmp_path):
