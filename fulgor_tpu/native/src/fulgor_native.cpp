@@ -757,23 +757,14 @@ extern "C" int fn_parse_reads(const char* path, int64_t max_reads, uint8_t** out
     std::vector<char> buf(1 << 20);
     std::string pending;
     auto handle_line = [&](const std::string& ln) {
-        if (ln.empty()) return;
-        if (mode == -1) mode = (ln[0] == '@') ? 1 : 0;
-        if (mode == 0) {
-            if (ln[0] == '>') {
-                size_t b = ln.find_first_not_of(" \t", 1);  // skip "> " style headers
-                if (b == std::string::npos) b = ln.size();
-                size_t sp = ln.find_first_of(" \t", b);
-                names.push_back(ln.substr(b, sp == std::string::npos ? ln.size() - b : sp - b));
-                seqs.emplace_back();
-            } else if (!seqs.empty()) {
-                auto& s = seqs.back();
-                for (char ch : ln) s.push_back(CODE[(uint8_t)ch]);
-            }
-        } else {
+        if (mode == -1) {
+            if (ln.empty()) return;
+            mode = (ln[0] == '@') ? 1 : 0;
+        }
+        if (mode == 1) {
             switch (fq_phase) {
                 case 0: {
-                    size_t b = ln.find_first_not_of(" \t", 1);
+                    size_t b = ln.empty() ? std::string::npos : ln.find_first_not_of(" \t", 1);
                     if (b == std::string::npos) b = ln.size();
                     size_t sp = ln.find_first_of(" \t", b);
                     names.push_back(
@@ -790,6 +781,20 @@ extern "C" int fn_parse_reads(const char* path, int64_t max_reads, uint8_t** out
                     break;
             }
             fq_phase = (fq_phase + 1) & 3;
+            return;
+        }
+        if (ln.empty()) return;
+        if (mode == 0) {
+            if (ln[0] == '>') {
+                size_t b = ln.find_first_not_of(" \t", 1);  // skip "> " style headers
+                if (b == std::string::npos) b = ln.size();
+                size_t sp = ln.find_first_of(" \t", b);
+                names.push_back(ln.substr(b, sp == std::string::npos ? ln.size() - b : sp - b));
+                seqs.emplace_back();
+            } else if (!seqs.empty()) {
+                auto& s = seqs.back();
+                for (char ch : ln) s.push_back(CODE[(uint8_t)ch]);
+            }
         }
     };
     for (;;) {
@@ -924,31 +929,20 @@ extern "C" void fn_reads_close(void* h) {
 }
 
 static void rs_handle_line(ReadsStream* rs, const std::string& ln) {
-    if (ln.empty()) {
-        if (rs->mode == 1) rs->fq_phase = (rs->fq_phase + 1) & 3;
-        return;
+    if (rs->mode == -1) {
+        if (ln.empty()) return;  // leading blank lines
+        rs->mode = (ln[0] == '@') ? 1 : 0;
     }
-    if (rs->mode == -1) rs->mode = (ln[0] == '@') ? 1 : 0;
     auto finish = [&]() {
         rs->ready.push_back({std::move(rs->cur_seq), std::move(rs->cur_name)});
         rs->cur_seq = {};
         rs->cur_name = {};
     };
-    if (rs->mode == 0) {
-        if (ln[0] == '>') {
-            if (rs->have_record) finish();
-            rs->have_record = true;
-            size_t b = ln.find_first_not_of(" \t", 1);
-            if (b == std::string::npos) b = ln.size();
-            size_t sp = ln.find_first_of(" \t", b);
-            rs->cur_name = ln.substr(b, sp == std::string::npos ? ln.size() - b : sp - b);
-        } else if (rs->have_record) {
-            for (char ch : ln) rs->cur_seq.push_back(CODE[(uint8_t)ch]);
-        }
-    } else {
+    if (rs->mode == 1) {
+        // fastq: every line (even empty) advances the 4-phase cycle
         switch (rs->fq_phase) {
             case 0: {
-                size_t b = ln.find_first_not_of(" \t", 1);
+                size_t b = ln.empty() ? std::string::npos : ln.find_first_not_of(" \t", 1);
                 if (b == std::string::npos) b = ln.size();
                 size_t sp = ln.find_first_of(" \t", b);
                 rs->cur_name = ln.substr(b, sp == std::string::npos ? ln.size() - b : sp - b);
@@ -964,6 +958,20 @@ static void rs_handle_line(ReadsStream* rs, const std::string& ln) {
                 break;
         }
         rs->fq_phase = (rs->fq_phase + 1) & 3;
+        return;
+    }
+    if (ln.empty()) return;  // fasta: blank lines are ignorable
+    if (rs->mode == 0) {
+        if (ln[0] == '>') {
+            if (rs->have_record) finish();
+            rs->have_record = true;
+            size_t b = ln.find_first_not_of(" \t", 1);
+            if (b == std::string::npos) b = ln.size();
+            size_t sp = ln.find_first_of(" \t", b);
+            rs->cur_name = ln.substr(b, sp == std::string::npos ? ln.size() - b : sp - b);
+        } else if (rs->have_record) {
+            for (char ch : ln) rs->cur_seq.push_back(CODE[(uint8_t)ch]);
+        }
     }
 }
 

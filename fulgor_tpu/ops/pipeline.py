@@ -104,17 +104,6 @@ def query_window_csids_packed(table, codes2, bad, *, k: int, width: int):
     return lookup_batch(table, codes, k)
 
 
-@partial(jax.jit, static_argnames=("k", "width", "num_colors"))
-def query_kmer_matches_packed(table, dense_bits, codes2, bad, *, k, width, num_colors):
-    """kmer-matches (reference src/kmer_matches.cpp): per-window positivity
-    plus counts[c] = #positive windows whose set contains c — identical
-    algebra to the threshold-union scores matmul with unit weights."""
-    codes = unpack_reads(codes2, bad, width)
-    hit, csid = lookup_batch(table, codes, k)
-    scores = _tu_dispatch(dense_bits, hit, csid, num_colors)
-    return hit, scores
-
-
 def _pack_hits(hit):
     W = hit.shape[1]
     pad = (-W) % 32
