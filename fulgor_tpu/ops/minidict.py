@@ -308,3 +308,139 @@ def lookup_minidict_host(d: MiniDict, codes: np.ndarray):
                     out[p] = cs
                     break
     return hit, out, ovf
+
+
+# --------------------------------------------------------------------------
+# device (JAX) query — must mirror lookup_minidict_host exactly
+# --------------------------------------------------------------------------
+
+
+def _device():
+    import jax
+    import jax.numpy as jnp
+
+    return jax, jnp
+
+
+def lookup_minidict_batch(entries, bucket_offs, text16, codes, *, k: int, m: int,
+                          max_candidates: int = 4):
+    """Batched minimizer-positional lookup on device.
+
+    codes: (B, L) int-like base codes (0..3, >=4 invalid/pad).
+    -> (hit (B, Wk) bool, csid (B, Wk) u32, ovf (B, Wk) bool). Windows whose
+    bucket exceeds max_candidates report ovf (exact host fallback).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .lookup import mix32, pack_windows
+
+    B, L = codes.shape
+    Wk = L - k + 1
+    w = k - m + 1
+    NB = bucket_offs.shape[0]
+
+    # ---- canonical m-mer hashes (poison invalid) ----
+    lo_m, hi_m, ok_m = pack_windows(codes, m)
+    h = mix32(lo_m ^ mix32(hi_m ^ jnp.uint32(SEED_M)))
+    h = jnp.where(h == jnp.uint32(0xFFFFFFFF), jnp.uint32(0xFFFFFFFE), h)
+    h = jnp.where(ok_m, h, jnp.uint32(0xFFFFFFFF))
+
+    # ---- sliding min + leftmost/rightmost argmin (log-step tournament) ----
+    Wm = h.shape[1]
+    pos = jnp.broadcast_to(
+        jax.lax.broadcasted_iota(jnp.int32, (1, Wm), 1), (B, Wm)
+    )
+    vL, pL = h, pos
+    vR, pR = h, pos
+    span = 1
+    while span < w:
+        step = min(span, w - span)
+        bvL, bpL = vL[:, step:], pL[:, step:]
+        avL, apL = vL[:, : vL.shape[1] - step], pL[:, : pL.shape[1] - step]
+        takeL = (bvL < avL) | ((bvL == avL) & (bpL < apL))
+        vL = jnp.where(takeL, bvL, avL)
+        pL = jnp.where(takeL, bpL, apL)
+        bvR, bpR = vR[:, step:], pR[:, step:]
+        avR, apR = vR[:, : vR.shape[1] - step], pR[:, : pR.shape[1] - step]
+        takeR = (bvR < avR) | ((bvR == avR) & (bpR > apR))
+        vR = jnp.where(takeR, bvR, avR)
+        pR = jnp.where(takeR, bpR, apR)
+        span += step
+    minval = vL[:, :Wk]
+    kpos = jnp.broadcast_to(
+        jax.lax.broadcasted_iota(jnp.int32, (1, Wk), 1), (B, Wk)
+    )
+    iL = pL[:, :Wk] - kpos  # offset of leftmost argmin within window
+    iR = pR[:, :Wk] - kpos
+
+    # ---- fwd/rc LSB-first window packings ----
+    c = codes.astype(jnp.uint32)
+    flo = jnp.zeros((B, Wk), jnp.uint32)
+    fhi = jnp.zeros((B, Wk), jnp.uint32)
+    rlo = jnp.zeros((B, Wk), jnp.uint32)
+    rhi = jnp.zeros((B, Wk), jnp.uint32)
+    okw = jnp.ones((B, Wk), bool)
+    for i in range(k):
+        ci = jax.lax.dynamic_slice_in_dim(c, i, Wk, axis=1)
+        okw = okw & (ci <= 3)
+        if 2 * i < 32:
+            flo = flo | ((ci & 3) << (2 * i))
+        else:
+            fhi = fhi | ((ci & 3) << (2 * i - 32))
+        cj = (jnp.uint32(3) - jax.lax.dynamic_slice_in_dim(c, k - 1 - i, Wk, axis=1)) & jnp.uint32(3)
+        if 2 * i < 32:
+            rlo = rlo | (cj << (2 * i))
+        else:
+            rhi = rhi | (cj << (2 * i - 32))
+
+    # ---- bucket + candidate loop ----
+    bucket = (minval & jnp.uint32(NB - 1)).astype(jnp.int32)
+    brow = jnp.take(bucket_offs, bucket, axis=0)  # (B, Wk, 2)
+    start = brow[..., 0].astype(jnp.int32)
+    cnt = brow[..., 1].astype(jnp.int32)
+    usable = okw & (minval != jnp.uint32(0xFFFFFFFF))
+    ovf = usable & (cnt > max_candidates)
+
+    bits = 2 * k
+    if bits <= 32:
+        lo_mask = jnp.uint32((1 << bits) - 1) if bits < 32 else jnp.uint32(0xFFFFFFFF)
+        hi_mask = jnp.uint32(0)
+    else:
+        lo_mask = jnp.uint32(0xFFFFFFFF)
+        hi_mask = jnp.uint32((1 << (bits - 32)) - 1)
+
+    def extract(q):
+        row = jnp.take(text16, jnp.clip(q >> 4, 0, text16.shape[0] - 1), axis=0)
+        sh = (2 * (q & 15)).astype(jnp.uint32)
+        w0, w1, w2 = row[..., 0], row[..., 1], row[..., 2]
+        nz = sh > 0
+        inv = jnp.where(nz, jnp.uint32(32) - sh, jnp.uint32(1))
+        tlo = jnp.where(nz, (w0 >> sh) | (w1 << inv), w0)
+        thi = jnp.where(nz, (w1 >> sh) | (w2 << inv), w1)
+        return tlo & lo_mask, thi & hi_mask
+
+    hit = jnp.zeros((B, Wk), bool)
+    val = jnp.full((B, Wk), INVALID_U32, dtype=jnp.uint32)
+    for e in range(max_candidates):
+        has = usable & (e < cnt)
+        eidx = jnp.where(has, start + e, 0).astype(jnp.int32)
+        ent = jnp.take(entries, eidx, axis=0)  # (B, Wk, 3)
+        wlo = ent[..., 0].astype(jnp.int32)
+        cs = ent[..., 1]
+        ms = ent[..., 2]
+        mo = (ms & jnp.uint32(0xFF)).astype(jnp.int32)
+        sp = (ms >> 8).astype(jnp.int32)
+        mpos = wlo + mo
+        for q, wl, wh in (
+            (mpos - iL, flo, fhi),
+            (mpos - (k - m) + iR, rlo, rhi),
+        ):
+            inb = has & (q >= wlo) & (q < wlo + sp)
+            tlo, thi = extract(jnp.where(inb, q, 0))
+            match = inb & (tlo == wl) & (thi == wh)
+            new = match & ~hit
+            val = jnp.where(new, cs, val)
+            hit = hit | match
+    hit = hit & ~ovf  # overflowed windows are unreliable: fallback decides
+    return hit, jnp.where(hit, val, jnp.uint32(INVALID_U32)), ovf

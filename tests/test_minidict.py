@@ -90,3 +90,45 @@ def test_minidict_size(setup):
     assert md.num_bytes() < idx.dict_table.nbytes
     bytes_per_kmer = md.num_bytes() / idx.num_kmers
     assert bytes_per_kmer < 8.0, bytes_per_kmer
+
+
+def test_device_matches_host(setup):
+    """The JAX kernel must reproduce the host lookup bit for bit
+    (including overflow flags) on mixed mapped/noisy/junk reads."""
+    import jax.numpy as jnp
+
+    from fulgor_tpu.ops.minidict import MAX_CANDIDATES, lookup_minidict_batch
+
+    idx, md, genomes, rng = setup
+    L = 90
+    B = 40
+    codes = np.full((B, L), 4, dtype=np.uint8)
+    for i in range(B):
+        if i % 5 == 4:
+            codes[i] = rng.integers(0, 4, size=L).astype(np.uint8)
+            continue
+        g = genomes[rng.integers(0, len(genomes))][0]
+        p = rng.integers(0, len(g) - L)
+        r = K.seq_to_codes(g[p : p + L]).copy()
+        for _ in range(rng.poisson(2)):
+            r[rng.integers(0, L)] = rng.integers(0, 5)
+        codes[i] = r
+    hit_d, csid_d, ovf_d = map(
+        np.asarray,
+        lookup_minidict_batch(
+            jnp.asarray(md.entries),
+            jnp.asarray(md.bucket_offs),
+            jnp.asarray(md.text16),
+            jnp.asarray(codes),
+            k=K_LEN,
+            m=M_LEN,
+            max_candidates=MAX_CANDIDATES,
+        ),
+    )
+    for i in range(B):
+        hit_h, csid_h, ovf_h = MD.lookup_minidict_host(md, codes[i])
+        np.testing.assert_array_equal(ovf_d[i], ovf_h, err_msg=f"row {i} ovf")
+        np.testing.assert_array_equal(hit_d[i], hit_h, err_msg=f"row {i} hit")
+        np.testing.assert_array_equal(
+            csid_d[i][hit_d[i]], csid_h[hit_h], err_msg=f"row {i} csid"
+        )
