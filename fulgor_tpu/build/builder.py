@@ -79,14 +79,42 @@ def assemble_index(
     )
 
 
-def build_index(filenames: list[str], k: int = 31, m: int = 20, verbose: bool = False) -> Index:
+def estimate_build_passes(filenames: list[str], ram_gib: float) -> int:
+    """Pick the multi-pass factor so the (k-mer, color) pair table fits the
+    RAM budget. Pairs ~= total input bases; gz inputs assumed ~4x compressed."""
+    import os
+
+    total = 0
+    for f in filenames:
+        try:
+            sz = os.path.getsize(f)
+        except OSError:
+            sz = 0
+        total += sz * (4 if f.endswith(".gz") else 1)
+    pair_bytes = total * 16  # 16 B/pair in the sort buffer
+    budget = max(1.0, ram_gib) * (1 << 30) * 0.5
+    passes = 1
+    while pair_bytes / passes > budget and passes < 256:
+        passes *= 2
+    return passes
+
+
+def build_index(
+    filenames: list[str], k: int = 31, m: int = 20, verbose: bool = False,
+    ram_gib: float = 8.0,
+) -> Index:
     """Full build from a list of FASTA(.gz) reference files (color order =
-    file order, as the reference's -l list)."""
+    file order, as the reference's -l list). ram_gib bounds the pair-table
+    memory via multi-pass construction (reference -g flag semantics)."""
     from ..native import lib as native
 
+    passes = estimate_build_passes(filenames, ram_gib)
     if verbose:
-        print(f"step 1+2. building ccdBG over {len(filenames)} references (k={k})...")
-    g = native.build_ccdbg(filenames, k)
+        print(
+            f"step 1+2. building ccdBG over {len(filenames)} references "
+            f"(k={k}, passes={passes})..."
+        )
+    g = native.build_ccdbg(filenames, k, num_passes=passes)
     if verbose:
         print(
             f"  {g['num_kmers']} kmers, {len(g['unitig_offs']) - 1} unitigs, "

@@ -28,7 +28,9 @@ def cmd_build(args):
 
     with open(args.filenames_list) as f:
         filenames = [ln.strip() for ln in f if ln.strip()]
-    idx = build_index(filenames, k=args.k, m=args.m, verbose=args.verbose)
+    idx = build_index(
+        filenames, k=args.k, m=args.m, verbose=args.verbose, ram_gib=args.ram_gib
+    )
     out = args.output + EXT[KIND_HYBRID]
     idx.save(out)
     if args.verbose:
@@ -193,7 +195,9 @@ def main(argv=None):
     b.add_argument("-k", dest="k", type=int, default=31)
     b.add_argument("-m", dest="m", type=int, default=20)
     b.add_argument("-d", dest="tmp_dir", default=".", help="(accepted for parity)")
-    b.add_argument("-g", dest="ram_gib", type=int, default=8, help="(accepted for parity)")
+    b.add_argument("-g", dest="ram_gib", type=float, default=8,
+                   help="RAM budget (GiB) for the build pair table; larger "
+                        "corpora use more re-parse passes")
     b.add_argument("-t", dest="threads", type=int, default=1, help="(accepted for parity)")
     b.add_argument("--verbose", action="store_true")
     b.add_argument("--check", action="store_true")

@@ -43,6 +43,10 @@ def _load():
         lib.fn_free.argtypes = [ct.c_void_p]
         lib.fn_build_ccdbg.argtypes = [ct.c_char_p, ct.c_int, ct.c_int, ct.POINTER(CcdbgOut)]
         lib.fn_build_ccdbg.restype = ct.c_int
+        lib.fn_build_ccdbg_mp.argtypes = [
+            ct.c_char_p, ct.c_int, ct.c_int, ct.c_int, ct.POINTER(CcdbgOut)
+        ]
+        lib.fn_build_ccdbg_mp.restype = ct.c_int
         lib.fn_cuckoo_build.argtypes = [
             ct.POINTER(ct.c_uint64),
             ct.POINTER(ct.c_uint32),
@@ -121,12 +125,16 @@ def _take(ptr, n, dtype):
     return arr
 
 
-def build_ccdbg(paths: list[str], k: int):
-    """Native ccdBG build -> dict of arrays (same contract as build_ccdbg_py)."""
+def build_ccdbg(paths: list[str], k: int, num_passes: int = 1):
+    """Native ccdBG build -> dict of arrays (same contract as build_ccdbg_py).
+
+    num_passes > 1 bounds peak (k-mer, color) pair memory by re-parsing the
+    inputs per key-range partition — the scale knob for corpora whose pair
+    table exceeds RAM (output is pass-count invariant)."""
     lib = _load()
     blob = b"\0".join(p.encode() for p in paths) + b"\0"
     out = CcdbgOut()
-    rc = lib.fn_build_ccdbg(blob, len(paths), k, ct.byref(out))
+    rc = lib.fn_build_ccdbg_mp(blob, len(paths), k, num_passes, ct.byref(out))
     if rc != 0:
         raise RuntimeError(f"fn_build_ccdbg failed rc={rc} (bad path or invalid k={k}?)")
     return dict(

@@ -264,79 +264,107 @@ static inline uint64_t fnv64(const void* data, size_t n) {
 }
 
 // paths: NUL-separated file list. Returns 0 on success.
-extern "C" int fn_build_ccdbg(const char* paths, int num_files, int k, CcdbgOut* out) {
-    if (k < 1 || k > 31 || (k % 2) == 0) return 2;
-    std::vector<KC> pairs;
-    {
-        // per-genome distinct canonical k-mers, parsed in parallel
-        std::vector<const char*> files(num_files);
-        {
-            const char* p = paths;
-            for (int i = 0; i < num_files; ++i) {
-                files[i] = p;
-                p += strlen(p) + 1;
-            }
-        }
-        std::vector<std::vector<uint64_t>> per_genome(num_files);
-        std::atomic<int> next{0};
-        std::atomic<bool> failed{false};
-        int nthreads = (int)std::min<size_t>(
-            {(size_t)num_files, std::max(1u, std::thread::hardware_concurrency()), 16});
-        auto work = [&]() {
-            for (;;) {
-                int color = next.fetch_add(1);
-                if (color >= num_files || failed.load()) return;
-                auto& gk = per_genome[color];
-                RollingKmers rk(k, &gk);
-                bool ok = stream_fastx(
-                    files[color], [&](uint8_t c) { rk.push(c); }, [&]() { rk.reset(); });
-                if (!ok) {
-                    failed.store(true);
-                    return;
-                }
-                std::sort(gk.begin(), gk.end());
-                gk.erase(std::unique(gk.begin(), gk.end()), gk.end());
-            }
-        };
-        std::vector<std::thread> ths;
-        for (int t = 0; t < nthreads; ++t) ths.emplace_back(work);
-        for (auto& t : ths) t.join();
-        if (failed.load()) return 1;
-        size_t total = 0;
-        for (auto& g : per_genome) total += g.size();
-        pairs.resize(total);
-        size_t base = 0;
-        for (int color = 0; color < num_files; ++color) {
-            auto& gk = per_genome[color];
-            for (size_t i = 0; i < gk.size(); ++i)
-                pairs[base + i] = {gk[i], (uint32_t)color};
-            base += gk.size();
-            gk.clear();
-            gk.shrink_to_fit();
-        }
-    }
-    std::sort(pairs.begin(), pairs.end(), [](const KC& a, const KC& b) {
-        return a.kmer < b.kmer || (a.kmer == b.kmer && a.color < b.color);
-    });
+// num_passes: RAM-bounding — pass t re-parses every file keeping only
+// k-mers whose partition (top bits of a mixed hash-free split: we use the
+// kmer's high bits so partitions are sorted-order-preserving) equals t.
+// Peak pair memory divides by num_passes at the cost of re-parsing
+// (parallel parse makes this cheap; see docs/DESIGN-NOTES.md §4).
+extern "C" int fn_build_ccdbg_mp(const char* paths, int num_files, int k, int num_passes,
+                                 CcdbgOut* out);
 
+extern "C" int fn_build_ccdbg(const char* paths, int num_files, int k, CcdbgOut* out) {
+    return fn_build_ccdbg_mp(paths, num_files, k, 1, out);
+}
+
+extern "C" int fn_build_ccdbg_mp(const char* paths, int num_files, int k, int num_passes,
+                                 CcdbgOut* out) {
+    if (k < 1 || k > 31 || (k % 2) == 0) return 2;
+    if (num_passes < 1) num_passes = 1;
+    // partition by the kmer's high bits: ceil-split of the 2k-bit keyspace
+    // into num_passes contiguous ranges keeps global sorted order when
+    // passes are processed in ascending order.
+    const uint64_t key_space_bits = 2 * (uint64_t)k;
     Graph g;
     g.k = k;
     std::vector<uint32_t> colors_cat;  // interned color sets (appearance order)
     std::vector<int64_t> cs_offs{0};
+    std::unordered_map<uint64_t, std::vector<uint32_t>> table;  // hash -> set ids
+
+    std::vector<const char*> files(num_files);
     {
-        // boundaries of equal-kmer runs; intern each color list
-        std::unordered_map<uint64_t, std::vector<uint32_t>> table;  // hash -> set ids
+        const char* p = paths;
+        for (int i = 0; i < num_files; ++i) {
+            files[i] = p;
+            p += strlen(p) + 1;
+        }
+    }
+
+    for (int pass = 0; pass < num_passes; ++pass) {
+        // key range [lo, hi) for this pass
+        uint64_t span = ((1ULL << key_space_bits) + num_passes - 1) / num_passes;
+        uint64_t lo_key = (uint64_t)pass * span;
+        uint64_t hi_key = std::min<uint64_t>((uint64_t)(pass + 1) * span, 1ULL << key_space_bits);
+        if (lo_key >= hi_key) continue;
+
+        std::vector<KC> pairs;
+        {
+            std::vector<std::vector<uint64_t>> per_genome(num_files);
+            std::atomic<int> next{0};
+            std::atomic<bool> failed{false};
+            int nthreads = (int)std::min<size_t>(
+                {(size_t)num_files, std::max(1u, std::thread::hardware_concurrency()), 16});
+            auto work = [&]() {
+                for (;;) {
+                    int color = next.fetch_add(1);
+                    if (color >= num_files || failed.load()) return;
+                    auto& gk = per_genome[color];
+                    std::vector<uint64_t> all;
+                    RollingKmers rk(k, &all);
+                    bool ok = stream_fastx(
+                        files[color], [&](uint8_t c) { rk.push(c); }, [&]() { rk.reset(); });
+                    if (!ok) {
+                        failed.store(true);
+                        return;
+                    }
+                    for (uint64_t x : all)
+                        if (x >= lo_key && x < hi_key) gk.push_back(x);
+                    all.clear();
+                    all.shrink_to_fit();
+                    std::sort(gk.begin(), gk.end());
+                    gk.erase(std::unique(gk.begin(), gk.end()), gk.end());
+                }
+            };
+            std::vector<std::thread> ths;
+            for (int t = 0; t < nthreads; ++t) ths.emplace_back(work);
+            for (auto& t : ths) t.join();
+            if (failed.load()) return 1;
+            size_t total = 0;
+            for (auto& gg : per_genome) total += gg.size();
+            pairs.resize(total);
+            size_t base = 0;
+            for (int color = 0; color < num_files; ++color) {
+                auto& gk = per_genome[color];
+                for (size_t i = 0; i < gk.size(); ++i)
+                    pairs[base + i] = {gk[i], (uint32_t)color};
+                base += gk.size();
+                gk.clear();
+                gk.shrink_to_fit();
+            }
+        }
+        std::sort(pairs.begin(), pairs.end(), [](const KC& a, const KC& b) {
+            return a.kmer < b.kmer || (a.kmer == b.kmer && a.color < b.color);
+        });
+
+        // intern this pass's kmers (appends in globally sorted order)
         size_t i = 0, n = pairs.size();
         while (i < n) {
             size_t j = i + 1;
             while (j < n && pairs[j].kmer == pairs[i].kmer) ++j;
             g.kmers.push_back(pairs[i].kmer);
-            // color list pairs[i..j).color (already sorted, distinct)
-            uint64_t h = fnv64(&pairs[i], 0);
             std::vector<uint32_t> tmp;
             tmp.reserve(j - i);
             for (size_t t = i; t < j; ++t) tmp.push_back(pairs[t].color);
-            h = fnv64(tmp.data(), tmp.size() * 4);
+            uint64_t h = fnv64(tmp.data(), tmp.size() * 4);
             auto& cand = table[h];
             uint32_t sid = UINT32_MAX;
             for (uint32_t c : cand) {
@@ -356,9 +384,8 @@ extern "C" int fn_build_ccdbg(const char* paths, int num_files, int k, CcdbgOut*
             g.kset.push_back(sid);
             i = j;
         }
-        pairs.clear();
-        pairs.shrink_to_fit();
     }
+    table.clear();
 
     g.build_hash();
     const int64_t nk = (int64_t)g.kmers.size();

@@ -103,3 +103,21 @@ def test_parse_reads_fasta_multiline(tmp_path):
     assert names == ["a", "b"]
     np.testing.assert_array_equal(lens, [7, 4])
     np.testing.assert_array_equal(codes[0], K.seq_to_codes("ACGTACG"))
+
+
+def test_multipass_build_equivalence(tmp_path, rng):
+    """Multi-pass (RAM-bounded) ccdBG build must produce bit-identical
+    output to the single-pass build."""
+    k = 15
+    genomes = random_genomes(rng, num_colors=5, length=900, k=k)
+    paths = []
+    for i, seqs in enumerate(genomes):
+        p = str(tmp_path / f"g{i}.fa")
+        write_fasta(p, seqs)
+        paths.append(p)
+    ref = N.build_ccdbg(paths, k, num_passes=1)
+    for passes in (2, 5, 16):
+        got = N.build_ccdbg(paths, k, num_passes=passes)
+        for key in ("unitig_codes", "unitig_offs", "unitig_cs", "cs_colors", "cs_offs"):
+            np.testing.assert_array_equal(got[key], ref[key], err_msg=f"passes={passes} {key}")
+        assert got["num_kmers"] == ref["num_kmers"]
