@@ -56,6 +56,15 @@ def ensure_artifacts():
 
 
 def main():
+    # persistent XLA compile cache: shields the timed runs (and re-runs of
+    # this script) from the tunnel compiler's multi-minute stalls
+    import jax
+
+    cache_dir = os.path.join(CACHE, "jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     index_path, reads_path = ensure_artifacts()
 
     from fulgor_tpu.index import Index
