@@ -182,6 +182,91 @@ class HybridStore:
 # --------------------------------------------------------------------------
 
 
+def _splitmix64_np(x):
+    x = (np.asarray(x, dtype=np.uint64) + np.uint64(0x9E3779B97F4A7C15))
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def intern_partials(cat, offs, num_colors, partition_bounds):
+    """Split every set at partition boundaries and intern the partial sets
+    per partition — fully vectorized (the reference deduplicates partials by
+    CityHash128, meta_builder.hpp:171-217; we use two independent 64-bit
+    position-mixed hashes, with `check_conversion` as the end-to-end
+    collision oracle).
+
+    -> dict with:
+      occ_set, occ_part        per partial OCCURRENCE (element order)
+      occ_global               global partial id per occurrence
+      meta_offs (S+1,)         occurrences per set
+      partial_base (P+1,)      global id base per partition
+      plists_cat, plists_offs  unique partial contents (relative colors),
+                               ordered by (partition, local id)
+    """
+    S = len(offs) - 1
+    P = len(partition_bounds) - 1
+    sizes = (offs[1:] - offs[:-1]).astype(np.int64)
+    sid = np.repeat(np.arange(S, dtype=np.int64), sizes)
+    part_of_color = (
+        np.searchsorted(partition_bounds, np.arange(num_colors), side="right") - 1
+    )
+    parts = part_of_color[cat.astype(np.int64)]
+    rel = (cat.astype(np.int64) - np.asarray(partition_bounds)[parts]).astype(np.uint32)
+
+    prev_sid = np.concatenate([[-1], sid[:-1]])
+    prev_part = np.concatenate([[-1], parts[:-1]])
+    is_new = (sid != prev_sid) | (parts != prev_part)
+    occ_id = np.cumsum(is_new) - 1  # partial occurrence per element
+    starts = np.flatnonzero(is_new)
+    n_occ = len(starts)
+    occ_sizes = np.diff(np.concatenate([starts, [len(cat)]]))
+    occ_set = sid[starts]
+    occ_part = parts[starts]
+    meta_counts = np.bincount(occ_set, minlength=S)
+    meta_offs = np.concatenate([[0], np.cumsum(meta_counts)]).astype(np.int64)
+
+    # content hashes (position-mixed, summed per occurrence)
+    within = np.arange(len(cat), dtype=np.int64) - np.repeat(starts, occ_sizes)
+    e1 = _splitmix64_np(rel.astype(np.uint64) ^ (np.uint64(0x9E3779B1) * within.astype(np.uint64)))
+    e2 = _splitmix64_np((rel.astype(np.uint64) + np.uint64(1)) * np.uint64(0xC2B2AE3D)
+                        + within.astype(np.uint64))
+    h1 = np.add.reduceat(e1, starts) if n_occ else np.empty(0, np.uint64)
+    h2 = np.add.reduceat(e2, starts) if n_occ else np.empty(0, np.uint64)
+
+    keys = np.stack([occ_part.astype(np.uint64), h1, h2], axis=1)
+    uniq, first_idx, inverse = np.unique(
+        keys, axis=0, return_index=True, return_inverse=True
+    )
+    # local ids: first-occurrence order within each partition
+    order = np.lexsort((first_idx, uniq[:, 0]))  # by (partition, first occurrence)
+    rank_of_uniq = np.empty(len(uniq), dtype=np.int64)
+    rank_of_uniq[order] = np.arange(len(uniq))
+    per_part = np.bincount(uniq[:, 0].astype(np.int64), minlength=P)
+    partial_base = np.concatenate([[0], np.cumsum(per_part)]).astype(np.int64)
+    occ_global = rank_of_uniq[inverse]  # global partial id per occurrence
+
+    # unique contents ordered by global id: representative = first occurrence
+    rep = first_idx[order]  # occurrence index per global id
+    rep_start = starts[rep]
+    rep_size = occ_sizes[rep]
+    plists_offs = np.concatenate([[0], np.cumsum(rep_size)]).astype(np.int64)
+    gather = np.repeat(rep_start, rep_size) + (
+        np.arange(int(rep_size.sum())) - np.repeat(plists_offs[:-1], rep_size)
+    )
+    plists_cat = rel[gather]
+    return dict(
+        occ_set=occ_set,
+        occ_part=occ_part,
+        occ_global=occ_global.astype(np.int64),
+        meta_offs=meta_offs,
+        partial_base=partial_base,
+        plists_cat=plists_cat,
+        plists_offs=plists_offs,
+        per_part=per_part,
+    )
+
+
 class MetaStore:
     """Colors permuted into P contiguous partitions; every set = union of
     per-partition partial sets, interned per partition and hybrid-coded in
@@ -212,58 +297,28 @@ class MetaStore:
     def build(cls, cat, offs, num_colors, partition_bounds) -> "MetaStore":
         """cat/offs: sets with colors ALREADY permuted (sorted per set)."""
         P = len(partition_bounds) - 1
-        n = len(offs) - 1
-        part_of_color = (
-            np.searchsorted(partition_bounds, np.arange(num_colors), side="right") - 1
-        )
-        interned: list[dict] = [dict() for _ in range(P)]
-        partial_lists: list[list[np.ndarray]] = [[] for _ in range(P)]
-        meta_ids = []
-        meta_counts = np.zeros(n, dtype=np.int64)
-        for i in range(n):
-            s = cat[offs[i] : offs[i + 1]].astype(np.int64)
-            parts = part_of_color[s]
-            ids = []
-            for p in np.unique(parts):
-                rel = (s[parts == p] - partition_bounds[p]).astype(np.uint32)
-                key = rel.tobytes()
-                d = interned[p]
-                lid = d.get(key)
-                if lid is None:
-                    lid = len(partial_lists[p])
-                    d[key] = lid
-                    partial_lists[p].append(rel)
-                ids.append((int(p), lid))
-            meta_counts[i] = len(ids)
-            meta_ids.append(ids)
-        partial_base = np.zeros(P + 1, dtype=np.int64)
-        for p in range(P):
-            partial_base[p + 1] = partial_base[p] + len(partial_lists[p])
-        total_partials = int(partial_base[-1])
-        id_width = max(1, int(total_partials - 1).bit_length())
+        it = intern_partials(cat, offs, num_colors, partition_bounds)
+        total_partials = int(it["partial_base"][-1])
+        id_width = max(1, int(max(0, total_partials - 1)).bit_length())
         w = BitWriter()
-        flat = []
-        for ids in meta_ids:
-            for p, lid in ids:
-                flat.append(partial_base[p] + lid)
-        w.append_fixed(np.array(flat, dtype=np.uint64), id_width)
-        meta_offs = np.concatenate([[0], np.cumsum(meta_counts)]).astype(np.int64)
+        w.append_fixed(it["occ_global"].astype(np.uint64), id_width)
         stores = []
         for p in range(P):
             psize = int(partition_bounds[p + 1] - partition_bounds[p])
-            lists = partial_lists[p]
-            po = np.concatenate([[0], np.cumsum([len(x) for x in lists])]).astype(np.int64)
-            pc = (
-                np.concatenate(lists).astype(np.uint32) if lists else np.empty(0, np.uint32)
-            )
-            stores.append(HybridStore.build(pc, po, psize))
+            lo = int(it["partial_base"][p])
+            hi = int(it["partial_base"][p + 1])
+            po = (
+                it["plists_offs"][lo : hi + 1] - it["plists_offs"][lo]
+            ).astype(np.int64)
+            pc = it["plists_cat"][it["plists_offs"][lo] : it["plists_offs"][hi]]
+            stores.append(HybridStore.build(pc.astype(np.uint32), po, psize))
         return cls(
             num_colors,
             np.asarray(partition_bounds, dtype=np.int64),
             stores,
-            partial_base,
+            it["partial_base"],
             w.finalize(),
-            meta_offs,
+            it["meta_offs"],
             id_width,
         )
 
@@ -576,37 +631,24 @@ class MetaDiffStore:
     def build(cls, cat, offs, num_colors, partition_bounds, partial_cluster_fn):
         """partial_cluster_fn(partial_lists, psize) -> (perm, cluster_offs)
         clusters a partition's partial sets for diff coding (identity
-        permutation is valid)."""
+        permutation is valid). Interning is the vectorized intern_partials;
+        partition-id lists are deduplicated by position-mixed hashing
+        (collision oracle: check_conversion)."""
+        S = len(offs) - 1
         P = len(partition_bounds) - 1
-        n = len(offs) - 1
-        part_of_color = (
-            np.searchsorted(partition_bounds, np.arange(num_colors), side="right") - 1
-        )
-        interned: list[dict] = [dict() for _ in range(P)]
-        partial_lists: list[list[np.ndarray]] = [[] for _ in range(P)]
-        per_set: list[list[tuple[int, int]]] = []
-        for i in range(n):
-            s = cat[offs[i] : offs[i + 1]].astype(np.int64)
-            parts = part_of_color[s]
-            ids = []
-            for p in np.unique(parts):
-                rel = (s[parts == p] - partition_bounds[p]).astype(np.uint32)
-                key = rel.tobytes()
-                d = interned[p]
-                lid = d.get(key)
-                if lid is None:
-                    lid = len(partial_lists[p])
-                    d[key] = lid
-                    partial_lists[p].append(rel)
-                ids.append((int(p), lid))
-            per_set.append(ids)
+        it = intern_partials(cat, offs, num_colors, partition_bounds)
 
-        # per-partition diff stores over (permuted) partials
+        # per-partition diff stores over (cluster-permuted) partials
         stores = []
         lid_remap = []  # old local id -> new local id per partition
         for p in range(P):
+            lo = int(it["partial_base"][p])
+            hi = int(it["partial_base"][p + 1])
+            lists = [
+                it["plists_cat"][it["plists_offs"][g] : it["plists_offs"][g + 1]]
+                for g in range(lo, hi)
+            ]
             psize = int(partition_bounds[p + 1] - partition_bounds[p])
-            lists = partial_lists[p]
             perm, cluster_offs = partial_cluster_fn(lists, psize)
             remap = np.empty(len(lists), dtype=np.int64)
             remap[perm] = np.arange(len(lists))
@@ -623,39 +665,72 @@ class MetaDiffStore:
             )
             stores.append(DiffStore.build(pc, po, psize, labels))
 
-        # partition sets: dedup partition-id lists
-        ps_intern: dict[bytes, int] = {}
-        ps_lists: list[np.ndarray] = []
-        psid_per_set = np.zeros(n, dtype=np.int64)
-        for i, ids in enumerate(per_set):
-            plist = np.array([p for p, _ in ids], dtype=np.uint32)
-            key = plist.tobytes()
-            v = ps_intern.get(key)
-            if v is None:
-                v = len(ps_lists)
-                ps_intern[key] = v
-                ps_lists.append(plist)
-            psid_per_set[i] = v
-        ps_o = np.concatenate([[0], np.cumsum([len(x) for x in ps_lists])]).astype(np.int64)
-        ps_c = (
-            np.concatenate(ps_lists).astype(np.uint32) if ps_lists else np.empty(0, np.uint32)
+        # partition sets: dedup the per-set partition-id lists (vectorized)
+        occ_part = it["occ_part"]
+        meta_offs = it["meta_offs"]
+        counts = (meta_offs[1:] - meta_offs[:-1]).astype(np.int64)
+        within = np.arange(len(occ_part), dtype=np.int64) - np.repeat(
+            meta_offs[:-1], counts
         )
+        e = _splitmix64_np(
+            occ_part.astype(np.uint64) ^ (np.uint64(0x9E3779B1) * within.astype(np.uint64))
+        )
+        e2 = _splitmix64_np(
+            (occ_part.astype(np.uint64) + np.uint64(1)) * np.uint64(0xC2B2AE3D)
+            + within.astype(np.uint64)
+        )
+        h1 = np.add.reduceat(e, meta_offs[:-1]) if S else np.empty(0, np.uint64)
+        h2 = np.add.reduceat(e2, meta_offs[:-1]) if S else np.empty(0, np.uint64)
+        keys = np.stack([counts.astype(np.uint64), h1, h2], axis=1)
+        uniq, first_idx, inverse = np.unique(
+            keys, axis=0, return_index=True, return_inverse=True
+        )
+        order = np.argsort(first_idx)  # appearance order
+        rank = np.empty(len(uniq), dtype=np.int64)
+        rank[order] = np.arange(len(uniq))
+        psid_per_set = rank[inverse]
+        reps = first_idx[order]  # representative set per pattern
+        rep_counts = counts[reps]
+        ps_o = np.concatenate([[0], np.cumsum(rep_counts)]).astype(np.int64)
+        gather = np.repeat(meta_offs[:-1][reps], rep_counts) + (
+            np.arange(int(rep_counts.sum()))
+            - np.repeat(ps_o[:-1], rep_counts)
+        )
+        ps_c = occ_part[gather].astype(np.uint32)
         ps_stream, ps_offs = encode_delta_lists(ps_c, ps_o)
 
+        # meta stream: per set psid (fixed width) then per-occurrence local
+        # ids at per-partition widths
+        per_part = it["per_part"]
         local_widths = np.array(
-            [max(1, int(max(0, len(partial_lists[p]) - 1)).bit_length()) for p in range(P)],
+            [max(1, int(max(0, int(per_part[p]) - 1)).bit_length()) for p in range(P)],
             dtype=np.int64,
         )
-        psid_width = max(1, int(max(0, len(ps_lists) - 1)).bit_length())
+        psid_width = max(1, int(max(0, len(uniq) - 1)).bit_length())
+        # occurrence values: new local ids after cluster permutation
+        occ_local = it["occ_global"] - it["partial_base"][occ_part]
+        new_local = np.empty(len(occ_part), dtype=np.uint64)
+        for p in range(P):
+            selp = occ_part == p
+            if selp.any():
+                new_local[selp] = lid_remap[p][occ_local[selp]].astype(np.uint64)
+        occ_widths = local_widths[occ_part].astype(np.uint64)
+        # interleave: per set: [psid, occ values...]
+        item_counts = counts + 1
+        item_offs = np.concatenate([[0], np.cumsum(item_counts)]).astype(np.int64)
+        pats = np.zeros(int(item_offs[-1]), dtype=np.uint64)
+        lens = np.zeros(int(item_offs[-1]), dtype=np.uint64)
+        pats[item_offs[:-1]] = psid_per_set.astype(np.uint64)
+        lens[item_offs[:-1]] = psid_width
+        dest = np.repeat(item_offs[:-1], counts) + 1 + within
+        pats[dest] = new_local & ((np.uint64(1) << occ_widths) - np.uint64(1))
+        lens[dest] = occ_widths
         w = BitWriter()
-        bit_offs = [0]
-        for i, ids in enumerate(per_set):
-            w.append_fixed(np.array([psid_per_set[i]], dtype=np.uint64), psid_width)
-            for p, lid in ids:
-                w.append_fixed(
-                    np.array([lid_remap[p][lid]], dtype=np.uint64), int(local_widths[p])
-                )
-            bit_offs.append(w.num_bits)
+        w.append_patterns(pats, lens)
+        per_set_bits = (
+            np.add.reduceat(lens, item_offs[:-1]) if S else np.empty(0)
+        )
+        bit_offs = np.concatenate([[0], np.cumsum(per_set_bits)]).astype(np.uint64)
         return cls(
             num_colors,
             np.asarray(partition_bounds, dtype=np.int64),
@@ -663,7 +738,7 @@ class MetaDiffStore:
             ps_stream,
             ps_offs,
             w.finalize(),
-            np.array(bit_offs, dtype=np.uint64),
+            bit_offs,
             psid_width,
             local_widths,
         )
