@@ -19,7 +19,22 @@ from .constants import EXT, KIND_HYBRID
 from .index import Index
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache: shields repeated CLI runs from the
+    multi-minute compiler stalls seen on tunneled TPU backends."""
+    try:
+        import jax
+
+        cache = os.path.join(os.path.expanduser("~"), ".cache", "fulgor_tpu_xla")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def _load_index(path: str) -> Index:
+    _enable_compile_cache()
     return Index.load(path)
 
 
