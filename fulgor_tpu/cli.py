@@ -164,7 +164,6 @@ def cmd_check(args):
 
 def cmd_color(args):
     from .build.color_builder import check_conversion, convert
-    from .constants import KIND_META
 
     idx = _load_index(args.index_filename)
     out_idx = convert(idx, meta=args.meta, diff=args.diff)

@@ -29,10 +29,10 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from . import INDEX_VERSION
-from .constants import EXT, KIND_FROM_EXT, KIND_HYBRID
+from .constants import EXT, KIND_FROM_EXT
 from .core import container
 from .core import kmers as K
-from .core.colorstores import STORE_CLASSES, HybridStore
+from .core.colorstores import STORE_CLASSES
 
 
 @dataclass

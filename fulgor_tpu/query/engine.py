@@ -36,7 +36,6 @@ from ..ops.pipeline import (
     query_threshold_union,
     query_threshold_union_packed,
     query_window_csids,
-    query_window_csids_packed,
 )
 from .host_lookup import lookup_host
 from .formatters import make_formatter

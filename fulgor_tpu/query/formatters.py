@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..core.bitsx import BitWriter, delta_patterns
+from ..core.bitsx import BitWriter
 from ..core.hybrid import thresholds
 
 
