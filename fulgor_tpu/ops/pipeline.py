@@ -95,7 +95,9 @@ def query_threshold_union_packed(
     hit, csid = lookup_batch(table, codes, k)
     scores = _tu_dispatch(dense_bits, hit, csid, num_colors)
     npos = jnp.sum(hit.astype(jnp.int32), axis=1)
-    return scores, npos
+    # scores are exact window counts < 2^16 (stream reads are <= 1024 bases;
+    # longer reads take the host path) — narrow the fetch
+    return scores.astype(jnp.uint16), npos.astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("k", "width"))
@@ -133,4 +135,4 @@ def query_kmer_matches_packed2(table, dense_bits, codes2, bad, *, k, width, num_
     codes = unpack_reads(codes2, bad, width)
     hit, csid = lookup_batch(table, codes, k)
     scores = _tu_dispatch(dense_bits, hit, csid, num_colors)
-    return _pack_hits(hit), scores
+    return _pack_hits(hit), scores.astype(jnp.uint16)

@@ -391,7 +391,9 @@ class QueryEngine:
                 lists, counts = self._bits_to_lists(np.asarray(handle[:n]), C)
             else:
                 lists, counts = self._scores_to_lists(
-                    np.asarray(handle[0][:n]), np.asarray(handle[1][:n]), threshold
+                    np.asarray(handle[0][:n]).astype(np.int64),
+                    np.asarray(handle[1][:n]),
+                    threshold,
                 )
             keep = lens <= MAX_STREAM_WIDTH
             if keep.all():
