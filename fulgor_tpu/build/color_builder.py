@@ -28,6 +28,14 @@ from ..index import Index
 
 KMEANS_PARAMS = dict(min_delta=1e-4, max_iter=10, min_cluster_size=50, seed=0)
 DENSITY_SLICES = (0.0, 0.25, 0.5, 0.75, 1.0)  # differential_builder.hpp:14
+POOLED_DIMS = 128  # HLL registers sum-pooled before k-means (8x less work
+# per distance; register noise dominates well below this resolution)
+
+
+def _pool_sketches(regs: np.ndarray) -> np.ndarray:
+    n, r = regs.shape
+    assert r % POOLED_DIMS == 0
+    return regs.reshape(n, POOLED_DIMS, r // POOLED_DIMS).sum(axis=2, dtype=np.float32)
 
 
 def sketch_colors_by_unitigs(idx: Index) -> np.ndarray:
@@ -65,7 +73,7 @@ def permute_colors(idx: Index):
 
     Reference permuter (meta_builder.hpp:14-124): cluster color sketches;
     colors ordered by (cluster, old id); partitions = cluster extents."""
-    regs = sketch_colors_by_unitigs(idx)
+    regs = _pool_sketches(sketch_colors_by_unitigs(idx))
     labels = SK.kmeans_divisive(regs, **KMEANS_PARAMS)
     order = np.lexsort((np.arange(idx.num_colors), labels))  # (cluster, old id)
     perm = np.empty(idx.num_colors, dtype=np.int64)
@@ -99,7 +107,7 @@ def cluster_color_sets(cat, offs, num_colors) -> np.ndarray:
         if len(sel) == 0:
             continue
         groups = [cat[offs[i] : offs[i + 1]].astype(np.uint64) for i in sel]
-        regs = SK.sketch_matrix(groups)
+        regs = _pool_sketches(SK.sketch_matrix(groups))
         sub = SK.kmeans_divisive(regs, **KMEANS_PARAMS)
         labels[sel] = sub.astype(np.int64) + next_label
         next_label += int(sub.astype(np.int64).max()) + 1

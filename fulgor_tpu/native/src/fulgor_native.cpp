@@ -30,6 +30,13 @@
 
 #include <zlib.h>
 
+#ifdef _OPENMP
+#include <parallel/algorithm>
+#define PAR_SORT __gnu_parallel::sort
+#else
+#define PAR_SORT std::sort
+#endif
+
 extern "C" void fn_free(void* p) { free(p); }
 
 // ---------------------------------------------------------------- utilities
@@ -351,7 +358,7 @@ extern "C" int fn_build_ccdbg_mp(const char* paths, int num_files, int k, int nu
                 gk.shrink_to_fit();
             }
         }
-        std::sort(pairs.begin(), pairs.end(), [](const KC& a, const KC& b) {
+        PAR_SORT(pairs.begin(), pairs.end(), [](const KC& a, const KC& b) {
             return a.kmer < b.kmer || (a.kmer == b.kmer && a.color < b.color);
         });
 
