@@ -86,11 +86,11 @@ def permute_colors(idx: Index):
 def _permuted_sets(idx: Index, perm: np.ndarray):
     cat, offs = idx.color_sets_decoded()
     new_cat = perm[cat.astype(np.int64)]
-    # re-sort within each set
-    out = np.empty_like(new_cat)
-    for i in range(len(offs) - 1):
-        out[offs[i] : offs[i + 1]] = np.sort(new_cat[offs[i] : offs[i + 1]])
-    return out.astype(np.uint32), offs
+    # re-sort within each set (one segmented lexsort)
+    sizes = (offs[1:] - offs[:-1]).astype(np.int64)
+    sid = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+    order = np.lexsort((new_cat, sid))
+    return new_cat[order].astype(np.uint32), offs
 
 
 def cluster_color_sets(cat, offs, num_colors) -> np.ndarray:
