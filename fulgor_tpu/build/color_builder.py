@@ -169,19 +169,11 @@ def meta_diff_color(idx: Index) -> Index:
         cat, offs = _permuted_sets(idx, perm)
         filenames = [idx.filenames[old] for old in np.argsort(perm)]
 
-    def cluster_fn(partial_lists, psize):
-        n = len(partial_lists)
+    def cluster_fn(pc, po, psize):
+        n = len(po) - 1
         if n == 0:
             return np.arange(0), np.array([0, 0])
-        po = np.concatenate([[0], np.cumsum([len(x) for x in partial_lists])]).astype(
-            np.int64
-        )
-        pc = (
-            np.concatenate(partial_lists).astype(np.uint32)
-            if partial_lists
-            else np.empty(0, np.uint32)
-        )
-        labels = cluster_color_sets(pc, po, psize)
+        labels = cluster_color_sets(pc.astype(np.uint32), po, psize)
         perm_l = np.lexsort((np.arange(n), labels))
         sizes = np.bincount(labels[perm_l])
         cl_offs = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
@@ -227,10 +219,21 @@ def check_conversion(base: Index, converted: Index) -> bool:
     if base.num_color_sets != converted.num_color_sets:
         print("CHECK FAILED: set count mismatch")
         return False
-    for s in range(base.num_color_sets):
-        b = np.sort(perm[bcat[boffs[s] : boffs[s + 1]].astype(np.int64)])
-        c = ccat[coffs[s] : coffs[s + 1]].astype(np.int64)
-        if len(b) != len(c) or (b != c).any():
-            print(f"CHECK FAILED: set {s} mismatch")
-            return False
+    bs = (boffs[1:] - boffs[:-1]).astype(np.int64)
+    cs = (coffs[1:] - coffs[:-1]).astype(np.int64)
+    if not np.array_equal(bs, cs):
+        s = int(np.flatnonzero(bs != cs)[0])
+        print(f"CHECK FAILED: set {s} size mismatch")
+        return False
+    # segmented sort both sides (one lexsort each), then compare wholesale
+    sid = np.repeat(np.arange(len(bs), dtype=np.int64), bs)
+    pb = perm[bcat.astype(np.int64)]
+    pb = pb[np.lexsort((pb, sid))]
+    cc = ccat.astype(np.int64)
+    cc = cc[np.lexsort((cc, sid))]
+    bad = pb != cc
+    if bad.any():
+        s = int(sid[np.flatnonzero(bad)[0]])
+        print(f"CHECK FAILED: set {s} mismatch")
+        return False
     return True

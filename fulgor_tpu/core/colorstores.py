@@ -91,6 +91,23 @@ def encode_delta_lists(lists_cat: np.ndarray, offs: np.ndarray, headers: np.ndar
     return w.finalize(), bit_offs
 
 
+def read_bits_at(words: np.ndarray, bit_pos: np.ndarray, widths) -> np.ndarray:
+    """Vectorized fixed-width reads at arbitrary bit offsets: element i is
+    the `widths[i]`-bit LSB-first value at bit `bit_pos[i]` of the u64
+    stream. widths may be a scalar or an array; widths < 64."""
+    bit_pos = np.asarray(bit_pos, dtype=np.uint64)
+    widths = np.asarray(widths, dtype=np.uint64)
+    widx = (bit_pos >> np.uint64(6)).astype(np.int64)
+    sh = bit_pos & np.uint64(63)
+    lo = words[widx] >> sh
+    spill = (sh + widths) > np.uint64(64)
+    nxt = np.minimum(widx + 1, len(words) - 1)
+    hi = np.where(
+        spill, words[nxt] << (np.uint64(64) - np.maximum(sh, np.uint64(1))), np.uint64(0)
+    ).astype(np.uint64)
+    return ((lo | hi) & ((np.uint64(1) << widths) - np.uint64(1))).astype(np.int64)
+
+
 def decode_delta_lists(words: np.ndarray, bit_offs: np.ndarray, num_headers: int = 0):
     """Inverse of encode_delta_lists (native-accelerated when available).
     -> (headers (n, num_headers) i64, cat u32, offs i64)."""
@@ -471,6 +488,56 @@ class DiffStore:
         return np.flatnonzero(freq >= (g + 1) // 2).astype(np.uint32)
 
     @staticmethod
+    def representatives_all(cat, offs, labels, ncl, num_colors):
+        """Vectorized majority representative per cluster. -> (rep_cat u32
+        sorted by (cluster, color), rep_offs (ncl+1,) i64). Equivalent to
+        `representative` per cluster without the per-set dense masks."""
+        C = np.int64(num_colors)
+        sizes = (offs[1:] - offs[:-1]).astype(np.int64)
+        sid = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+        keys = labels[sid] * C + cat.astype(np.int64)
+        uk, cnt = np.unique(keys, return_counts=True)
+        kcl = uk // C
+        gsize = np.bincount(labels, minlength=ncl)
+        keep = cnt >= (gsize[kcl] + 1) // 2
+        rep_cl = kcl[keep]
+        rep_cat = (uk[keep] % C).astype(np.uint32)
+        rep_offs = np.concatenate(
+            [[0], np.cumsum(np.bincount(rep_cl, minlength=ncl))]
+        ).astype(np.int64)
+        return rep_cat, rep_offs
+
+    @staticmethod
+    def _symdiff_segments(cat_a, offs_a, cat_b, offs_b, num_colors, n):
+        """Per-segment symmetric difference of two sorted-per-segment lists:
+        segment s -> setxor1d(a_s, b_s). Vectorized via key counting (an
+        element survives iff it appears exactly once across a_s ++ b_s).
+        -> (cat u32 sorted within segment, offs (n+1,) i64)."""
+        C = np.int64(num_colors)
+        sa = (offs_a[1:] - offs_a[:-1]).astype(np.int64)
+        sb = (offs_b[1:] - offs_b[:-1]).astype(np.int64)
+        seg_a = np.repeat(np.arange(n, dtype=np.int64), sa)
+        seg_b = np.repeat(np.arange(n, dtype=np.int64), sb)
+        keys = np.concatenate(
+            [seg_a * C + cat_a.astype(np.int64), seg_b * C + cat_b.astype(np.int64)]
+        )
+        keys.sort(kind="stable")
+        # elements appearing once (values within a segment are distinct, so
+        # duplicates come only from a∩b and have multiplicity exactly 2)
+        first = np.ones(len(keys), dtype=bool)
+        first[1:] = keys[1:] != keys[:-1]
+        last = np.ones(len(keys), dtype=bool)
+        last[:-1] = keys[:-1] != keys[1:]
+        once = first & last
+        kept = keys[once]
+        seg = kept // C
+        out_cat = (kept % C).astype(np.uint32)
+        out_offs = np.concatenate(
+            [[0], np.cumsum(np.bincount(seg, minlength=n))]
+        ).astype(np.int64)
+        return out_cat, out_offs
+
+    @staticmethod
     def _pack_fixed(vals: np.ndarray, width: int) -> np.ndarray:
         w = BitWriter()
         w.append_fixed(np.asarray(vals, dtype=np.uint64), width)
@@ -495,29 +562,23 @@ class DiffStore:
         n = len(offs) - 1
         labels = np.asarray(cluster_labels, dtype=np.int64)
         ncl = int(labels.max()) + 1 if n else 0
-        reps = []
-        rep_masks = []
-        for c in range(ncl):
-            sids = np.flatnonzero(labels == c)
-            rep = cls.representative(cat, offs, sids, num_colors)
-            reps.append(rep)
-            m = np.zeros(num_colors, dtype=bool)
-            m[rep.astype(np.int64)] = True
-            rep_masks.append(m)
-        diffs = []
-        sizes = np.zeros(n, dtype=np.int64)
-        for s in range(n):
-            colors = cat[offs[s] : offs[s + 1]].astype(np.int64)
-            m = np.zeros(num_colors, dtype=bool)
-            m[colors] = True
-            d = np.flatnonzero(m ^ rep_masks[labels[s]]).astype(np.uint32)
-            diffs.append(d)
-            sizes[s] = len(colors)
-        rep_offs_sets = np.concatenate([[0], np.cumsum([len(r) for r in reps])]).astype(np.int64)
-        rep_cat = np.concatenate(reps).astype(np.uint32) if reps else np.empty(0, np.uint32)
+        sizes = (offs[1:] - offs[:-1]).astype(np.int64)
+        rep_cat, rep_offs_sets = cls.representatives_all(
+            cat, offs, labels, ncl, num_colors
+        )
+        # per-set diff = setxor1d(set, rep(cluster)): expand each set's rep
+        # by gathering, then take the segmented symmetric difference
+        rl = labels  # cluster per set
+        rep_sz = (rep_offs_sets[1:] - rep_offs_sets[:-1])[rl]
+        exp_offs = np.concatenate([[0], np.cumsum(rep_sz)]).astype(np.int64)
+        gather = np.repeat(rep_offs_sets[:-1][rl], rep_sz) + (
+            np.arange(int(rep_sz.sum())) - np.repeat(exp_offs[:-1], rep_sz)
+        )
+        exp_rep = rep_cat[gather]
+        d_cat, d_offs = cls._symdiff_segments(
+            cat.astype(np.uint32), offs, exp_rep, exp_offs, num_colors, n
+        )
         rep_stream, rep_bits = encode_delta_lists(rep_cat, rep_offs_sets)
-        d_offs = np.concatenate([[0], np.cumsum([len(d) for d in diffs])]).astype(np.int64)
-        d_cat = np.concatenate(diffs).astype(np.uint32) if diffs else np.empty(0, np.uint32)
         diff_stream, diff_bits = encode_delta_lists(d_cat, d_offs, headers=sizes[:, None])
         width = max(1, int(max(0, ncl - 1)).bit_length())
         return cls(
@@ -537,18 +598,19 @@ class DiffStore:
         headers, d_cat, d_offs = decode_delta_lists(self.diff_stream, self.diff_offs, 1)
         n = self.num_color_sets
         cluster_of = self.cluster_of()
-        chunks = []
-        sizes = np.zeros(n, dtype=np.int64)
-        for s in range(n):
-            c = cluster_of[s]
-            rep = rep_cat[rep_offs[c] : rep_offs[c + 1]]
-            d = d_cat[d_offs[s] : d_offs[s + 1]]
-            out = np.setxor1d(rep, d)
-            chunks.append(out.astype(np.uint32))
-            sizes[s] = len(out)
-            assert sizes[s] == headers[s, 0], "diff decode size mismatch"
-        offs = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
-        cat = np.concatenate(chunks).astype(np.uint32) if chunks else np.empty(0, np.uint32)
+        # expand each set's representative, then segmented symmetric diff
+        rep_sz = (rep_offs[1:] - rep_offs[:-1])[cluster_of]
+        exp_offs = np.concatenate([[0], np.cumsum(rep_sz)]).astype(np.int64)
+        gather = np.repeat(rep_offs[:-1][cluster_of], rep_sz) + (
+            np.arange(int(rep_sz.sum())) - np.repeat(exp_offs[:-1], rep_sz)
+        )
+        exp_rep = rep_cat[gather]
+        cat, offs = self._symdiff_segments(
+            d_cat, d_offs, exp_rep, exp_offs, self.num_colors, n
+        )
+        assert np.array_equal(
+            offs[1:] - offs[:-1], headers[:, 0]
+        ), "diff decode size mismatch"
         return cat, offs
 
     def arrays(self):
@@ -629,11 +691,11 @@ class MetaDiffStore:
 
     @classmethod
     def build(cls, cat, offs, num_colors, partition_bounds, partial_cluster_fn):
-        """partial_cluster_fn(partial_lists, psize) -> (perm, cluster_offs)
-        clusters a partition's partial sets for diff coding (identity
-        permutation is valid). Interning is the vectorized intern_partials;
-        partition-id lists are deduplicated by position-mixed hashing
-        (collision oracle: check_conversion)."""
+        """partial_cluster_fn(pcat, poffs, psize) -> (perm, cluster_offs)
+        clusters a partition's partial sets (given as flat cat/offs arrays)
+        for diff coding (identity permutation is valid). Interning is the
+        vectorized intern_partials; partition-id lists are deduplicated by
+        position-mixed hashing (collision oracle: check_conversion)."""
         S = len(offs) - 1
         P = len(partition_bounds) - 1
         it = intern_partials(cat, offs, num_colors, partition_bounds)
@@ -644,24 +706,24 @@ class MetaDiffStore:
         for p in range(P):
             lo = int(it["partial_base"][p])
             hi = int(it["partial_base"][p + 1])
-            lists = [
-                it["plists_cat"][it["plists_offs"][g] : it["plists_offs"][g + 1]]
-                for g in range(lo, hi)
-            ]
+            n_lists = hi - lo
+            cat_lo = int(it["plists_offs"][lo])
+            pcat0 = it["plists_cat"][cat_lo : int(it["plists_offs"][hi])]
+            poffs0 = (it["plists_offs"][lo : hi + 1] - cat_lo).astype(np.int64)
             psize = int(partition_bounds[p + 1] - partition_bounds[p])
-            perm, cluster_offs = partial_cluster_fn(lists, psize)
-            remap = np.empty(len(lists), dtype=np.int64)
-            remap[perm] = np.arange(len(lists))
+            perm, cluster_offs = partial_cluster_fn(pcat0, poffs0, psize)
+            remap = np.empty(n_lists, dtype=np.int64)
+            remap[perm] = np.arange(n_lists)
             lid_remap.append(remap)
-            plists = [lists[j] for j in perm]
-            po = np.concatenate([[0], np.cumsum([len(x) for x in plists])]).astype(np.int64)
-            pc = (
-                np.concatenate(plists).astype(np.uint32)
-                if plists
-                else np.empty(0, np.uint32)
+            # apply the permutation to the flat arrays (segmented gather)
+            psz = (poffs0[1:] - poffs0[:-1])[perm]
+            po = np.concatenate([[0], np.cumsum(psz)]).astype(np.int64)
+            g = np.repeat(poffs0[:-1][perm], psz) + (
+                np.arange(int(psz.sum()), dtype=np.int64) - np.repeat(po[:-1], psz)
             )
+            pc = pcat0[g].astype(np.uint32)
             labels = (
-                np.searchsorted(cluster_offs, np.arange(len(plists)), side="right") - 1
+                np.searchsorted(cluster_offs, np.arange(n_lists), side="right") - 1
             )
             stores.append(DiffStore.build(pc, po, psize, labels))
 
@@ -748,28 +810,51 @@ class MetaDiffStore:
         return len(self.meta_bit_offs) - 1
 
     def decode_all(self):
+        """Fully vectorized: psids and per-occurrence local ids are read with
+        batched arbitrary-offset bit extraction; colors expand by gather."""
         _, ps_cat, ps_o = decode_delta_lists(self.ps_stream, self.ps_offs)
-        decoded = []
+        n = self.num_color_sets
+        if n == 0:
+            return np.empty(0, np.uint32), np.zeros(1, np.int64)
+        # global partial-list table across partitions (absolute colors)
+        gcat_l, list_counts, list_sizes_l = [], [], []
         for p, st in enumerate(self.partial_stores):
             c, o = st.decode_all()
-            decoded.append((c.astype(np.int64) + int(self.partition_bounds[p]), o))
-        n = self.num_color_sets
-        chunks = []
-        sizes = np.zeros(n, dtype=np.int64)
-        for i in range(n):
-            r = BitReader(self.meta_stream, int(self.meta_bit_offs[i]))
-            psid = r.read_bits(self.psid_width)
-            plist = ps_cat[ps_o[psid] : ps_o[psid + 1]]
-            parts = []
-            for p in plist:
-                lid = r.read_bits(int(self.local_widths[p]))
-                c, o = decoded[p]
-                parts.append(c[o[lid] : o[lid + 1]])
-            out = np.concatenate(parts) if parts else np.empty(0, np.int64)
-            chunks.append(out.astype(np.uint32))
-            sizes[i] = len(out)
-        offs = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
-        cat = np.concatenate(chunks).astype(np.uint32) if chunks else np.empty(0, np.uint32)
+            gcat_l.append(c.astype(np.int64) + int(self.partition_bounds[p]))
+            list_counts.append(len(o) - 1)
+            list_sizes_l.append((o[1:] - o[:-1]).astype(np.int64))
+        gcat = np.concatenate(gcat_l) if gcat_l else np.empty(0, np.int64)
+        lsizes = (
+            np.concatenate(list_sizes_l) if list_sizes_l else np.empty(0, np.int64)
+        )
+        goffs = np.concatenate([[0], np.cumsum(lsizes)]).astype(np.int64)
+        pbase = np.concatenate([[0], np.cumsum(list_counts)]).astype(np.int64)
+
+        base = self.meta_bit_offs[:-1].astype(np.uint64)
+        psid = read_bits_at(self.meta_stream, base, self.psid_width)
+        pcount = (ps_o[psid + 1] - ps_o[psid]).astype(np.int64)
+        occ_offs = np.concatenate([[0], np.cumsum(pcount)]).astype(np.int64)
+        occ_set = np.repeat(np.arange(n, dtype=np.int64), pcount)
+        within = np.arange(int(pcount.sum()), dtype=np.int64) - np.repeat(
+            occ_offs[:-1], pcount
+        )
+        parts = ps_cat[np.repeat(ps_o[psid], pcount) + within].astype(np.int64)
+        occ_w = self.local_widths[parts].astype(np.int64)
+        exf = np.concatenate([[0], np.cumsum(occ_w)]).astype(np.int64)
+        within_bits = exf[:-1] - np.repeat(exf[occ_offs[:-1]], pcount)
+        occ_bit = (
+            base[occ_set] + np.uint64(self.psid_width) + within_bits.astype(np.uint64)
+        )
+        lid = read_bits_at(self.meta_stream, occ_bit, occ_w)
+        glist = pbase[parts] + lid
+        # expand colors per occurrence
+        gsz = lsizes[glist]
+        reps = np.repeat(goffs[glist], gsz)
+        wstart = np.concatenate([[0], np.cumsum(gsz)])[:-1]
+        w2 = np.arange(int(gsz.sum()), dtype=np.int64) - np.repeat(wstart, gsz)
+        cat = gcat[reps + w2].astype(np.uint32)
+        set_sizes = np.bincount(occ_set, weights=gsz, minlength=n).astype(np.int64)
+        offs = np.concatenate([[0], np.cumsum(set_sizes)]).astype(np.int64)
         return cat, offs
 
     def arrays(self):

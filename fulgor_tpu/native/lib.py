@@ -230,6 +230,50 @@ def parse_reads(path: str, max_reads: int = 0):
     return codes, lens, names
 
 
+def parse_reads_select(path: str, ids):
+    """Stream the file and return ONLY reads with the given 0-based ids
+    (ragged): -> (list[np.uint8 codes], list[str] names), in id-sorted order.
+    Avoids materializing a dense (num_reads, max_len) matrix when only a few
+    reads (e.g. long-read stragglers) are needed."""
+    lib = _load()
+    if not hasattr(lib, "_sel_proto"):
+        lib.fn_reads_select.argtypes = [
+            ct.c_char_p, ct.POINTER(ct.c_int64), ct.c_int64,
+            ct.POINTER(ct.POINTER(ct.c_uint8)), ct.POINTER(ct.POINTER(ct.c_int64)),
+            ct.POINTER(ct.POINTER(ct.c_char)), ct.POINTER(ct.POINTER(ct.c_int64)),
+        ]
+        lib.fn_reads_select.restype = ct.c_int
+        lib._sel_proto = True
+    ids = np.ascontiguousarray(np.sort(np.asarray(ids, dtype=np.int64)))
+    n = len(ids)
+    if n == 0:
+        return [], []
+    seq_p = ct.POINTER(ct.c_uint8)()
+    soffs_p = ct.POINTER(ct.c_int64)()
+    names_p = ct.POINTER(ct.c_char)()
+    noffs_p = ct.POINTER(ct.c_int64)()
+    rc = lib.fn_reads_select(
+        path.encode(), ids.ctypes.data_as(ct.POINTER(ct.c_int64)), n,
+        ct.byref(seq_p), ct.byref(soffs_p), ct.byref(names_p), ct.byref(noffs_p),
+    )
+    if rc != 0:
+        raise RuntimeError(f"reads_select failed rc={rc}: {path}")
+    soffs = _take(soffs_p, n + 1, np.int64)
+    noffs = _take(noffs_p, n + 1, np.int64)
+    seqblob = _take(seq_p, int(soffs[-1]), np.uint8)  # _take frees even when empty
+    blob_len = int(noffs[-1])
+    blob = (
+        _take(ct.cast(names_p, ct.POINTER(ct.c_uint8)), blob_len, np.uint8)
+        .tobytes().decode(errors="replace")
+        if blob_len else ""
+    )
+    if blob_len == 0:
+        lib.fn_free(names_p)
+    seqs = [seqblob[soffs[i]: soffs[i + 1]] for i in range(n)]
+    names = [blob[noffs[i]: noffs[i + 1]] for i in range(n)]
+    return seqs, names
+
+
 def format_psa_ascii(qids: np.ndarray, colors_cat: np.ndarray, offs: np.ndarray) -> bytes:
     """ascii pseudoalignment block for a batch of results."""
     lib = _load()
@@ -290,17 +334,23 @@ class ReadsStream:
         if self._h is None:
             raise StopIteration
         done = ct.c_int(0)
-        n = self._lib.fn_reads_next(
-            self._h,
-            self.chunk_reads,
-            self.row_len,
-            self._codes.ctypes.data_as(ct.POINTER(ct.c_uint8)),
-            self._lens.ctypes.data_as(ct.POINTER(ct.c_int32)),
-            self._names,
-            self._names_cap,
-            self._noffs.ctypes.data_as(ct.POINTER(ct.c_int64)),
-            ct.byref(done),
-        )
+        while True:
+            n = self._lib.fn_reads_next(
+                self._h,
+                self.chunk_reads,
+                self.row_len,
+                self._codes.ctypes.data_as(ct.POINTER(ct.c_uint8)),
+                self._lens.ctypes.data_as(ct.POINTER(ct.c_int32)),
+                self._names,
+                self._names_cap,
+                self._noffs.ctypes.data_as(ct.POINTER(ct.c_int64)),
+                ct.byref(done),
+            )
+            if n >= 0:
+                break
+            # a single name exceeds the buffer: grow and retry (never truncate)
+            self._names_cap = max(-int(n), self._names_cap * 2)
+            self._names = ct.create_string_buffer(self._names_cap)
         if n == 0:
             self.close()
             raise StopIteration

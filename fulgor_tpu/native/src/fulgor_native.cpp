@@ -895,7 +895,9 @@ extern "C" int fn_parse_reads(const char* path, int64_t max_reads, uint8_t** out
 extern "C" int fn_format_psa_ascii(const uint32_t* qids, const uint32_t* colors_cat,
                                    const int64_t* offs, int64_t n, char** out_buf,
                                    int64_t* out_len) {
-    size_t cap = (size_t)(n * 8 + (offs[n] - offs[0]) * 11 + 1024);
+    // fixed part per line is "qid\tcount\n": up to 10+1+10+1 = 22 bytes
+    // (qid and count are u32); each color adds "\tc" <= 11 bytes.
+    size_t cap = (size_t)(n * 24 + (offs[n] - offs[0]) * 11 + 1024);
     char* buf = (char*)malloc(cap);
     if (!buf) return 1;
     char* p = buf;
@@ -919,6 +921,7 @@ extern "C" int fn_format_psa_ascii(const uint32_t* qids, const uint32_t* colors_
         }
         *p++ = '\n';
     }
+    assert((size_t)(p - buf) <= cap);
     *out_buf = buf;
     *out_len = (int64_t)(p - buf);
     return 0;
@@ -1012,6 +1015,10 @@ static void rs_handle_line(ReadsStream* rs, const std::string& ln) {
 // Fill up to max_reads rows (fixed width row_len, padded with code 4;
 // out_lens reports TRUE lengths — callers route rows with len > row_len to
 // a slow path). Returns reads produced; sets *done=1 once fully drained.
+// Names never truncate: if the next read's name would overflow names_cap the
+// chunk ends early (that read stays queued); if even the FIRST name exceeds
+// names_cap, returns -(needed bytes) so the caller can grow the buffer and
+// retry.
 extern "C" int64_t fn_reads_next(void* h, int64_t max_reads, int32_t row_len,
                                  uint8_t* out_codes, int32_t* out_lens,
                                  char* out_names, int64_t names_cap,
@@ -1050,22 +1057,26 @@ extern "C" int64_t fn_reads_next(void* h, int64_t max_reads, int32_t row_len,
     }
     int64_t avail = (int64_t)(rs->ready.size() - rs->ready_pos);
     int64_t take = std::min(avail, max_reads);
+    if (take > 0 && rs->ready[rs->ready_pos].name.size() > (size_t)names_cap)
+        return -(int64_t)rs->ready[rs->ready_pos].name.size();
     memset(out_codes, 4, (size_t)max_reads * row_len);
     size_t name_pos = 0;
     out_name_offs[0] = 0;
+    int64_t taken = 0;
     for (int64_t i = 0; i < take; ++i) {
         auto& r = rs->ready[rs->ready_pos + i];
+        size_t nl = r.name.size();
+        if (name_pos + nl > (size_t)names_cap) break;  // end chunk early
         int32_t len = (int32_t)r.seq.size();
         memcpy(out_codes + i * row_len, r.seq.data(),
                (size_t)std::min<int64_t>(len, row_len));
         out_lens[i] = len;
-        size_t nl = r.name.size();
-        if (name_pos + nl <= (size_t)names_cap) {
-            memcpy(out_names + name_pos, r.name.data(), nl);
-            name_pos += nl;
-        }
+        memcpy(out_names + name_pos, r.name.data(), nl);
+        name_pos += nl;
         out_name_offs[i + 1] = (int64_t)name_pos;
+        ++taken;
     }
+    take = taken;
     rs->ready_pos += take;
     if (rs->ready_pos == rs->ready.size()) {
         rs->ready.clear();
@@ -1073,6 +1084,85 @@ extern "C" int64_t fn_reads_next(void* h, int64_t max_reads, int32_t row_len,
         if (rs->eof) *done = 1;
     }
     return take;
+}
+
+// Stream the reads file once and materialize ONLY the reads whose 0-based
+// ids are in `ids` (sorted ascending), as ragged buffers. Used for the
+// long-read fallback so a handful of stragglers never forces a dense
+// (num_reads x max_len) allocation of the whole file.
+extern "C" int fn_reads_select(const char* path, const int64_t* ids, int64_t n_ids,
+                               uint8_t** out_seq, int64_t** out_seq_offs,
+                               char** out_names, int64_t** out_name_offs) {
+    void* h = fn_reads_open(path);
+    if (!h) return 1;
+    ReadsStream* rs = (ReadsStream*)h;
+    std::vector<uint8_t> seqblob;
+    std::string nameblob;
+    int64_t* soffs = (int64_t*)malloc((n_ids + 1) * 8);
+    int64_t* noffs = (int64_t*)malloc((n_ids + 1) * 8);
+    soffs[0] = noffs[0] = 0;
+    int64_t qid = 0, next = 0;
+    while (next < n_ids) {
+        // parse more records if the queue is drained
+        if (rs->ready_pos == rs->ready.size()) {
+            rs->ready.clear();
+            rs->ready_pos = 0;
+            if (rs->eof) break;
+            int n = gzread(rs->f, rs->buf.data(), (unsigned)rs->buf.size());
+            if (n <= 0) {
+                rs->eof = true;
+                if (!rs->pending.empty()) {
+                    std::string line;
+                    line.swap(rs->pending);
+                    if (!line.empty() && line.back() == '\r') line.pop_back();
+                    rs_handle_line(rs, line);
+                }
+                if (rs->mode == 0 && rs->have_record) {
+                    rs->ready.push_back({std::move(rs->cur_seq), std::move(rs->cur_name)});
+                    rs->have_record = false;
+                }
+            } else {
+                int start = 0;
+                for (int i = 0; i < n; ++i) {
+                    if (rs->buf[i] == '\n') {
+                        rs->pending.append(rs->buf.data() + start, i - start);
+                        if (!rs->pending.empty() && rs->pending.back() == '\r')
+                            rs->pending.pop_back();
+                        std::string line;
+                        line.swap(rs->pending);
+                        rs_handle_line(rs, line);
+                        start = i + 1;
+                    }
+                }
+                rs->pending.append(rs->buf.data() + start, n - start);
+            }
+            continue;
+        }
+        auto& r = rs->ready[rs->ready_pos++];
+        if (qid == ids[next]) {
+            seqblob.insert(seqblob.end(), r.seq.begin(), r.seq.end());
+            nameblob.append(r.name);
+            soffs[next + 1] = (int64_t)seqblob.size();
+            noffs[next + 1] = (int64_t)nameblob.size();
+            ++next;
+        }
+        ++qid;
+    }
+    fn_reads_close(h);
+    if (next < n_ids) {  // requested id past end of file
+        free(soffs);
+        free(noffs);
+        return 2;
+    }
+    uint8_t* sb = (uint8_t*)malloc(seqblob.size() + 1);
+    memcpy(sb, seqblob.data(), seqblob.size());
+    char* nb = (char*)malloc(nameblob.size() + 1);
+    memcpy(nb, nameblob.data(), nameblob.size());
+    *out_seq = sb;
+    *out_seq_offs = soffs;
+    *out_names = nb;
+    *out_name_offs = noffs;
+    return 0;
 }
 
 // ---------------------------------------------------------------- delta records

@@ -288,14 +288,20 @@ class QueryEngine:
 
         stream = ReadsStream(query_path, self.batch, row_len=MAX_STREAM_WIDTH)
         q: queue.Queue = queue.Queue(maxsize=2)
+        parse_sec = [0.0]
 
         def producer():
             try:
+                t = time.perf_counter()
                 for codes, lens, names in stream:
+                    parse_sec[0] += time.perf_counter() - t
                     # copy out of the stream's reused buffers before queueing
                     q.put((codes.copy(), lens, names))
-            finally:
+                    t = time.perf_counter()
+                parse_sec[0] += time.perf_counter() - t
                 q.put(None)
+            except BaseException as e:  # surface parse failures to the consumer
+                q.put(e)
 
         th = threading.Thread(target=producer, daemon=True)
         th.start()
@@ -305,6 +311,9 @@ class QueryEngine:
                 item = q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    th.join()
+                    raise item
                 yield item
             th.join()
 
@@ -329,7 +338,7 @@ class QueryEngine:
             qid0 += n
         while inflight:
             consume(*inflight.popleft())
-        return qid0, long_ids
+        return qid0, long_ids, parse_sec[0]
 
     # ---------------------------------------------------------------- file drivers
 
@@ -348,29 +357,14 @@ class QueryEngine:
         t0 = time.perf_counter()
 
         if deduplicate:
-            assert threshold is None, "--deduplicate requires full-intersection"
-            codes, lens, _names = native.parse_reads(query_path)
-            results = self.pseudoalign_codes_dedup(codes, lens)
-            fmtr = make_formatter(fmt, out_path, C)
-            B = 1 << 16
-            for lo in range(0, len(results), B):
-                fmtr.write_batch(
-                    range(lo, min(len(results), lo + B)), results[lo : lo + B]
-                )
-            fmtr.close()
-            num_mapped = sum(1 for r in results if len(r))
-            elapsed = time.perf_counter() - t0
-            stats = dict(
-                num_reads=len(results), num_mapped=num_mapped,
-                parse_sec=0.0, query_sec=elapsed, write_sec=0.0,
-            )
-            if verbose:
-                self._print_stats(stats, elapsed)
-            return stats
+            return self._pseudoalign_dedup_stream(query_path, out_path, threshold,
+                                                  fmt, verbose, t0)
 
         fmtr = make_formatter(fmt, out_path, C)
         num_mapped = 0
         num_reads = 0
+        query_sec = 0.0
+        write_sec = 0.0
 
         def dispatch(chunk):
             if self.mesh is not None:
@@ -386,14 +380,19 @@ class QueryEngine:
             )
 
         def consume(qid0, n, lens, _names, handle):
-            nonlocal num_mapped, num_reads
+            nonlocal num_mapped, num_reads, query_sec, write_sec
+            tq = time.perf_counter()
             if threshold is None:
-                lists, counts = self._bits_to_lists(np.asarray(handle[:n]), C)
+                fetched = np.asarray(handle[:n])
+            else:
+                fetched = (np.asarray(handle[0][:n]), np.asarray(handle[1][:n]))
+            tw = time.perf_counter()
+            query_sec += tw - tq
+            if threshold is None:
+                lists, counts = self._bits_to_lists(fetched, C)
             else:
                 lists, counts = self._scores_to_lists(
-                    np.asarray(handle[0][:n]).astype(np.int64),
-                    np.asarray(handle[1][:n]),
-                    threshold,
+                    fetched[0].astype(np.int64), fetched[1], threshold
                 )
             keep = lens <= MAX_STREAM_WIDTH
             if keep.all():
@@ -405,30 +404,99 @@ class QueryEngine:
                 fmtr.write_batch(ids, sel)
                 num_mapped += sum(1 for s in sel if len(s))
             num_reads += n
+            write_sec += time.perf_counter() - tw
 
-        total, long_ids = self._stream(query_path, dispatch, consume)
+        total, long_ids, parse_sec = self._stream(query_path, dispatch, consume)
         if long_ids:
-            # exact host pass for reads wider than the stream ladder
-            codes, lens, _names = native.parse_reads(query_path)
+            # exact host pass for reads wider than the stream ladder (ragged
+            # selective re-parse: never materializes the whole file densely)
+            seqs, _names = native.parse_reads_select(query_path, long_ids)
             extra = []
-            for qid in long_ids:
-                row = codes[qid][: lens[qid]]
+            for row in seqs:
                 if threshold is None:
                     extra.append(self._host_full_intersection(row))
                 else:
                     extra.append(self._host_threshold(row, threshold))
-            fmtr.write_batch(long_ids, extra)
+            fmtr.write_batch(sorted(long_ids), extra)
             num_mapped += sum(1 for s in extra if len(s))
         fmtr.close()
 
         elapsed = time.perf_counter() - t0
+        # per-stage busy times; stages overlap (parse on a prefetch thread,
+        # device compute async), so their sum can exceed `elapsed`.
         stats = dict(
             num_reads=num_reads,
             num_mapped=num_mapped,
-            parse_sec=0.0,
-            query_sec=elapsed,
-            write_sec=0.0,
+            parse_sec=parse_sec,
+            query_sec=query_sec,
+            write_sec=write_sec,
         )
+        if verbose:
+            self._print_stats(stats, elapsed)
+        return stats
+
+    def _pseudoalign_dedup_stream(self, query_path, out_path, threshold, fmt,
+                                  verbose, t0):
+        """--deduplicate: stream the reads once fetching per-read distinct
+        color-set-id lists (reference fetch_and_deduplicate_sets,
+        tools/pseudoalign.cpp:92-226, which likewise keeps only csid lists
+        in memory/tmp-file, never the sequences), group identical lists,
+        intersect each DISTINCT list once, fan back out in read order."""
+        from ..native import lib as native
+
+        assert threshold is None, "--deduplicate requires full-intersection"
+        C = self.idx.num_colors
+        dense = self.idx.dense_color_bits()
+        groups: dict[bytes, list[int]] = {}
+
+        def dispatch(chunk):
+            return query_window_csids(self.table, chunk, k=self.k)
+
+        def consume(qid0, n, lens, _names, handle):
+            _hit, csid = handle
+            csid = np.asarray(csid[:n])  # misses are already INVALID_U32
+            s = np.sort(csid, axis=1)
+            uniq = np.concatenate(
+                [np.ones((n, 1), dtype=bool), s[:, 1:] != s[:, :-1]], axis=1
+            ) & (s != INVALID_U32)
+            keep = lens <= MAX_STREAM_WIDTH
+            for j in range(n):
+                if not keep[j]:
+                    continue
+                groups.setdefault(s[j][uniq[j]].tobytes(), []).append(qid0 + j)
+
+        total, long_ids, parse_sec = self._stream(query_path, dispatch, consume)
+        if long_ids:
+            seqs, _names = native.parse_reads_select(query_path, long_ids)
+            for qid, row in zip(sorted(long_ids), seqs):
+                c = self._host_csids(row)
+                key = np.unique(c[c != INVALID_U32]).tobytes()
+                groups.setdefault(key, []).append(qid)
+
+        results: list = [None] * total
+        for key, readlist in groups.items():
+            sids = np.frombuffer(key, dtype=np.uint32)
+            if len(sids) == 0:
+                colors = np.empty(0, dtype=np.uint32)
+            else:
+                word = dense[sids.astype(np.int64)[0]].copy()
+                for sid in sids[1:]:
+                    word &= dense[sid]
+                colors = np.flatnonzero(
+                    np.unpackbits(word.view(np.uint8), bitorder="little")[:C]
+                ).astype(np.uint32)
+            for ridx in readlist:
+                results[ridx] = colors
+        fmtr = make_formatter(fmt, out_path, C)
+        B = 1 << 16
+        for lo in range(0, total, B):
+            fmtr.write_batch(range(lo, min(total, lo + B)), results[lo: lo + B])
+        fmtr.close()
+        num_mapped = sum(1 for r in results if len(r))
+        elapsed = time.perf_counter() - t0
+        stats = dict(num_reads=total, num_mapped=num_mapped,
+                     parse_sec=parse_sec, query_sec=elapsed - parse_sec,
+                     write_sec=0.0)
         if verbose:
             self._print_stats(stats, elapsed)
         return stats
@@ -502,12 +570,12 @@ class QueryEngine:
                     )
                 )
 
-        total, long_ids = self._stream(query_path, dispatch, consume, need_names=True)
+        total, long_ids, _psec = self._stream(query_path, dispatch, consume, need_names=True)
         if long_ids:
-            codes, lens, names = native.parse_reads(query_path)
-            for qid in long_ids:
-                c = self._host_csids(codes[qid][: lens[qid]])
-                write_one(names[qid], c != INVALID_U32, c)
+            seqs, names = native.parse_reads_select(query_path, long_ids)
+            for row, name in zip(seqs, names):
+                c = self._host_csids(row)
+                write_one(name, c != INVALID_U32, c)
         f.close()
         return dict(num_reads=total)
 
@@ -556,12 +624,12 @@ class QueryEngine:
                     )
                 )
 
-        total, long_ids = self._stream(query_path, dispatch, consume, need_names=True)
+        total, long_ids, _psec = self._stream(query_path, dispatch, consume, need_names=True)
         if long_ids:
-            codes, lens, names = native.parse_reads(query_path)
-            for qid in long_ids:
-                c = self._host_csids(codes[qid][: lens[qid]])
-                write_one(names[qid], c != INVALID_U32, c)
+            seqs, names = native.parse_reads_select(query_path, long_ids)
+            for row, name in zip(seqs, names):
+                c = self._host_csids(row)
+                write_one(name, c != INVALID_U32, c)
         f.close()
         return dict(num_reads=total)
 

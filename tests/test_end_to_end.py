@@ -186,3 +186,56 @@ def test_pseudoalign_deduplicate(built, tmp_path):
         ["pseudoalign", "-i", index_path, "-q", qfile, "-o", out_d, "--deduplicate"]
     ) == 0
     assert open(out_a).read() == open(out_d).read()
+
+
+def test_long_reads_and_long_names(built, tmp_path):
+    """Reads wider than the stream ladder take the exact ragged host
+    fallback (never a dense whole-file re-parse), and 200+ char FASTQ
+    headers survive kc/km output intact."""
+    tmp, index_path, qfile, reads, genomes = built
+    from fulgor_tpu.query.engine import MAX_STREAM_WIDTH, QueryEngine, conservation_runs
+
+    rng = np.random.default_rng(5)
+    long_seq = genomes[0][0]
+    while len(long_seq) <= MAX_STREAM_WIDTH:
+        long_seq = long_seq + genomes[0][0]
+    names = [
+        "short0",
+        "verylong_" + "n" * 220,
+        "short1",
+    ]
+    seqs = [reads[0], long_seq, reads[1]]
+    qf = str(tmp_path / "mixed.fq")
+    with open(qf, "w") as f:
+        for nm, s in zip(names, seqs):
+            f.write(f"@{nm} c\n{s}\n+\n{'I' * len(s)}\n")
+
+    idx = Index.load(index_path)
+    eng = QueryEngine(idx)
+
+    out = str(tmp_path / "psa.tsv")
+    assert cli.main(["pseudoalign", "-i", index_path, "-q", qf, "-o", out]) == 0
+    lines = sorted(open(out).read().splitlines(), key=lambda l: int(l.split("\t")[0]))
+    assert len(lines) == 3
+    for qid, s in enumerate(seqs):
+        expect = eng._host_full_intersection(K.seq_to_codes(s))
+        got = [int(x) for x in lines[qid].split("\t")[2:]]
+        assert got == sorted(expect.tolist()), f"read {qid}"
+
+    out = str(tmp_path / "kc.tsv")
+    assert cli.main(["kmer-conservation", "-i", index_path, "-q", qf, "-o", out]) == 0
+    got_lines = {l.split("\t")[0]: l for l in open(out).read().splitlines()}
+    assert set(got_lines) == set(names)
+    for nm, s in zip(names, seqs):
+        csid = eng._host_csids(K.seq_to_codes(s))
+        hit = csid != 0xFFFFFFFF
+        expect = conservation_runs(hit, csid)
+        parts = got_lines[nm].split("\t")
+        assert int(parts[1]) == len(expect)
+        assert [tuple(map(int, t.strip("()").split())) for t in parts[2:]] == expect
+
+    out = str(tmp_path / "km.tsv")
+    assert cli.main(["kmer-matches", "-i", index_path, "-q", qf, "-o", out]) == 0
+    km_lines = open(out).read().splitlines()
+    assert km_lines[0] == f"num_colors={idx.num_colors}"
+    assert {l.split("\t")[0] for l in km_lines[1:]} == set(names)

@@ -121,3 +121,48 @@ def test_multipass_build_equivalence(tmp_path, rng):
         for key in ("unitig_codes", "unitig_offs", "unitig_cs", "cs_colors", "cs_offs"):
             np.testing.assert_array_equal(got[key], ref[key], err_msg=f"passes={passes} {key}")
         assert got["num_kmers"] == ref["num_kmers"]
+
+
+def test_format_psa_ascii_unmapped_bulk():
+    """Regression: 32k+ lines of wide qids with EMPTY color lists must not
+    overflow the formatter's buffer (the fixed 'qid\\tcount\\n' part needs up
+    to 22 bytes/line)."""
+    n = 40000
+    qids = (np.arange(n, dtype=np.uint32) + 4_000_000_000)  # 10-digit ids
+    offs = np.zeros(n + 1, dtype=np.int64)  # all empty
+    out = N.format_psa_ascii(qids, np.empty(0, np.uint32), offs)
+    lines = out.decode().splitlines()
+    assert len(lines) == n
+    assert lines[0] == "4000000000\t0"
+    assert lines[-1] == f"{4_000_000_000 + n - 1}\t0"
+
+
+def test_reads_stream_long_names(tmp_path):
+    """FASTQ headers longer than the default 64 B/read budget must come
+    through exactly (the stream grows its name buffer, never truncates)."""
+    p = tmp_path / "longnames.fq"
+    names = ["r" + str(i) + "_" + "x" * 300 for i in range(10)]
+    with open(p, "w") as f:
+        for i, nm in enumerate(names):
+            f.write(f"@{nm} comment\nACGTACGTACGT\n+\n############\n")
+    rs = N.ReadsStream(str(p), chunk_reads=4, row_len=32)
+    got = []
+    for codes, lens, nms in rs:
+        got.extend(nms)
+        assert (lens == 12).all()
+    assert got == names
+
+
+def test_reads_select(tmp_path):
+    p = tmp_path / "reads.fa"
+    seqs = ["ACGT" * (i + 1) for i in range(20)]
+    with open(p, "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(f">read{i} etc\n{s}\n")
+    ids = [0, 7, 19]
+    rows, names = N.parse_reads_select(str(p), ids)
+    assert names == [f"read{i}" for i in ids]
+    for row, i in zip(rows, ids):
+        np.testing.assert_array_equal(row, K.seq_to_codes(seqs[i]))
+    rows, names = N.parse_reads_select(str(p), [])
+    assert rows == [] and names == []
