@@ -106,19 +106,23 @@ def build_index(
     """Full build from a list of FASTA(.gz) reference files (color order =
     file order, as the reference's -l list). ram_gib bounds the pair-table
     memory via multi-pass construction (reference -g flag semantics)."""
+    import time
+
     from ..native import lib as native
 
     passes = estimate_build_passes(filenames, ram_gib)
+    t0 = time.perf_counter()
     if verbose:
         print(
             f"step 1+2. building ccdBG over {len(filenames)} references "
             f"(k={k}, passes={passes})..."
         )
     g = native.build_ccdbg(filenames, k, num_passes=passes)
+    t1 = time.perf_counter()
     if verbose:
         print(
             f"  {g['num_kmers']} kmers, {len(g['unitig_offs']) - 1} unitigs, "
-            f"{len(g['cs_offs']) - 1} color sets"
+            f"{len(g['cs_offs']) - 1} color sets ({t1 - t0:.1f} s)"
         )
         print("step 3. building k-mer dictionary + encoding color sets...")
     idx = assemble_index(
@@ -132,8 +136,91 @@ def build_index(
         cs_colors=g["cs_colors"],
         cs_offs=g["cs_offs"],
     )
+    if verbose:
+        print(f"  dictionary + color encoding: {time.perf_counter() - t1:.1f} s")
     assert idx.num_kmers == g["num_kmers"]
     return idx
+
+
+def check_against(base: Index, target: Index, verbose: bool = False) -> bool:
+    """Unitig-level cross-index validation (reference tools/util.cpp:63-231):
+    every k-mer of every target unitig must resolve to ONE color set in each
+    index, and the two sets must match modulo the color permutation recovered
+    by sorting filenames. Makes no assumption that set ids align."""
+    if base.num_colors != target.num_colors:
+        print("CHECK FAILED: number of colors mismatch")
+        return False
+    if base.num_color_sets != target.num_color_sets:
+        print("CHECK FAILED: number of color sets mismatch")
+        return False
+    if base.num_unitigs != target.num_unitigs:
+        print("CHECK FAILED: number of unitigs mismatch")
+        return False
+    if base.num_kmers != target.num_kmers:
+        print("CHECK FAILED: number of kmers mismatch")
+        return False
+    from ..query.host_lookup import lookup_host
+
+    # color map via filename sort (util.cpp:90-106)
+    base_perm = np.argsort(np.array(base.filenames, dtype=object), kind="stable")
+    tgt_perm = np.argsort(np.array(target.filenames, dtype=object), kind="stable")
+    base_to_target = np.empty(base.num_colors, dtype=np.int64)
+    base_to_target[base_perm] = tgt_perm
+
+    codes_all = K.unpack2(target.unitig_seq, int(target.unitig_offs[-1]))
+    keys, uids = unitig_kmers(codes_all, target.unitig_offs, target.k)
+    tgt_csid_kmer = lookup_host(target.dict_table, keys)
+    expect_tgt = target.u2c_csid[uids.astype(np.int64)]
+    if not (tgt_csid_kmer == expect_tgt).all():
+        print("CHECK FAILED: target kmers do not resolve to their unitig's set")
+        return False
+    base_csid_kmer = lookup_host(base.dict_table, keys).astype(np.int64)
+    # base csid must be constant within each target unitig
+    first_of_uid = np.concatenate([[True], uids[1:] != uids[:-1]])
+    uid_first_base = base_csid_kmer[first_of_uid][
+        np.cumsum(first_of_uid.astype(np.int64)) - 1
+    ]
+    if not (base_csid_kmer == uid_first_base).all():
+        print("CHECK FAILED: a target unitig spans multiple base color sets")
+        return False
+    # per target set: compare contents vs the mapped base set (one pair per
+    # distinct target csid; unitig grouping guarantees coverage of all sets)
+    tcs = target.u2c_csid.astype(np.int64)
+    bcs = base_csid_kmer[first_of_uid]  # base csid per target unitig
+    tsids, first_uid = np.unique(tcs, return_index=True)
+    bsid_of_t = bcs[first_uid]
+    bcat, boffs = base.color_sets_decoded()
+    tcat, toffs = target.color_sets_decoded()
+    tsz = (toffs[1:] - toffs[:-1]).astype(np.int64)[tsids]
+    bsz = (boffs[1:] - boffs[:-1]).astype(np.int64)[bsid_of_t]
+    if not np.array_equal(tsz, bsz):
+        s = int(tsids[np.flatnonzero(tsz != bsz)[0]])
+        print(f"CHECK FAILED: color set {s} size mismatch vs base")
+        return False
+    # gather mapped base contents in target-set order, sort per segment
+    exp_offs = np.concatenate([[0], np.cumsum(bsz)]).astype(np.int64)
+    g = np.repeat(boffs[:-1][bsid_of_t], bsz) + (
+        np.arange(int(bsz.sum()), dtype=np.int64) - np.repeat(exp_offs[:-1], bsz)
+    )
+    mapped = base_to_target[bcat[g].astype(np.int64)]
+    seg = np.repeat(np.arange(len(tsids), dtype=np.int64), bsz)
+    mapped = mapped[np.lexsort((mapped, seg))]
+    tg = np.repeat(toffs[:-1][tsids], tsz) + (
+        np.arange(int(tsz.sum()), dtype=np.int64) - np.repeat(exp_offs[:-1], tsz)
+    )
+    tvals = tcat[tg].astype(np.int64)
+    tvals = tvals[np.lexsort((tvals, seg))]
+    bad = mapped != tvals
+    if bad.any():
+        s = int(tsids[seg[np.flatnonzero(bad)[0]]])
+        print(f"CHECK FAILED: color set {s} mismatch vs base")
+        return False
+    if verbose:
+        print(
+            f"checked {target.num_unitigs} unitigs, {len(keys)} kmers, "
+            f"{target.num_color_sets} color sets against base"
+        )
+    return True
 
 
 def check_index(idx: Index, verbose: bool = False) -> bool:

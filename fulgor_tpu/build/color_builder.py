@@ -195,6 +195,14 @@ def meta_diff_color(idx: Index) -> Index:
     )
 
 
+# (meta?, diff?) -> output index kind, for output-path checks before loading
+KIND_TARGET = {
+    (True, True): KIND_META_DIFF,
+    (True, False): KIND_META,
+    (False, True): KIND_DIFF,
+}
+
+
 def convert(idx: Index, meta: bool, diff: bool) -> Index:
     if meta and diff:
         return meta_diff_color(idx)

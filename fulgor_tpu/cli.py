@@ -41,12 +41,22 @@ def _load_index(path: str) -> Index:
 def cmd_build(args):
     from .build.builder import build_index, check_index
 
+    out = args.output + EXT[KIND_HYBRID]
+    if os.path.exists(out):
+        # reference tools/build.cpp:168: refuse to clobber unless --force
+        if args.force:
+            print(f"Option '--force' specified: re-building the index.", file=sys.stderr)
+        else:
+            print(
+                f"Index '{out}' already exists. Use option '--force' to re-build the index.",
+                file=sys.stderr,
+            )
+            return 1
     with open(args.filenames_list) as f:
         filenames = [ln.strip() for ln in f if ln.strip()]
     idx = build_index(
         filenames, k=args.k, m=args.m, verbose=args.verbose, ram_gib=args.ram_gib
     )
-    out = args.output + EXT[KIND_HYBRID]
     idx.save(out)
     if args.verbose:
         print(f"index written to '{out}'")
@@ -152,10 +162,10 @@ def cmd_check(args):
     idx = _load_index(args.index_filename)
     ok = check_index(idx, verbose=args.verbose)
     if ok and args.against:
-        from .build.color_builder import check_conversion
+        from .build.builder import check_against
 
         base = _load_index(args.against)
-        ok = check_conversion(base, idx)
+        ok = check_against(base, idx, verbose=args.verbose)
     if ok:
         print("EVERYTHING OK!")
         return 0
@@ -165,13 +175,26 @@ def cmd_check(args):
 def cmd_color(args):
     from .build.color_builder import check_conversion, convert
 
-    idx = _load_index(args.index_filename)
-    out_idx = convert(idx, meta=args.meta, diff=args.diff)
+    from .build.color_builder import KIND_TARGET
+
     base = args.index_filename
     for ext in EXT.values():
         if base.endswith(ext):
             base = base[: -len(ext)]
-    out_path = base + EXT[out_idx.kind]
+    target_kind = KIND_TARGET[(args.meta, args.diff)]
+    out_path = base + EXT[target_kind]
+    if os.path.exists(out_path):
+        if args.force:
+            print(f"Option '--force' specified: re-building the index.", file=sys.stderr)
+        else:
+            print(
+                f"Index '{out_path}' already exists. Use option '--force' to re-build the index.",
+                file=sys.stderr,
+            )
+            return 1
+    idx = _load_index(args.index_filename)
+    out_idx = convert(idx, meta=args.meta, diff=args.diff)
+    assert out_idx.kind == target_kind
     out_idx.save(out_path)
     print(f"index written to '{out_path}'")
     if args.verbose:
@@ -215,6 +238,8 @@ def main(argv=None):
     b.add_argument("-t", dest="threads", type=int, default=1, help="(accepted for parity)")
     b.add_argument("--verbose", action="store_true")
     b.add_argument("--check", action="store_true")
+    b.add_argument("--force", action="store_true",
+                   help="overwrite an existing output index")
     b.add_argument("--meta", action="store_true",
                    help="also build the meta-colored index")
     b.add_argument("--diff", action="store_true",
@@ -284,6 +309,8 @@ def main(argv=None):
     co.add_argument("--meta", action="store_true")
     co.add_argument("--diff", action="store_true")
     co.add_argument("--check", action="store_true")
+    co.add_argument("--force", action="store_true",
+                    help="overwrite an existing output index")
     co.add_argument("--verbose", action="store_true")
     co.set_defaults(fn=cmd_color)
 

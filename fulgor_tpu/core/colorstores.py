@@ -183,14 +183,43 @@ class HybridStore:
         return int(self.stream.nbytes + EliasFano.encode(self.bit_offs).num_bytes())
 
     def stats(self) -> dict:
-        sizes = np.array([H.decode_set_size(self.stream, o) for o in self.bit_offs[:-1]])
+        """Per-encoding and per-size-bucket space breakdown (superset of the
+        reference hybrid::print_stats, src/color_sets.cpp:8-82)."""
+        _, offs = self.decode_all()
+        sizes = (offs[1:] - offs[:-1]).astype(np.int64)
+        bits = np.diff(self.bit_offs).astype(np.int64)
         kinds = H.encoding_kinds(sizes, self.num_colors)
+        C = self.num_colors
+        nb = 10
+        bsize = max(1, C // nb)
+        bucket = np.minimum((np.maximum(sizes, 1) - 1) // bsize, nb - 1)
+        total_bits = int(bits.sum())
+        total_ints = int(sizes.sum())
+        buckets = []
+        for i in range(nb):
+            sel = bucket == i
+            n_sets = int(sel.sum())
+            if n_sets == 0:
+                continue
+            n_ints = int(sizes[sel].sum())
+            n_bits = int(bits[sel].sum())
+            buckets.append({
+                "size_range": (i * bsize, C if i == nb - 1 else (i + 1) * bsize),
+                "sets": n_sets,
+                "ints": n_ints,
+                "bits_per_int": round(n_bits / max(1, n_ints), 3),
+                "pct_space": round(100.0 * n_bits / max(1, total_bits), 2),
+            })
+        ef_bytes = EliasFano.encode(self.bit_offs).num_bytes()
         return {
             "sets": {
                 "sparse": int((kinds == 0).sum()),
                 "bitmap": int((kinds == 1).sum()),
                 "complement": int((kinds == 2).sum()),
-            }
+            },
+            "colors_bits_per_int": round(8.0 * self.stream.nbytes / max(1, total_ints), 3),
+            "offsets_bits_per_int": round(8.0 * ef_bytes / max(1, total_ints), 3),
+            "size_buckets": buckets,
         }
 
 
@@ -441,10 +470,28 @@ class MetaStore:
         return int(n)
 
     def stats(self) -> dict:
+        """Partial-set encoding census + space split (reference
+        meta::print_stats, src/color_sets.cpp:84-142)."""
+        enc = {"sparse": 0, "bitmap": 0, "complement": 0}
+        partial_bytes = 0
+        for st in self.partial_stores:
+            s = st.stats()["sets"]
+            for key in enc:
+                enc[key] += s[key]
+            partial_bytes += st.num_bytes()
+        meta_bytes = self.meta_stream.nbytes + EliasFano.encode(
+            self.meta_offs.astype(np.uint64)
+        ).num_bytes()
+        total = max(1, self.num_bytes())
         return {
             "partitions": len(self.partial_stores),
             "partials": int(self.partial_base[-1]),
             "meta_ints": int(self.meta_offs[-1]),
+            "partial_encodings": enc,
+            "partial_color_sets_bytes": int(partial_bytes),
+            "meta_color_sets_bytes": int(meta_bytes),
+            "partial_pct": round(100.0 * partial_bytes / total, 2),
+            "meta_pct": round(100.0 * meta_bytes / total, 2),
         }
 
 
@@ -652,7 +699,29 @@ class DiffStore:
         )
 
     def stats(self) -> dict:
-        return {"clusters": self.n_clusters}
+        """Cluster/representative/differential space split + size histogram
+        (reference differential::print_stats, src/color_sets.cpp:144-241)."""
+        _, rep_cat, rep_o = decode_delta_lists(self.rep_stream, self.rep_offs)
+        headers, d_cat, d_o = decode_delta_lists(self.diff_stream, self.diff_offs, 1)
+        n = self.num_color_sets
+        d_sizes = (d_o[1:] - d_o[:-1]).astype(np.int64)
+        tenth = max(1, self.num_colors // 10)
+        hist = np.bincount(np.minimum(d_sizes // tenth, 10), minlength=11)
+        total = max(1, self.num_bytes())
+        return {
+            "clusters": self.n_clusters,
+            "avg_representative_size": round(float(len(rep_cat)) / max(1, self.n_clusters), 2),
+            "avg_differential_size": round(float(len(d_cat)) / max(1, n), 2),
+            "representatives_bytes": int(self.rep_stream.nbytes),
+            "differential_bytes": int(self.diff_stream.nbytes),
+            "cluster_map_bytes": int(self.cluster_map.nbytes),
+            "offsets_bytes": int(
+                EliasFano.encode(self.rep_offs).num_bytes()
+                + EliasFano.encode(self.diff_offs).num_bytes()
+            ),
+            "diff_pct": round(100.0 * self.diff_stream.nbytes / total, 2),
+            "diff_size_distribution": hist.tolist(),
+        }
 
 
 # --------------------------------------------------------------------------
@@ -911,9 +980,23 @@ class MetaDiffStore:
         return int(n)
 
     def stats(self) -> dict:
+        """Partial vs meta space split (reference
+        meta_differential::print_stats, src/color_sets.cpp:242-265)."""
+        partial_bytes = sum(st.num_bytes() for st in self.partial_stores)
+        meta_bytes = (
+            self.ps_stream.nbytes
+            + self.meta_stream.nbytes
+            + EliasFano.encode(self.ps_offs).num_bytes()
+            + EliasFano.encode(self.meta_bit_offs).num_bytes()
+        )
+        total = max(1, self.num_bytes())
         return {
             "partitions": len(self.partial_stores),
             "partition_sets": len(self.ps_offs) - 1,
+            "partial_color_sets_bytes": int(partial_bytes),
+            "meta_color_sets_bytes": int(meta_bytes),
+            "partial_pct": round(100.0 * partial_bytes / total, 2),
+            "meta_pct": round(100.0 * meta_bytes / total, 2),
         }
 
 

@@ -35,6 +35,22 @@ from .core import kmers as K
 from .core.colorstores import STORE_CLASSES
 
 
+def _print_nested(d, indent=0):
+    pad = "  " * indent
+    if isinstance(d, dict):
+        for key, val in d.items():
+            if isinstance(val, dict) or (
+                isinstance(val, list) and val and isinstance(val[0], dict)
+            ):
+                print(f"{pad}{key}:")
+                _print_nested(val, indent + 1)
+            else:
+                print(f"{pad}{key}: {val}")
+    else:  # list of dicts
+        for item in d:
+            _print_nested(item, indent)
+
+
 @dataclass
 class Index:
     kind: str
@@ -212,7 +228,8 @@ class Index:
             f"({8.0 * (comp['dictionary'] + comp['unitig_text']) / max(1, self.num_kmers):.5f} bits/kmer)"
         )
         print(f"Number of unitigs in dBG: {self.num_unitigs}")
-        print(f"color store [{self.kind}]: {self.color_store.stats()}")
+        print(f"color store [{self.kind}]:")
+        _print_nested(self.color_store.stats(), indent=1)
 
     # ------------------------------------------------ dump / load (text interchange)
 

@@ -274,10 +274,12 @@ class QueryEngine:
             return out[0]  # (B, C32pad) result bits
         return out[0][:, :C], out[1]  # scores (slice pad), npos
 
-    def _stream(self, query_path: str, dispatch, consume, need_names=False):
+    def _stream(self, query_path: str, dispatch, consume, need_names=False,
+                progress=False):
         """Streaming driver: parse chunk -> dispatch(chunk)->device handles
         (<=2 in flight) -> consume(qid0, n, lens, names, handle).
-        Returns (num_reads, long_read_qids).
+        Returns (num_reads, long_read_qids, parse_sec). progress: log a
+        counter every 2^20 reads (reference src/ps_utils.cpp:421-428).
 
         Parsing runs on a prefetch thread (the native parser releases the
         GIL), overlapping with device dispatch and host formatting."""
@@ -320,7 +322,14 @@ class QueryEngine:
         inflight: deque = deque()
         qid0 = 0
         long_ids: list[int] = []
+        next_report = 1 << 20
         for codes, lens, names in chunks():
+            if progress and qid0 >= next_report:
+                import sys as _sys
+
+                print(f"processed {qid0} reads", file=_sys.stderr)
+                while next_report <= qid0:
+                    next_report += 1 << 20
             n = len(lens)
             maxl = int(lens.max()) if n else 0
             too_long = lens > MAX_STREAM_WIDTH
@@ -406,7 +415,8 @@ class QueryEngine:
             num_reads += n
             write_sec += time.perf_counter() - tw
 
-        total, long_ids, parse_sec = self._stream(query_path, dispatch, consume)
+        total, long_ids, parse_sec = self._stream(query_path, dispatch, consume,
+                                                  progress=verbose)
         if long_ids:
             # exact host pass for reads wider than the stream ladder (ragged
             # selective re-parse: never materializes the whole file densely)
@@ -570,7 +580,8 @@ class QueryEngine:
                     )
                 )
 
-        total, long_ids, _psec = self._stream(query_path, dispatch, consume, need_names=True)
+        total, long_ids, _psec = self._stream(query_path, dispatch, consume,
+                                              need_names=True, progress=verbose)
         if long_ids:
             seqs, names = native.parse_reads_select(query_path, long_ids)
             for row, name in zip(seqs, names):
@@ -624,7 +635,8 @@ class QueryEngine:
                     )
                 )
 
-        total, long_ids, _psec = self._stream(query_path, dispatch, consume, need_names=True)
+        total, long_ids, _psec = self._stream(query_path, dispatch, consume,
+                                              need_names=True, progress=verbose)
         if long_ids:
             seqs, names = native.parse_reads_select(query_path, long_ids)
             for row, name in zip(seqs, names):

@@ -239,3 +239,17 @@ def test_long_reads_and_long_names(built, tmp_path):
     km_lines = open(out).read().splitlines()
     assert km_lines[0] == f"num_colors={idx.num_colors}"
     assert {l.split("\t")[0] for l in km_lines[1:]} == set(names)
+
+
+def test_force_and_check_against(built, tmp_path):
+    tmp, index_path, qfile, reads, genomes = built
+    # --force: a second build into the same basename must refuse without it
+    listfile = str(tmp / "list.txt")
+    out_base = index_path[: -len(".tfur")]
+    assert cli.main(["build", "-l", listfile, "-o", out_base, "-k", str(K_LEN), "-m", "9"]) == 1
+    # meta-diff conversion + unitig-level cross-check against the base
+    assert cli.main(["color", "-i", index_path, "--meta", "--diff", "--force"]) == 0
+    md_path = out_base + ".tmdfur"
+    assert cli.main(["check", "-i", md_path, "--against", index_path]) == 0
+    # stats must print the per-store breakdown without error
+    assert cli.main(["stats", "-i", md_path]) == 0
