@@ -59,11 +59,26 @@ def assemble_index(
     unitig_cs: np.ndarray,
     cs_colors: np.ndarray,
     cs_offs: np.ndarray,
+    dict_kind: str = "mini",
+    verbose: bool = False,
 ) -> Index:
-    table, num_kmers = build_kmer_dict(unitig_codes, unitig_offs, unitig_cs, k)
     store = HybridStore.build(
         np.asarray(cs_colors, dtype=np.uint32), np.asarray(cs_offs), num_colors
     )
+    table = mini_slots = mini_sec = None
+    mini_num_slots = 0
+    if dict_kind == "cuckoo":
+        table, num_kmers = build_kmer_dict(unitig_codes, unitig_offs, unitig_cs, k)
+    else:
+        from ..ops.minidict2 import build_minidict2
+
+        d = build_minidict2(
+            unitig_codes, unitig_offs, unitig_cs, k, m, verbose=verbose
+        )
+        mini_slots, mini_sec, mini_num_slots = d.slots, d.sec_table, d.num_slots
+        num_kmers = int(
+            np.clip(np.diff(np.asarray(unitig_offs, np.int64)) - k + 1, 0, None).sum()
+        )
     return Index(
         kind=KIND_HYBRID,
         k=k,
@@ -76,6 +91,10 @@ def assemble_index(
         unitig_offs=np.asarray(unitig_offs, dtype=np.int64),
         u2c_csid=np.asarray(unitig_cs, dtype=np.uint32),
         color_store=store,
+        dict_kind=dict_kind,
+        mini_slots=mini_slots,
+        mini_sec=mini_sec,
+        mini_num_slots=mini_num_slots,
     )
 
 
@@ -101,7 +120,7 @@ def estimate_build_passes(filenames: list[str], ram_gib: float) -> int:
 
 def build_index(
     filenames: list[str], k: int = 31, m: int = 20, verbose: bool = False,
-    ram_gib: float = 8.0,
+    ram_gib: float = 8.0, dict_kind: str = "mini",
 ) -> Index:
     """Full build from a list of FASTA(.gz) reference files (color order =
     file order, as the reference's -l list). ram_gib bounds the pair-table
@@ -135,6 +154,8 @@ def build_index(
         unitig_cs=g["unitig_cs"],
         cs_colors=g["cs_colors"],
         cs_offs=g["cs_offs"],
+        dict_kind=dict_kind,
+        verbose=verbose,
     )
     if verbose:
         print(f"  dictionary + color encoding: {time.perf_counter() - t1:.1f} s")
@@ -159,8 +180,6 @@ def check_against(base: Index, target: Index, verbose: bool = False) -> bool:
     if base.num_kmers != target.num_kmers:
         print("CHECK FAILED: number of kmers mismatch")
         return False
-    from ..query.host_lookup import lookup_host
-
     # color map via filename sort (util.cpp:90-106)
     base_perm = np.argsort(np.array(base.filenames, dtype=object), kind="stable")
     tgt_perm = np.argsort(np.array(target.filenames, dtype=object), kind="stable")
@@ -168,13 +187,16 @@ def check_against(base: Index, target: Index, verbose: bool = False) -> bool:
     base_to_target[base_perm] = tgt_perm
 
     codes_all = K.unpack2(target.unitig_seq, int(target.unitig_offs[-1]))
-    keys, uids = unitig_kmers(codes_all, target.unitig_offs, target.k)
-    tgt_csid_kmer = lookup_host(target.dict_table, keys)
+    uids, inside = unitig_window_mask(target.unitig_offs, target.k, len(codes_all))
+    _th, tcs_all = target.host_window_csids(codes_all)
+    tgt_csid_kmer = tcs_all[inside]
     expect_tgt = target.u2c_csid[uids.astype(np.int64)]
     if not (tgt_csid_kmer == expect_tgt).all():
         print("CHECK FAILED: target kmers do not resolve to their unitig's set")
         return False
-    base_csid_kmer = lookup_host(base.dict_table, keys).astype(np.int64)
+    _bh, bcs_all = base.host_window_csids(codes_all)
+    base_csid_kmer = bcs_all[inside].astype(np.int64)
+    num_checked_kmers = int(inside.sum())
     # base csid must be constant within each target unitig
     first_of_uid = np.concatenate([[True], uids[1:] != uids[:-1]])
     uid_first_base = base_csid_kmer[first_of_uid][
@@ -217,28 +239,38 @@ def check_against(base: Index, target: Index, verbose: bool = False) -> bool:
         return False
     if verbose:
         print(
-            f"checked {target.num_unitigs} unitigs, {len(keys)} kmers, "
+            f"checked {target.num_unitigs} unitigs, {num_checked_kmers} kmers, "
             f"{target.num_color_sets} color sets against base"
         )
     return True
 
 
-def check_index(idx: Index, verbose: bool = False) -> bool:
-    """--check oracle: every unitig k-mer resolves to its unitig id through
-    the dictionary, and u2c/color sets are consistent."""
-    from ..query.host_lookup import lookup_host
+def unitig_window_mask(unitig_offs: np.ndarray, k: int, total: int):
+    """(uid, inside) for every window position of the concatenated unitig
+    text: uid = owning unitig, inside = window fully within one unitig."""
+    offs = np.asarray(unitig_offs, dtype=np.int64)
+    Wk = max(0, total - k + 1)
+    pos = np.arange(Wk, dtype=np.int64)
+    uid = np.searchsorted(offs, pos, side="right") - 1
+    inside = (pos + k) <= offs[uid + 1]
+    return uid[inside], inside
 
+
+def check_index(idx: Index, verbose: bool = False) -> bool:
+    """--check oracle: every unitig k-mer resolves to its unitig's color set
+    through the dictionary (any backend), and u2c/color sets are consistent."""
     codes_all = K.unpack2(idx.unitig_seq, int(idx.unitig_offs[-1]))
-    keys, uids = unitig_kmers(codes_all, idx.unitig_offs, idx.k)
+    uids, inside = unitig_window_mask(idx.unitig_offs, idx.k, len(codes_all))
+    _hit, csid_all = idx.host_window_csids(codes_all)
+    got = csid_all[inside]
     expect = idx.u2c_csid[uids.astype(np.int64)]
-    got = lookup_host(idx.dict_table, keys)
     if not (got == expect).all():
         bad = np.flatnonzero(got != expect)
-        print(f"CHECK FAILED: {len(bad)} kmers misresolve (first: key={keys[bad[0]]})")
+        print(f"CHECK FAILED: {len(bad)} kmers misresolve (first window: {bad[0]})")
         return False
     if int(idx.u2c_csid.max(initial=0)) >= idx.num_color_sets:
         print("CHECK FAILED: u2c out of range")
         return False
     if verbose:
-        print(f"checked {len(keys)} kmers: all resolve to their unitig")
+        print(f"checked {len(got)} kmers: all resolve to their unitig")
     return True

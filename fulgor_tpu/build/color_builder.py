@@ -133,6 +133,10 @@ def meta_color(idx: Index) -> Index:
         unitig_offs=idx.unitig_offs,
         u2c_csid=idx.u2c_csid,
         color_store=store,
+        dict_kind=idx.dict_kind,
+        mini_slots=idx.mini_slots,
+        mini_sec=idx.mini_sec,
+        mini_num_slots=idx.mini_num_slots,
     )
 
 
@@ -153,6 +157,10 @@ def diff_color(idx: Index) -> Index:
         unitig_offs=idx.unitig_offs,
         u2c_csid=idx.u2c_csid,
         color_store=store,
+        dict_kind=idx.dict_kind,
+        mini_slots=idx.mini_slots,
+        mini_sec=idx.mini_sec,
+        mini_num_slots=idx.mini_num_slots,
     )
 
 
@@ -192,6 +200,10 @@ def meta_diff_color(idx: Index) -> Index:
         unitig_offs=idx.unitig_offs,
         u2c_csid=idx.u2c_csid,
         color_store=store,
+        dict_kind=idx.dict_kind,
+        mini_slots=idx.mini_slots,
+        mini_sec=idx.mini_sec,
+        mini_num_slots=idx.mini_num_slots,
     )
 
 

@@ -55,7 +55,8 @@ def cmd_build(args):
     with open(args.filenames_list) as f:
         filenames = [ln.strip() for ln in f if ln.strip()]
     idx = build_index(
-        filenames, k=args.k, m=args.m, verbose=args.verbose, ram_gib=args.ram_gib
+        filenames, k=args.k, m=args.m, verbose=args.verbose, ram_gib=args.ram_gib,
+        dict_kind=args.dict_kind,
     )
     idx.save(out)
     if args.verbose:
@@ -238,6 +239,10 @@ def main(argv=None):
     b.add_argument("-t", dest="threads", type=int, default=1, help="(accepted for parity)")
     b.add_argument("--verbose", action="store_true")
     b.add_argument("--check", action="store_true")
+    b.add_argument("--dict", dest="dict_kind", default="mini",
+                   choices=("mini", "cuckoo"),
+                   help="k-mer dictionary backend (mini: minimizer-positional"
+                        " SSHash-class, default; cuckoo: quotient cuckoo)")
     b.add_argument("--force", action="store_true",
                    help="overwrite an existing output index")
     b.add_argument("--meta", action="store_true",

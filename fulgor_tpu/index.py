@@ -2,12 +2,15 @@
 
 Composition (hybrid kind; meta/diff variants layer on the color-set store):
 
-    k-mer dictionary : quotient cuckoo table (nb, 4) uint32 rows = two u64
-                       slots [value | key-remainder | which-hash]; invertible
-                       62-bit permutations make (bucket, remainder) identify
-                       the key exactly with no key storage. Replaces SSHash
-                       lookup with u2c folded in; the device probes it with
-                       two 16-byte gathers per k-mer (ops/lookup.py).
+    k-mer dictionary : default "mini" = minimizer-positional bucketless
+                       dictionary (ops/minidict2.py): one 12 B entry per
+                       minimizer RUN (~6.5 k-mers) verified against the
+                       unitig text -> ~2-4 B/k-mer on disk, the SSHash-class
+                       space point (reference include/index.hpp:13-14).
+                       Alternative "cuckoo" = quotient cuckoo table with
+                       invertible 62-bit permutations (~20 B/k-mer, fastest
+                       probe; ops/lookup.py). Both fold u2c's rank into the
+                       stored value (one less gather per window).
     unitig text      : concatenated 2-bit packed bases + base offsets
                        (replaces SSHash's packed contigs; used by dump()/
                        check tooling, not by the query hot path).
@@ -60,15 +63,27 @@ class Index:
     num_colors: int
     filenames: list[str]
 
-    dict_table: np.ndarray  # (nb, 4) uint32; value = color_set_id
+    # k-mer dictionary: ONE of two backends (dict_kind selects).
+    #   "mini"   (default): minimizer-positional bucketless dictionary
+    #            (ops/minidict2.py) — ~2-4 B/k-mer on disk, verifies against
+    #            the unitig text (the SSHash-class design, SURVEY §7.3);
+    #   "cuckoo": quotient cuckoo table (ops/lookup.py) — ~20 B/k-mer,
+    #            2 gathers/window, kept for tooling oracles and comparison.
+    dict_table: np.ndarray | None  # cuckoo (nb, 4) u32 rows; value = csid
     unitig_seq: np.ndarray  # uint64 2-bit packed concat
     unitig_offs: np.ndarray  # int64 (U+1,) base offsets
     u2c_csid: np.ndarray  # uint32 (U,)
 
     color_store: object  # Hybrid/Meta/Diff/MetaDiff store (core/colorstores)
 
+    dict_kind: str = "cuckoo"
+    mini_slots: np.ndarray | None = None  # (M2, 6) u32 paired entry slots
+    mini_sec: np.ndarray | None = None  # (nb, 4) u32 exact secondary
+    mini_num_slots: int = 0  # fastrange modulus M
+
     _dense_bits: np.ndarray | None = field(default=None, repr=False)
     _cs_cache: tuple | None = field(default=None, repr=False)
+    _mini_obj: object | None = field(default=None, repr=False)
 
     # ------------------------------------------------ basic accessors
 
@@ -82,6 +97,55 @@ class Index:
 
     def u2c(self, unitig_id: int) -> int:
         return int(self.u2c_csid[unitig_id])
+
+    # ------------------------------------------------ dictionary backend
+
+    def minidict(self):
+        """MiniDict2 view over this index's arrays (text32 derived from the
+        packed unitig text — not stored twice)."""
+        if self._mini_obj is None:
+            from .ops.minidict2 import MiniDict2, text32_from_packed
+
+            assert self.dict_kind == "mini"
+            self._mini_obj = MiniDict2(
+                k=self.k,
+                m=self.m,
+                slots=self.mini_slots,
+                num_slots=self.mini_num_slots,
+                text32=text32_from_packed(self.unitig_seq, int(self.unitig_offs[-1])),
+                sec_table=self.mini_sec,
+                spill_frac=-1.0,
+                multi_tail=-1.0,
+            )
+        return self._mini_obj
+
+    def device_dict(self):
+        """(table_pytree, dparams) for ops/pipeline dict_probe: the arrays to
+        ship to the device plus the static probe parameters."""
+        if self.dict_kind == "cuckoo":
+            return self.dict_table, None
+        d = self.minidict()
+        return (d.slots, d.text32, d.sec_table), (self.m, self.mini_num_slots)
+
+    def host_window_csids(self, codes: np.ndarray):
+        """Exact host lookup over every k-window of a 1-D code array.
+        -> (hit bool (Wk,), csid u32 (Wk,) — INVALID_U32 where no hit)."""
+        from .constants import INVALID_U32
+
+        if self.dict_kind == "mini":
+            from .ops.minidict2 import probe_windows_host
+
+            hit, csid = probe_windows_host(self.minidict(), codes)
+            return hit, np.where(hit, csid, np.uint32(INVALID_U32))
+        from .query.host_lookup import lookup_host
+
+        km, valid = K.pack_kmers(np.asarray(codes, dtype=np.uint8), self.k)
+        out = np.full(len(km), INVALID_U32, dtype=np.uint32)
+        if len(km):
+            vals = lookup_host(self.dict_table, K.canonicalize(km, self.k))
+            hitm = valid & (vals != INVALID_U32)
+            out[hitm] = vals[hitm]
+        return out != INVALID_U32, out
 
     def color_set(self, cs_id: int) -> np.ndarray:
         cat, offs = self.color_sets_decoded()
@@ -144,15 +208,21 @@ class Index:
             "num_unitigs": self.num_unitigs,
             "num_color_sets": self.num_color_sets,
         }
+        meta["dict_kind"] = self.dict_kind
         fn_blob = "\n".join(self.filenames).encode()
         cs_arrays, cs_extra = self.color_store.arrays()
         arrays = {
-            "dict_table": self.dict_table,
             "unitig_seq": self.unitig_seq,
             "unitig_offs": self.unitig_offs,
             "u2c_csid": self.u2c_csid,
             "filenames": np.frombuffer(fn_blob, dtype=np.uint8),
         }
+        if self.dict_kind == "cuckoo":
+            arrays["dict_table"] = self.dict_table
+        else:
+            arrays["dict.slots"] = self.mini_slots
+            arrays["dict.sec"] = self.mini_sec
+            meta["dict_num_slots"] = self.mini_num_slots
         for name, arr in cs_arrays.items():
             arrays["cs." + name] = arr
         container.save(
@@ -167,6 +237,7 @@ class Index:
         store = STORE_CLASSES[c.kind].from_arrays(
             c.extra["color_store"], lambda name: c.array("cs." + name)
         )
+        dict_kind = meta.get("dict_kind", "cuckoo")
         idx = cls(
             kind=c.kind,
             k=meta["k"],
@@ -174,11 +245,15 @@ class Index:
             num_kmers=meta["num_kmers"],
             num_colors=meta["num_colors"],
             filenames=fn_blob.split("\n") if fn_blob else [],
-            dict_table=c.array("dict_table"),
+            dict_table=c.array("dict_table") if dict_kind == "cuckoo" else None,
             unitig_seq=c.array("unitig_seq"),
             unitig_offs=c.array("unitig_offs"),
             u2c_csid=c.array("u2c_csid"),
             color_store=store,
+            dict_kind=dict_kind,
+            mini_slots=c.array("dict.slots") if dict_kind == "mini" else None,
+            mini_sec=c.array("dict.sec") if dict_kind == "mini" else None,
+            mini_num_slots=meta.get("dict_num_slots", 0),
         )
         assert meta["num_unitigs"] == idx.num_unitigs
         assert meta["num_color_sets"] == idx.num_color_sets
@@ -198,8 +273,12 @@ class Index:
     # ------------------------------------------------ stats
 
     def component_bytes(self) -> dict:
+        if self.dict_kind == "cuckoo":
+            dict_bytes = int(self.dict_table.nbytes)
+        else:  # text32 is derived from unitig_text (counted there), not stored
+            dict_bytes = int(self.mini_slots.nbytes + self.mini_sec.nbytes)
         return {
-            "dictionary": int(self.dict_table.nbytes),
+            "dictionary": dict_bytes,
             "unitig_text": int(self.unitig_seq.nbytes + self.unitig_offs.nbytes),
             "color_sets": int(self.color_store.num_bytes()),
             "u2c": int(self.u2c_csid.nbytes),
@@ -228,6 +307,10 @@ class Index:
             f"({8.0 * (comp['dictionary'] + comp['unitig_text']) / max(1, self.num_kmers):.5f} bits/kmer)"
         )
         print(f"Number of unitigs in dBG: {self.num_unitigs}")
+        print(
+            f"dictionary backend: {self.dict_kind} "
+            f"({comp['dictionary'] / max(1, self.num_kmers):.2f} B/kmer + unitig text)"
+        )
         print(f"color store [{self.kind}]:")
         _print_nested(self.color_store.stats(), indent=1)
 

@@ -63,6 +63,64 @@ def simulate_reads(
     return out[perm], [f"sim.{i}" for i in range(num_reads)]
 
 
+def simulate_pangenome(
+    out_dir: str,
+    num_genomes: int,
+    genome_len: int,
+    mut_per_branch: int,
+    seed: int = 0,
+    gzip_files: bool = True,
+) -> list[str]:
+    """Clade-structured synthetic pangenome: binary-tree evolution from one
+    ancestor, `mut_per_branch` SNPs per branch, leaves written as FASTA(.gz)
+    in DFS order (only the first `num_genomes` leaves are materialized).
+    Mirrors the regime the reference's meta/diff tiers target (many similar
+    genomes, subtree-shaped color sets). Deterministic in seed.
+    -> list of file paths (color order)."""
+    import os
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    depth = max(1, int(np.ceil(np.log2(max(2, num_genomes)))))
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    anc = rng.integers(0, 4, size=genome_len).astype(np.uint8)
+    paths: list[str] = []
+
+    def mutate(g):
+        c = g.copy()
+        pos = rng.choice(genome_len, size=mut_per_branch, replace=False)
+        c[pos] = (c[pos] + rng.integers(1, 4, size=mut_per_branch)) % 4
+        return c
+
+    ext = ".fa.gz" if gzip_files else ".fa"
+
+    def emit(g):
+        i = len(paths)
+        p = os.path.join(out_dir, f"g{i:05d}{ext}")
+        f_open = (
+            (lambda: gzip.open(p, "wb", compresslevel=1))
+            if gzip_files
+            else (lambda: open(p, "wb"))
+        )
+        with f_open() as f:
+            f.write(b">genome%d\n" % i)
+            f.write(lut[g].tobytes())
+            f.write(b"\n")
+        paths.append(p)
+
+    def dfs(g, d):
+        if len(paths) >= num_genomes:
+            return
+        if d == depth:
+            emit(g)
+            return
+        dfs(mutate(g), d + 1)
+        dfs(mutate(g), d + 1)
+
+    dfs(anc, 0)
+    return paths
+
+
 def write_fastq(path: str, codes: np.ndarray, names: list[str]):
     lut = np.frombuffer(b"ACGTN", dtype=np.uint8)
     op = gzip.open if path.endswith(".gz") else open

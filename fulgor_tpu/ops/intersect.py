@@ -177,6 +177,69 @@ def compact_runs(hit: jax.Array, csid: jax.Array, max_runs: int):
     return out[:, :max_runs], cnt[:, :max_runs], overflow
 
 
+def compact_runs_starts(hit: jax.Array, csid: jax.Array, max_runs: int):
+    """compact_runs + per-run start window indices (the kmer-conservation
+    output triples (start, len, csid) computed on device — the fetch then
+    carries ~R small records per read instead of every window's csid).
+
+    -> (run_csid (B,R) u32 INVALID-padded, run_start (B,R) i32,
+        run_len (B,R) i32, overflow (B,) bool)."""
+    B, W = csid.shape
+    prev = jnp.concatenate(
+        [jnp.full((B, 1), INVALID_U32, dtype=jnp.uint32), csid[:, :-1]], axis=1
+    )
+    prev_hit = jnp.concatenate([jnp.zeros((B, 1), dtype=bool), hit[:, :-1]], axis=1)
+    is_new = hit & ((csid != prev) | ~prev_hit)
+    run = jnp.cumsum(is_new.astype(jnp.int32), axis=1) - 1
+    nruns = jnp.sum(is_new.astype(jnp.int32), axis=1)
+    overflow = nruns > max_runs
+    rows = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, W))
+    col = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None, :], (B, W))
+    slot = jnp.where(is_new & (run < max_runs), run, max_runs)
+    out = jnp.full((B, max_runs + 1), INVALID_U32, dtype=jnp.uint32)
+    out = out.at[rows, slot].set(csid, mode="drop")
+    starts = jnp.zeros((B, max_runs + 1), dtype=jnp.int32)
+    starts = starts.at[rows, slot].set(col, mode="drop")
+    cslot = jnp.where(hit & (run < max_runs), run, max_runs)
+    cnt = jnp.zeros((B, max_runs + 1), dtype=jnp.int32)
+    cnt = cnt.at[rows, cslot].add(hit.astype(jnp.int32), mode="drop")
+    return out[:, :max_runs], starts[:, :max_runs], cnt[:, :max_runs], overflow
+
+
+def first_set_bits(bits: jax.Array, T: int):
+    """First T set-bit positions of each row, ascending (the device-side
+    result-list compaction: a read's color list ships as <=T ints instead of
+    the C-bit row; rows with more survivors fall back to a row fetch).
+
+    bits: (B, C32) uint32 -> (total (B,) i32, colors (B, T) i32; slots past
+    total are 0)."""
+    B, C32 = bits.shape
+    pc = jax.lax.population_count(bits).astype(jnp.int32)
+    cum = jnp.cumsum(pc, axis=1)
+    total = cum[:, -1]
+    excl = cum - pc
+    t = jnp.arange(T, dtype=jnp.int32)
+    # widx[b, t] = index of the word holding the t-th set bit
+    widx = jnp.sum((cum[:, :, None] <= t[None, None, :]).astype(jnp.int32), axis=1)
+    wclip = jnp.clip(widx, 0, C32 - 1)
+    word = jnp.take_along_axis(bits, wclip, axis=1)
+    j = t[None, :] - jnp.take_along_axis(excl, wclip, axis=1)
+    # position of the (j+1)-th set bit of word: 5-step binary search
+    posn = jnp.zeros(word.shape, dtype=jnp.int32)
+    w = word
+    jj = j
+    for width in (16, 8, 4, 2, 1):
+        lowmask = jnp.uint32((1 << width) - 1)
+        c = jax.lax.population_count(w & lowmask).astype(jnp.int32)
+        go_hi = jj >= c
+        jj = jnp.where(go_hi, jj - c, jj)
+        posn = posn + jnp.where(go_hi, width, 0)
+        w = jnp.where(go_hi, w >> width, w & lowmask)
+    colors = wclip * 32 + posn
+    valid = t[None, :] < total[:, None]
+    return total, jnp.where(valid, colors, 0)
+
+
 def full_intersection_runs(dense_bits: jax.Array, run_csid: jax.Array, any_hit: jax.Array):
     """AND over compacted runs (INVALID entries contribute all-ones)."""
     valid = run_csid != INV

@@ -1,0 +1,731 @@
+"""Minimizer-positional k-mer dictionary, v2: bucketless robin-hood layout.
+
+v1 (ops/minidict.py) stores buckets as an explicit (start, count) array —
+8-16 B/entry of pure metadata — and probes up to `cap` candidates with two
+text extracts each. v2 removes the bucket array entirely:
+
+  * slot array of M = ceil(NE / LOAD) entry slots, 12 B each, packed ROWW
+    to a row (one probe = SCAN/ROWW row gathers covering SCAN slots);
+    bucket = fastrange(h, M) (monotone in h, arbitrary M — no power-of-two
+    waste);
+  * entries sorted by bucket and placed greedily at the first free slot at
+    or after their bucket; a minimizer group that cannot fit entirely
+    inside the probe's SCAN-slot window spills to a small exact secondary
+    (2-choice full-key table over the spilled k-mers only);
+  * each entry carries a 16-bit fingerprint of the minimizer hash, so the
+    probe screens SCAN slots with pure register compares and text-verifies
+    only the (typically 0-1) fingerprint+in-span survivors.
+
+Space: 12 B/LOAD per entry + 0.5 B/base text + ~20 B per spilled k-mer;
+at (k=31, m=19) one entry covers ~6.5 k-mers => ~2.9-3.4 B/k-mer total vs
+19.5 for the cuckoo table and ~1 for SSHash (reference include/index.hpp:13).
+
+Exactness contract (device + host agree):
+  hit  => the k-mer IS in the index and csid is its color-set id
+          (text-verified 62-bit compare or exact secondary);
+  ovf  => the probe ran out of verify slots before deciding; the caller
+          must fall back to the exact host probe (rare: the build reports
+          the measured multiplicity tail, typically <0.1%).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..constants import INVALID_U32
+from ..core import kmers as K
+from .minidict import (
+    SEED_M,
+    _mix32_np,
+    mmer_hashes,
+    sliding_min_argmin,
+    window_packings_lsb,
+)
+
+LOAD = 0.6
+SCAN = 8  # slots screened per probe
+ROWW = 8  # entries per slot row (power of 2): SCAN/ROWW row gathers per probe
+VERIFY_BUDGET = 4  # text verifications per probe (shared across orientations)
+COVER_GROUP = 5  # groups with >= this many entries also go to the secondary
+MAX_SPAN = 127  # span field is 7 bits (bit 15 of the meta word = covered)
+
+# secondary: 2-choice hash table over the spilled/covered k-mers, keyed on
+# the LSB-first canonical packing (min of fwd/rc as (hi, lo) tuples — no
+# bit-reversal needed on device). Rows of 2 entries [klo, khi, val] x 2 + pad
+# = 32 B; probe = 2 mix32 hashes + 2 row gathers + 4 full-key compares.
+# (Replaces a quotient-cuckoo secondary whose two 62-bit permutation chains
+# measured ~40% of the whole lookup kernel.)
+SEC_SEED1 = 0x2545F491
+SEC_SEED2 = 0x9E3779B9
+SEC_LOAD = 0.85
+SEC_EMPTY = 0xFFFFFFFF  # klo=khi=2^32-1: impossible (hi of a 62-bit key < 2^30)
+
+
+def _sec_hash_np(klo, khi, seed):
+    return _mix32_np(klo ^ _mix32_np(khi ^ np.uint32(seed)))
+
+
+def _fastrange_np(h, n):
+    return ((h.astype(np.uint64) * np.uint64(n)) >> np.uint64(32)).astype(np.int64)
+
+
+def canonical_lsb_np(flo, fhi, rlo, rhi):
+    take_f = (fhi < rhi) | ((fhi == rhi) & (flo <= rlo))
+    return np.where(take_f, flo, rlo), np.where(take_f, fhi, rhi)
+
+
+def sec_build(klo: np.ndarray, khi: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Build the (NR, 8) uint32 2-choice table; grows until the cuckoo walk
+    places every key. Keys must be distinct."""
+    n = len(klo)
+    NR = max(2, int(np.ceil(n / 2 / SEC_LOAD)))
+    klo = klo.astype(np.uint32)
+    khi = khi.astype(np.uint32)
+    vals = vals.astype(np.uint32)
+    while True:
+        rows = np.full((NR, 8), SEC_EMPTY, dtype=np.uint32)
+        r1 = _fastrange_np(_sec_hash_np(klo, khi, SEC_SEED1), NR)
+        r2 = _fastrange_np(_sec_hash_np(klo, khi, SEC_SEED2), NR)
+        ok = True
+        for i in range(n):
+            lo, hi, v = klo[i], khi[i], vals[i]
+            ra, rb = int(r1[i]), int(r2[i])
+            placed = False
+            for _ in range(500):
+                done = False
+                for r in (ra, rb):
+                    for e in (0, 3):
+                        if rows[r, e] == SEC_EMPTY and rows[r, e + 1] == SEC_EMPTY:
+                            rows[r, e] = lo
+                            rows[r, e + 1] = hi
+                            rows[r, e + 2] = v
+                            done = True
+                            break
+                    if done:
+                        break
+                if done:
+                    placed = True
+                    break
+                # evict entry 0 of ra, move displaced key to its alternate row
+                olo, ohi, ov = rows[ra, 0], rows[ra, 1], rows[ra, 2]
+                rows[ra, 0], rows[ra, 1], rows[ra, 2] = lo, hi, v
+                lo, hi, v = olo, ohi, ov
+                o1 = int(_fastrange_np(_sec_hash_np(lo[None], hi[None], SEC_SEED1), NR)[0])
+                o2 = int(_fastrange_np(_sec_hash_np(lo[None], hi[None], SEC_SEED2), NR)[0])
+                ra, rb = (o2, o1) if o1 == ra else (o1, o2)
+            if not placed:
+                ok = False
+                break
+        if ok:
+            return rows
+        NR = int(NR * 1.4) + 1
+
+
+def sec_probe_host(rows: np.ndarray, klo: np.ndarray, khi: np.ndarray):
+    """Vectorized host probe of the 2-choice secondary. -> val u32
+    (INVALID_U32 on miss)."""
+    NR = len(rows)
+    out = np.full(len(klo), INVALID_U32, dtype=np.uint32)
+    for seed in (SEC_SEED1, SEC_SEED2):
+        r = _fastrange_np(_sec_hash_np(klo, khi, seed), NR)
+        row = rows[r]
+        for e in (0, 3):
+            m = (row[:, e] == klo) & (row[:, e + 1] == khi) & (out == INVALID_U32)
+            out[m] = row[m, e + 2]
+    return out
+
+
+def _fastrange32(h: np.ndarray, M: int) -> np.ndarray:
+    return ((h.astype(np.uint64) * np.uint64(M)) >> np.uint64(32)).astype(np.int64)
+
+
+def probe_key(h: np.ndarray) -> np.ndarray:
+    """Minimizer hashes are sliding MINIMA — strongly biased low — so they
+    must be re-mixed before fastrange bucketing (and fp extraction)."""
+    return _mix32_np(h)
+
+
+@dataclass
+class MiniDict2:
+    k: int
+    m: int
+    slots: np.ndarray  # (MR, 3*ROWW) uint32: ROWW 12 B entries per row
+    num_slots: int  # M (fastrange modulus)
+    text32: np.ndarray  # (n, 4) uint32: 64 bases per row, stride 32
+    sec_table: np.ndarray  # (NR, 8) uint32 2-choice table over spilled kmers
+    spill_frac: float
+    multi_tail: float  # fraction of probe sites with >VERIFY_SLOTS in-span cands
+
+    def num_bytes(self) -> int:
+        return int(self.slots.nbytes + self.text32.nbytes + self.sec_table.nbytes)
+
+
+def text32_from_packed(seq_u64: np.ndarray, total_bases: int) -> np.ndarray:
+    """Derive the (n, 4) uint32 text rows from 2-bit packed uint64 words
+    (core.kmers.pack2 layout = LSB-first, little-endian), without unpacking
+    to bases. Identical to pack_text32(unpack2(seq_u64, total_bases))."""
+    w32 = np.asarray(seq_u64, dtype="<u8").view(np.uint32)
+    n = int(total_bases)
+    nwords = (n + 15) // 16 + 4
+    assert len(w32) * 16 >= n, "packed text shorter than total_bases"
+    if len(w32) < nwords:
+        w32 = np.concatenate([w32, np.zeros(nwords - len(w32), np.uint32)])
+    n32 = (nwords - 3) // 2
+    return np.stack(
+        [w32[0 : 2 * n32 : 2], w32[1 : 2 * n32 + 1 : 2],
+         w32[2 : 2 * n32 + 2 : 2], w32[3 : 2 * n32 + 3 : 2]],
+        axis=1,
+    )
+
+
+def pack_text32(codes: np.ndarray) -> np.ndarray:
+    """Base codes -> (n, 4) uint32 rows covering 64 bases each at 32-base
+    stride (LSB-first, 16 bases/word). One 16 B gather yields >=33
+    contiguous bases from any position."""
+    n = len(codes)
+    nwords = (n + 15) // 16 + 4
+    c = np.concatenate([codes & 3, np.zeros(nwords * 16 - n, dtype=np.uint8)]).astype(
+        np.uint32
+    ).reshape(-1, 16)
+    words = np.zeros(len(c), dtype=np.uint32)
+    for i in range(16):
+        words |= c[:, i] << np.uint32(2 * i)
+    n32 = (len(words) - 3) // 2
+    return np.stack(
+        [words[0 : 2 * n32 : 2], words[1 : 2 * n32 + 1 : 2],
+         words[2 : 2 * n32 + 2 : 2], words[3 : 2 * n32 + 3 : 2]],
+        axis=1,
+    )
+
+
+def extract33_host(text32: np.ndarray, q) -> tuple[np.ndarray, np.ndarray]:
+    """(lo, hi) u32 = 32 bases LSB-first at base position q (vectorized)."""
+    q = np.asarray(q, dtype=np.int64)
+    row = text32[np.clip(q >> 5, 0, len(text32) - 1)]
+    sh = (2 * (q & 31)).astype(np.uint32)
+    big = sh >= 32
+    s = np.where(big, sh - 32, sh)
+    a0 = np.where(big, row[..., 1], row[..., 0])
+    a1 = np.where(big, row[..., 2], row[..., 1])
+    a2 = np.where(big, row[..., 3], row[..., 2])
+    nz = s > 0
+    inv = np.where(nz, np.uint32(32) - s, np.uint32(1))
+    lo = np.where(nz, (a0 >> s) | (a1 << inv), a0)
+    hi = np.where(nz, (a1 >> s) | (a2 << inv), a1)
+    return lo.astype(np.uint32), hi.astype(np.uint32)
+
+
+def _minimizer_runs(unitig_codes, unitig_offs, unitig_cs, k, m):
+    """Maximal runs of k-mer positions with constant leftmost-minimizer
+    position (split at 255). -> dict of per-entry arrays + per-position
+    hash array (same construction as minidict.build_minidict)."""
+    codes = np.asarray(unitig_codes, dtype=np.uint8)
+    offs = np.asarray(unitig_offs, dtype=np.int64)
+    ucs = np.asarray(unitig_cs, dtype=np.uint32)
+    total = int(offs[-1])
+
+    h = np.full(total, 0xFFFFFFFF, dtype=np.uint32)
+    hm = mmer_hashes(codes, m)
+    h[: len(hm)] = hm
+    pos = np.arange(len(hm), dtype=np.int64)
+    uid_m = np.searchsorted(offs, pos, side="right") - 1
+    cross = (pos + m) > offs[uid_m + 1]
+    h[: len(hm)][cross] = np.uint32(0xFFFFFFFF)
+
+    w = k - m + 1
+    minval, left, _right = sliding_min_argmin(h, w)
+    nkpos = len(minval)
+    kpos = np.arange(nkpos, dtype=np.int64)
+    uid_k = np.searchsorted(offs, kpos, side="right") - 1
+    valid_k = (kpos + k) <= offs[uid_k + 1]
+
+    j = kpos + left
+    prev_j = np.concatenate([[-2], j[:-1]])
+    prev_valid = np.concatenate([[False], valid_k[:-1]])
+    is_new = valid_k & (~prev_valid | (j != prev_j))
+    starts = np.flatnonzero(is_new)
+    run_id = np.cumsum(is_new) - 1
+    counts = np.bincount(run_id[valid_k], minlength=len(starts))
+
+    # split runs at MAX_SPAN (vectorized)
+    n_sub = (counts + MAX_SPAN - 1) // MAX_SPAN
+    sub_of_run = np.repeat(np.arange(len(starts)), n_sub)
+    sub_idx = np.arange(int(n_sub.sum())) - np.repeat(
+        np.concatenate([[0], np.cumsum(n_sub)])[:-1], n_sub
+    )
+    wlo = starts[sub_of_run] + MAX_SPAN * sub_idx
+    span = np.minimum(counts[sub_of_run] - MAX_SPAN * sub_idx, MAX_SPAN)
+    jj = j[starts][sub_of_run]
+    moff = jj - wlo
+    assert len(wlo) == 0 or ((moff >= 0).all() and (moff <= 255).all())
+    return dict(
+        wlo=wlo.astype(np.int64),
+        span=span.astype(np.int64),
+        moff=moff.astype(np.int64),
+        csid=ucs[uid_k[starts]][sub_of_run],
+        hash=h[jj],
+        codes=codes,
+    )
+
+
+def build_minidict2(unitig_codes, unitig_offs, unitig_cs, k, m,
+                    verbose=False) -> MiniDict2:
+    r = _minimizer_runs(unitig_codes, unitig_offs, unitig_cs, k, m)
+    NE = len(r["wlo"])
+    M = max(16, int(np.ceil(NE / LOAD)))
+
+    key = probe_key(r["hash"])
+    bucket = _fastrange32(key, M)
+    order = np.lexsort((r["wlo"], bucket))
+    b_s = bucket[order]
+    h_s = r["hash"][order]
+    key_s = key[order]
+
+    # group = maximal run of equal minimizer hash (consecutive after sort)
+    g_new = np.concatenate([[True], h_s[1:] != h_s[:-1]])
+    g_id = np.cumsum(g_new) - 1
+    g_sizes = np.bincount(g_id)
+    g_bucket = b_s[g_new]
+    NG = len(g_sizes)
+
+    # sequential first-fit placement: group i goes to the first free slot at
+    # or after the row-aligned bucket; whole group spills if it cannot end
+    # within [(b & ~(ROWW-1)), + SCAN). Exact greedy (the vectorized
+    # fixpoint over-spills under cascades).
+    placed = np.ones(NG, dtype=bool)
+    start = np.zeros(NG, dtype=np.int64)
+    lo_b = (g_bucket & ~np.int64(ROWW - 1))
+    cur = 0
+    for i in range(NG):
+        s0 = max(cur, int(lo_b[i]))
+        if s0 + int(g_sizes[i]) <= int(lo_b[i]) + SCAN:
+            start[i] = s0
+            cur = s0 + int(g_sizes[i])
+        else:
+            placed[i] = False
+
+    # materialize slots; groups with >= COVER_GROUP entries are also pushed
+    # to the secondary and their entries marked covered (bit 15), so the
+    # probe can DECIDE windows whose candidate list exceeds the verify
+    # budget (secondary miss proves absence for covered entries)
+    M_pad = M + SCAN + ROWW
+    MR = (M_pad + ROWW - 1) // ROWW + 2
+    flat = np.zeros(MR * ROWW * 3, dtype=np.uint32).reshape(MR * ROWW, 3)
+    ent_placed = np.repeat(placed, g_sizes)
+    g_placed_sizes = np.where(placed, g_sizes, 0)
+    within = np.arange(int(g_placed_sizes.sum())) - np.repeat(
+        np.concatenate([[0], np.cumsum(g_placed_sizes)])[:-1][placed],
+        g_sizes[placed],
+    )
+    slot_of = np.repeat(start[placed], g_sizes[placed]) + within
+    sel = np.flatnonzero(ent_placed)
+    covered_g = g_sizes >= COVER_GROUP
+    ent_covered = np.repeat(covered_g, g_sizes)
+    fp = (key_s & np.uint32(0xFFFF)).astype(np.uint32)
+    wlo_s = r["wlo"][order]
+    span_s = r["span"][order]
+    moff_s = r["moff"][order]
+    csid_s = r["csid"][order]
+    flat[slot_of, 0] = wlo_s[sel].astype(np.uint32)
+    flat[slot_of, 1] = csid_s[sel]
+    flat[slot_of, 2] = (
+        moff_s[sel].astype(np.uint32)
+        | (span_s[sel].astype(np.uint32) << np.uint32(8))
+        | (ent_covered[sel].astype(np.uint32) << np.uint32(15))
+        | (fp[sel] << np.uint32(16))
+    )
+
+    # tombstones: every SPILLED group leaves a (sp=0, covered=1, fp) marker
+    # in its probe window so the query can gate the secondary gather to the
+    # (rare) windows that actually need it — all other windows gather row 0,
+    # which coalesces to ~nothing on the memory system. If a window is too
+    # full even for the marker, the probe's "window full" rule triggers the
+    # secondary instead (see lookup_minidict2_batch).
+    occupied = np.zeros(MR * ROWW, dtype=bool)
+    occupied[slot_of] = True
+    ts_g = np.flatnonzero(~placed)
+    ts_fp = (key_s[g_new][ts_g] & np.uint32(0xFFFF)).astype(np.uint32)
+    ts_lo = lo_b[ts_g]
+    for i in range(len(ts_g)):
+        base = int(ts_lo[i])
+        for s in range(base, base + SCAN):
+            if not occupied[s]:
+                occupied[s] = True
+                flat[s, 2] = (np.uint32(1) << np.uint32(15)) | (ts_fp[i] << np.uint32(16))
+                break
+    slots = flat.reshape(MR, 3 * ROWW)
+
+    # secondary: exact 2-choice table over the k-mers of spilled entries
+    # PLUS the k-mers of covered (heavy-minimizer) groups
+    spill_sel = np.flatnonzero(~ent_placed | ent_covered)
+    if len(spill_sel):
+        sp_wlo = wlo_s[spill_sel]
+        sp_span = span_s[spill_sel]
+        sp_csid = csid_s[spill_sel]
+        kpos = np.repeat(sp_wlo, sp_span) + (
+            np.arange(int(sp_span.sum()))
+            - np.repeat(np.concatenate([[0], np.cumsum(sp_span)])[:-1], sp_span)
+        )
+        vals = np.repeat(sp_csid, sp_span)
+        flo, fhi, rlo, rhi, _okw = window_packings_lsb(r["codes"], k)
+        klo, khi = canonical_lsb_np(flo[kpos], fhi[kpos], rlo[kpos], rhi[kpos])
+        key64 = (khi.astype(np.uint64) << np.uint64(32)) | klo.astype(np.uint64)
+        _, uniq_idx = np.unique(key64, return_index=True)
+        sec = sec_build(klo[uniq_idx], khi[uniq_idx], vals[uniq_idx])
+        n_spill_kmers = len(uniq_idx)
+    else:
+        sec = np.full((2, 8), SEC_EMPTY, dtype=np.uint32)
+        n_spill_kmers = 0
+
+    nk = int(np.sum(r["span"]))
+    spill_frac = n_spill_kmers / max(1, nk)
+    d = MiniDict2(
+        k=k, m=m, slots=slots, num_slots=M, text32=pack_text32(r["codes"]),
+        sec_table=sec, spill_frac=spill_frac, multi_tail=-1.0,
+    )
+    if verbose:
+        print(
+            f"[minidict2] NE={NE} M={M} spilled entries="
+            f"{len(spill_sel)} ({100 * len(spill_sel) / max(1, NE):.2f}%) "
+            f"spilled kmers={n_spill_kmers} ({100 * spill_frac:.3f}%) "
+            f"bytes={d.num_bytes() / 1e6:.1f}MB ({d.num_bytes() / max(1, nk):.2f} B/kmer)"
+        )
+    return d
+
+
+# --------------------------------------------------------------------------
+# host probes
+# --------------------------------------------------------------------------
+
+
+def _window_minimizers(codes: np.ndarray, k: int, m: int):
+    h = mmer_hashes(codes, m)
+    minval, left, right = sliding_min_argmin(h, k - m + 1)
+    return minval, left, right
+
+
+def _probe_candidates(d: MiniDict2, p, minval, left, right):
+    """In-slot-order (entry, orientation) candidates for window p:
+    fingerprint-matching, in-span, NOT covered (covered entries are decided
+    by the secondary). -> list of (q, csid). Shared by both host probes."""
+    k, m = d.k, d.m
+    kk = probe_key(np.array([minval[p]], np.uint32))
+    b = int(_fastrange32(kk, d.num_slots)[0])
+    fp = np.uint32(int(kk[0]) & 0xFFFF)
+    flat = d.slots.reshape(-1, 3)
+    base = b & ~(ROWW - 1)
+    cands = []
+    for sidx in range(base, base + SCAN):
+        wlo, cs, ms = flat[sidx]
+        sp = (int(ms) >> 8) & 0x7F
+        if sp == 0 or np.uint32(int(ms) >> 16) != fp or (int(ms) >> 15) & 1:
+            continue
+        mo = int(ms) & 0xFF
+        mpos = int(wlo) + mo
+        qf = mpos - int(left[p])
+        if int(wlo) <= qf < int(wlo) + sp:
+            cands.append((qf, int(cs), 0))
+        qr = mpos - (k - m) + int(right[p])
+        if int(wlo) <= qr < int(wlo) + sp:
+            cands.append((qr, int(cs), 1))
+    return cands
+
+
+def _verify(d: MiniDict2, q, orient, flo, fhi, rlo, rhi, lo_mask, hi_mask):
+    tlo, thi = extract33_host(d.text32, np.array([q]))
+    if orient == 0:
+        return (tlo[0] & lo_mask) == flo and (thi[0] & hi_mask) == fhi
+    return (tlo[0] & lo_mask) == rlo and (thi[0] & hi_mask) == rhi
+
+
+def _probe_read(d: MiniDict2, codes: np.ndarray, budget):
+    """Shared host probe; budget=None -> exact (verify all candidates)."""
+    k, m = d.k, d.m
+    Wk = len(codes) - k + 1
+    hit = np.zeros(max(0, Wk), dtype=bool)
+    out = np.full(max(0, Wk), INVALID_U32, dtype=np.uint32)
+    ovf = np.zeros(max(0, Wk), dtype=bool)
+    if Wk <= 0:
+        return hit, out, ovf
+    minval, left, right = _window_minimizers(codes, k, m)
+    flo, fhi, rlo, rhi, okw = window_packings_lsb(codes, k)
+    lo_mask = np.uint32(0xFFFFFFFF) if 2 * k >= 32 else np.uint32((1 << (2 * k)) - 1)
+    hi_mask = np.uint32((1 << (2 * k - 32)) - 1) if 2 * k > 32 else np.uint32(0)
+    for p in range(Wk):
+        if not okw[p] or minval[p] == 0xFFFFFFFF:
+            continue
+        cands = _probe_candidates(d, p, minval, left, right)
+        nv = len(cands) if budget is None else min(budget, len(cands))
+        for q, cs, orient in cands[:nv]:
+            if _verify(d, q, orient, flo[p], fhi[p], rlo[p], rhi[p], lo_mask, hi_mask):
+                hit[p], out[p] = True, cs
+                break
+        if not hit[p]:
+            klo, khi = canonical_lsb_np(
+                flo[p : p + 1], fhi[p : p + 1], rlo[p : p + 1], rhi[p : p + 1]
+            )
+            v = sec_probe_host(d.sec_table, klo, khi)[0]
+            if v != INVALID_U32:
+                hit[p], out[p] = True, v
+            if not hit[p] and budget is not None and len(cands) > budget:
+                ovf[p] = True
+    return hit, out, ovf
+
+
+def lookup_host_exact(d: MiniDict2, codes: np.ndarray):
+    """Exact per-window lookup for one read (unlimited verification; the
+    overflow fallback and test oracle). -> (hit, csid)."""
+    hit, out, _ = _probe_read(d, codes, budget=None)
+    return hit, out
+
+
+def lookup_host_device_sem(d: MiniDict2, codes: np.ndarray):
+    """Host mirror of the DEVICE probe semantics (VERIFY_BUDGET shared
+    verify slots): -> (hit, csid, ovf). Must agree with the device kernel
+    bit-for-bit; tests compare both against lookup_host_exact."""
+    return _probe_read(d, codes, budget=VERIFY_BUDGET)
+
+
+def probe_windows_host(d: MiniDict2, codes: np.ndarray):
+    """Vectorized EXACT lookup over every k-window of a 1-D code array
+    (values > 3 invalid). Semantically equal to lookup_host_exact but
+    numpy-batched over all windows — the bulk host path (check tooling,
+    long-read/overflow fallbacks). -> (hit bool (Wk,), csid u32 (Wk,)).
+
+    NOTE for concatenated multi-unitig text: windows crossing a boundary
+    compute minimizers over the concatenation; the caller must mask them."""
+    k, m = d.k, d.m
+    codes = np.asarray(codes, dtype=np.uint8)
+    Wk = len(codes) - k + 1
+    hit = np.zeros(max(0, Wk), dtype=bool)
+    out = np.full(max(0, Wk), INVALID_U32, dtype=np.uint32)
+    if Wk <= 0:
+        return hit, out
+    minval, left, right = _window_minimizers(codes, k, m)
+    flo, fhi, rlo, rhi, okw = window_packings_lsb(codes, k)
+    usable = okw & (minval != np.uint32(0xFFFFFFFF))
+    lo_mask = np.uint32(0xFFFFFFFF) if 2 * k >= 32 else np.uint32((1 << (2 * k)) - 1)
+    hi_mask = np.uint32((1 << (2 * k - 32)) - 1) if 2 * k > 32 else np.uint32(0)
+
+    kk = probe_key(minval)
+    base = _fastrange32(kk, d.num_slots) & ~np.int64(ROWW - 1)
+    fp = (kk & np.uint32(0xFFFF)).astype(np.uint32)
+    flat = d.slots.reshape(-1, 3)
+    left64 = left.astype(np.int64)
+    right64 = right.astype(np.int64)
+    for s in range(SCAN):
+        rows = flat[np.minimum(base + s, len(flat) - 1)]
+        wlo = rows[:, 0].astype(np.int64)
+        cs = rows[:, 1]
+        ms = rows[:, 2]
+        sp = ((ms >> np.uint32(8)) & np.uint32(0x7F)).astype(np.int64)
+        cov = (ms >> np.uint32(15)) & np.uint32(1)
+        okc = usable & (sp > 0) & ((ms >> np.uint32(16)) == fp) & (cov == 0)
+        mo = (ms & np.uint32(0xFF)).astype(np.int64)
+        mpos = wlo + mo
+        for q, wl, wh in (
+            (mpos - left64, flo, fhi),
+            (mpos - (k - m) + right64, rlo, rhi),
+        ):
+            cand = okc & (q >= wlo) & (q < wlo + sp) & ~hit
+            ci = np.flatnonzero(cand)
+            if len(ci):
+                tlo, thi = extract33_host(d.text32, q[ci])
+                ok2 = ((tlo & lo_mask) == wl[ci]) & ((thi & hi_mask) == wh[ci])
+                sel = ci[ok2]
+                hit[sel] = True
+                out[sel] = cs[sel]
+    rem = np.flatnonzero(usable & ~hit)
+    if len(rem):
+        klo, khi = canonical_lsb_np(flo[rem], fhi[rem], rlo[rem], rhi[rem])
+        v = sec_probe_host(d.sec_table, klo, khi)
+        found = v != INVALID_U32
+        hit[rem[found]] = True
+        out[rem[found]] = v[found]
+    return hit, out
+
+
+# --------------------------------------------------------------------------
+# device (JAX) probe — must mirror lookup_host_device_sem exactly
+# --------------------------------------------------------------------------
+
+
+def sec_probe_device(rows, flo, fhi, rlo, rhi, mask):
+    """Device probe of the 2-choice secondary from the LSB-first window
+    packings (mirror of sec_probe_host). -> (hit, val)."""
+    import jax.numpy as jnp
+
+    from .lookup import mix32, mulhi32
+
+    take_f = (fhi < rhi) | ((fhi == rhi) & (flo <= rlo))
+    klo = jnp.where(take_f, flo, rlo)
+    khi = jnp.where(take_f, fhi, rhi)
+    NR = rows.shape[0]
+    hit = jnp.zeros(klo.shape, dtype=bool)
+    val = jnp.full(klo.shape, INVALID_U32, dtype=jnp.uint32)
+    for seed in (SEC_SEED1, SEC_SEED2):
+        h = mix32(klo ^ mix32(khi ^ jnp.uint32(seed)))
+        r = jnp.where(mask, mulhi32(h, NR).astype(jnp.int32), 0)
+        row = jnp.take(rows, r, axis=0)
+        for e in (0, 3):
+            m = mask & (row[..., e] == klo) & (row[..., e + 1] == khi)
+            val = jnp.where(m & ~hit, row[..., e + 2], val)
+            hit = hit | m
+    return hit, val
+
+
+def lookup_minidict2_batch(slots, text32, sec_table, codes, *, k: int, m: int,
+                           num_slots: int):
+    """Batched bucketless-minidict lookup (device).
+
+    codes: (B, L) int codes (0..3 valid, >=4 pad). -> (hit (B,Wk) bool,
+    csid (B,Wk) u32, ovf (B,Wk) bool). Semantics == lookup_host_device_sem.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .lookup import mix32, pack_windows
+
+    B, L = codes.shape
+    Wk = L - k + 1
+    w = k - m + 1
+
+    # ---- canonical m-mer hashes ----
+    lo_m, hi_m, ok_m = pack_windows(codes, m)
+    h = mix32(lo_m ^ mix32(hi_m ^ jnp.uint32(SEED_M)))
+    h = jnp.where(h == jnp.uint32(0xFFFFFFFF), jnp.uint32(0xFFFFFFFE), h)
+    h = jnp.where(ok_m, h, jnp.uint32(0xFFFFFFFF))
+
+    # ---- sliding min + leftmost/rightmost argmin ----
+    Wm = h.shape[1]
+    pos = jnp.broadcast_to(jax.lax.broadcasted_iota(jnp.int32, (1, Wm), 1), (B, Wm))
+    vL, pL, vR, pR = h, pos, h, pos
+    span = 1
+    while span < w:
+        step = min(span, w - span)
+        bvL, bpL = vL[:, step:], pL[:, step:]
+        avL, apL = vL[:, : vL.shape[1] - step], pL[:, : pL.shape[1] - step]
+        tL = (bvL < avL) | ((bvL == avL) & (bpL < apL))
+        vL, pL = jnp.where(tL, bvL, avL), jnp.where(tL, bpL, apL)
+        bvR, bpR = vR[:, step:], pR[:, step:]
+        avR, apR = vR[:, : vR.shape[1] - step], pR[:, : pR.shape[1] - step]
+        tR = (bvR < avR) | ((bvR == avR) & (bpR > apR))
+        vR, pR = jnp.where(tR, bvR, avR), jnp.where(tR, bpR, apR)
+        span += step
+    minval = vL[:, :Wk]
+    kpos = jnp.broadcast_to(jax.lax.broadcasted_iota(jnp.int32, (1, Wk), 1), (B, Wk))
+    iL = pL[:, :Wk] - kpos
+    iR = pR[:, :Wk] - kpos
+
+    # ---- LSB-first fwd/rc window packings ----
+    c = codes.astype(jnp.uint32)
+    flo = jnp.zeros((B, Wk), jnp.uint32)
+    fhi = jnp.zeros((B, Wk), jnp.uint32)
+    rlo = jnp.zeros((B, Wk), jnp.uint32)
+    rhi = jnp.zeros((B, Wk), jnp.uint32)
+    okw = jnp.ones((B, Wk), bool)
+    for i in range(k):
+        ci = jax.lax.dynamic_slice_in_dim(c, i, Wk, axis=1)
+        okw = okw & (ci <= 3)
+        cj = (jnp.uint32(3) - jax.lax.dynamic_slice_in_dim(c, k - 1 - i, Wk, axis=1)) & jnp.uint32(3)
+        if 2 * i < 32:
+            flo = flo | ((ci & 3) << (2 * i))
+            rlo = rlo | (cj << (2 * i))
+        else:
+            fhi = fhi | ((ci & 3) << (2 * i - 32))
+            rhi = rhi | (cj << (2 * i - 32))
+
+    usable = okw & (minval != jnp.uint32(0xFFFFFFFF))
+
+    # ---- probe key, bucket, fingerprint ----
+    kk = mix32(minval)
+    # fastrange: floor(kk * M / 2^32) via 16-bit limbs
+    from .lookup import mulhi32
+
+    b = mulhi32(kk, num_slots).astype(jnp.int32)
+    fp = kk & jnp.uint32(0xFFFF)
+    rsh = ROWW.bit_length() - 1
+    baseR = (b >> rsh)  # row of (b & ~(ROWW-1)); SCAN/ROWW row gathers
+
+    rows = [jnp.take(slots, jnp.clip(baseR + j, 0, slots.shape[0] - 1), axis=0)
+            for j in range(SCAN // ROWW)]
+
+    lo_mask = jnp.uint32(0xFFFFFFFF) if 2 * k >= 32 else jnp.uint32((1 << (2 * k)) - 1)
+    hi_mask = jnp.uint32((1 << (2 * k - 32)) - 1) if 2 * k > 32 else jnp.uint32(0)
+
+    # ---- candidate selection: first VERIFY_BUDGET in slot order ----
+    # need_sec: this window's minimizer group is covered or spilled (its
+    # fingerprint appears with the covered bit), or the window is full (a
+    # tombstone could not even be placed) — only those windows gather the
+    # secondary; the rest coalesce onto row 0.
+    cnt = jnp.zeros((B, Wk), jnp.int32)
+    need_sec = jnp.zeros((B, Wk), bool)
+    n_occ = jnp.zeros((B, Wk), jnp.int32)
+    q_sel = [jnp.zeros((B, Wk), jnp.int32) for _ in range(VERIFY_BUDGET)]
+    o_sel = [jnp.zeros((B, Wk), bool) for _ in range(VERIFY_BUDGET)]
+    cs_sel = [jnp.zeros((B, Wk), jnp.uint32) for _ in range(VERIFY_BUDGET)]
+    for s in range(SCAN):
+        row = rows[s // ROWW]
+        off = 3 * (s % ROWW)
+        wlo = row[..., off].astype(jnp.int32)
+        cs = row[..., off + 1]
+        ms = row[..., off + 2]
+        sp = ((ms >> 8) & jnp.uint32(0x7F)).astype(jnp.int32)
+        cov = (ms >> 15) & jnp.uint32(1)
+        efp = ms >> 16
+        need_sec = need_sec | ((cov == 1) & (efp == fp))
+        n_occ = n_occ + ((sp > 0) | (cov == 1)).astype(jnp.int32)
+        okc = usable & (sp > 0) & (efp == fp) & (cov == 0)
+        mo = (ms & jnp.uint32(0xFF)).astype(jnp.int32)
+        mpos = wlo + mo
+        for orient, q in ((False, mpos - iL), (True, mpos - (k - m) + iR)):
+            cand = okc & (q >= wlo) & (q < wlo + sp)
+            for j in range(VERIFY_BUDGET):
+                upd = cand & (cnt == j)
+                q_sel[j] = jnp.where(upd, q, q_sel[j])
+                o_sel[j] = jnp.where(upd, orient, o_sel[j])
+                cs_sel[j] = jnp.where(upd, cs, cs_sel[j])
+            cnt = cnt + cand.astype(jnp.int32)
+    need_sec = need_sec | (n_occ >= SCAN)
+
+    # ---- verification ----
+    def extract33(q):
+        row = jnp.take(text32, jnp.clip(q >> 5, 0, text32.shape[0] - 1), axis=0)
+        sh = (2 * (q & 31)).astype(jnp.uint32)
+        big = sh >= 32
+        s2 = jnp.where(big, sh - 32, sh)
+        a0 = jnp.where(big, row[..., 1], row[..., 0])
+        a1 = jnp.where(big, row[..., 2], row[..., 1])
+        a2 = jnp.where(big, row[..., 3], row[..., 2])
+        nz = s2 > 0
+        inv = jnp.where(nz, jnp.uint32(32) - s2, jnp.uint32(1))
+        lo = jnp.where(nz, (a0 >> s2) | (a1 << inv), a0)
+        hi = jnp.where(nz, (a1 >> s2) | (a2 << inv), a1)
+        return lo, hi
+
+    hit = jnp.zeros((B, Wk), bool)
+    val = jnp.full((B, Wk), INVALID_U32, dtype=jnp.uint32)
+    for j in range(VERIFY_BUDGET):
+        has = cnt > j
+        tlo, thi = extract33(jnp.where(has, q_sel[j], 0))
+        tlo = tlo & lo_mask
+        thi = thi & hi_mask
+        want_lo = jnp.where(o_sel[j], rlo, flo)
+        want_hi = jnp.where(o_sel[j], rhi, fhi)
+        okv = has & (tlo == want_lo) & (thi == want_hi)
+        new = okv & ~hit
+        val = jnp.where(new, cs_sel[j], val)
+        hit = hit | okv
+
+    # ---- secondary (exact 2-choice table over spilled + covered kmers),
+    # gathered only where gated — everyone else coalesces onto row 0 ----
+    gate = usable & ~hit & need_sec
+    shit, sval = sec_probe_device(sec_table, flo, fhi, rlo, rhi, gate)
+    val = jnp.where(shit & ~hit, sval, val)
+    hit = hit | shit
+
+    ovf = usable & ~hit & (cnt > VERIFY_BUDGET)
+    val = jnp.where(hit, val, jnp.uint32(INVALID_U32))
+    return hit, val, ovf

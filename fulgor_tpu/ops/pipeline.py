@@ -19,6 +19,8 @@ import jax.numpy as jnp
 from .intersect import (
     ONEHOT_MAX_SETS,
     compact_runs,
+    compact_runs_starts,
+    first_set_bits,
     pack_bool_bits,
     full_intersection_onehot,
     full_intersection_runs,
@@ -33,6 +35,26 @@ from .lookup import lookup_batch, unpack_reads
 # is wasteful: collapse adjacent equal-csid windows into runs first (exact
 # with max_runs = #windows) so a typical read gathers ~3 wide rows, not ~130.
 RUNS_MIN_WORDS = 64
+
+
+def dict_probe(table, codes, k: int, dparams):
+    """Backend-dispatched window lookup -> (hit, csid, ovf).
+
+    table: cuckoo (nb, 4) array when dparams is None, else the minidict2
+    (slots, text32, sec_table) tuple with dparams = (m, num_slots) static.
+    ovf marks windows the mini probe could not decide (VERIFY_BUDGET
+    exhausted); callers reduce it per read for the host's exact fallback.
+    The cuckoo backend never overflows."""
+    if dparams is None:
+        hit, csid = lookup_batch(table, codes, k)
+        return hit, csid, jnp.zeros_like(hit)
+    from .minidict2 import lookup_minidict2_batch
+
+    m, num_slots = dparams
+    slots, text32, sec = table
+    return lookup_minidict2_batch(
+        slots, text32, sec, codes, k=k, m=m, num_slots=num_slots
+    )
 
 
 def _fi_dispatch(dense_bits, hit, csid):
@@ -55,55 +77,138 @@ def _tu_dispatch(dense_bits, hit, csid, num_colors):
     return threshold_union_scores_windows(dense_bits, hit, csid, num_colors)
 
 
-@partial(jax.jit, static_argnames=("k",))
-def query_full_intersection(table, dense_bits, codes, *, k: int):
-    """codes: (B, L) int32 -> result_bits (B, C32) u32. A read maps iff its
-    result is non-empty (reference counts mapped reads the same way,
-    tools/pseudoalign.cpp:42)."""
-    hit, csid = lookup_batch(table, codes, k)
-    return _fi_dispatch(dense_bits, hit, csid)
+@partial(jax.jit, static_argnames=("k", "dparams"))
+def query_full_intersection(table, dense_bits, codes, *, k: int, dparams=None):
+    """codes: (B, L) int32 -> (result_bits (B, C32) u32, ovf (B,) bool). A
+    read maps iff its result is non-empty (reference counts mapped reads the
+    same way, tools/pseudoalign.cpp:42); ovf reads need the host fallback."""
+    hit, csid, ovf = dict_probe(table, codes, k, dparams)
+    return _fi_dispatch(dense_bits, hit, csid), jnp.any(ovf, axis=1)
 
 
-@partial(jax.jit, static_argnames=("k", "num_colors"))
-def query_threshold_union(table, dense_bits, codes, *, k: int, num_colors: int):
-    """-> (scores (B, C) f32, num_positive (B,) i32)."""
-    hit, csid = lookup_batch(table, codes, k)
+@partial(jax.jit, static_argnames=("k", "num_colors", "dparams"))
+def query_threshold_union(table, dense_bits, codes, *, k: int, num_colors: int,
+                          dparams=None):
+    """-> (scores (B, C) f32, num_positive (B,) i32, ovf (B,) bool)."""
+    hit, csid, ovf = dict_probe(table, codes, k, dparams)
     scores = _tu_dispatch(dense_bits, hit, csid, num_colors)
     npos = jnp.sum(hit.astype(jnp.int32), axis=1)
-    return scores, npos
+    return scores, npos, jnp.any(ovf, axis=1)
 
 
-@partial(jax.jit, static_argnames=("k",))
-def query_window_csids(table, codes, *, k: int):
+@partial(jax.jit, static_argnames=("k", "dparams"))
+def query_window_csids(table, codes, *, k: int, dparams=None):
     """Per-window positivity + color-set id (kmer-conservation / kmer-matches
-    drivers post-process on host). -> (hit (B, W) bool, csid (B, W) u32)."""
-    return lookup_batch(table, codes, k)
+    drivers post-process on host). -> (hit, csid, ovf) each (B, W)."""
+    return dict_probe(table, codes, k, dparams)
 
 
-@partial(jax.jit, static_argnames=("k", "width"))
-def query_full_intersection_packed(table, dense_bits, codes2, bad, *, k: int, width: int):
+@partial(jax.jit, static_argnames=("k", "width", "dparams"))
+def query_full_intersection_packed(table, dense_bits, codes2, bad, *, k: int,
+                                   width: int, dparams=None):
     codes = unpack_reads(codes2, bad, width)
-    hit, csid = lookup_batch(table, codes, k)
-    return _fi_dispatch(dense_bits, hit, csid)
+    hit, csid, ovf = dict_probe(table, codes, k, dparams)
+    return _fi_dispatch(dense_bits, hit, csid), jnp.any(ovf, axis=1)
 
 
-@partial(jax.jit, static_argnames=("k", "width", "num_colors"))
+@partial(jax.jit, static_argnames=("k", "width", "num_colors", "dparams"))
 def query_threshold_union_packed(
-    table, dense_bits, codes2, bad, *, k: int, width: int, num_colors: int
+    table, dense_bits, codes2, bad, *, k: int, width: int, num_colors: int,
+    dparams=None
 ):
     codes = unpack_reads(codes2, bad, width)
-    hit, csid = lookup_batch(table, codes, k)
+    hit, csid, ovf = dict_probe(table, codes, k, dparams)
     scores = _tu_dispatch(dense_bits, hit, csid, num_colors)
     npos = jnp.sum(hit.astype(jnp.int32), axis=1)
     # scores are exact window counts < 2^16 (stream reads are <= 1024 bases;
     # longer reads take the host path) — narrow the fetch
-    return scores.astype(jnp.uint16), npos.astype(jnp.int32)
+    return scores.astype(jnp.uint16), npos.astype(jnp.int32), jnp.any(ovf, axis=1)
 
 
-@partial(jax.jit, static_argnames=("k", "width"))
-def query_window_csids_packed(table, codes2, bad, *, k: int, width: int):
+@partial(jax.jit, static_argnames=("k", "width", "dparams"))
+def query_window_csids_packed(table, codes2, bad, *, k: int, width: int,
+                              dparams=None):
     codes = unpack_reads(codes2, bad, width)
-    return lookup_batch(table, codes, k)
+    return dict_probe(table, codes, k, dparams)
+
+
+# ---------------------------------------------------------------------------
+# Compacted-fetch steps: with many colors the (B, C)-shaped result fetch
+# dominates wall time on a thin device->host link (VERDICT item: at C=4,546
+# the FI row fetch is ~18 MB/batch over a ~30 MB/s tunnel). These variants
+# compact the result ON DEVICE to <=T color ids per read (+ the full row
+# kept on device for the rare over-T reads, fetched selectively), and ship
+# kmer-conservation as (start, len, csid) runs instead of per-window csids.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("k", "width", "T", "dparams"))
+def query_fi_lists_packed(table, dense_bits, codes2, bad, *, k: int, width: int,
+                          T: int, dparams=None):
+    """Full intersection with device-side list compaction.
+
+    -> (count (B,) i32, lists (B, T) i32 ascending, bits (B, C32) u32 —
+       fetch rows only for reads with count > T, ovf (B,) bool)."""
+    codes = unpack_reads(codes2, bad, width)
+    hit, csid, ovf = dict_probe(table, codes, k, dparams)
+    bits = _fi_dispatch(dense_bits, hit, csid)
+    count, lists = first_set_bits(bits, T)
+    return count, lists, bits, jnp.any(ovf, axis=1)
+
+
+@partial(jax.jit, static_argnames=("k", "width", "num_colors", "T", "dparams"))
+def query_tu_lists_packed(table, dense_bits, codes2, bad, minscore_tab, *,
+                          k: int, width: int, num_colors: int, T: int,
+                          dparams=None):
+    """Threshold union with the >= min_score comparison moved on device.
+
+    minscore_tab: (W+1,) i32 = floor(npos * tau) per possible positive count
+    (host-computed in f64 so device f32 rounding can never diverge from the
+    reference rule, src/ps_threshold_union.cpp:389).
+    -> (count (B,) i32, lists (B, T) i32, maskbits (B, C32) u32, ovf)."""
+    codes = unpack_reads(codes2, bad, width)
+    hit, csid, ovf = dict_probe(table, codes, k, dparams)
+    scores = _tu_dispatch(dense_bits, hit, csid, num_colors)
+    npos = jnp.sum(hit.astype(jnp.int32), axis=1)
+    ms = jnp.take(minscore_tab, npos, axis=0)
+    mask = (scores >= ms[:, None].astype(scores.dtype)) & (npos > 0)[:, None]
+    pad = (-num_colors) % 32
+    if pad:
+        mask = jnp.pad(mask, ((0, 0), (0, pad)))
+    maskbits = pack_bool_bits(mask)
+    count, lists = first_set_bits(maskbits, T)
+    return count, lists, maskbits, jnp.any(ovf, axis=1)
+
+
+@partial(jax.jit, static_argnames=("k", "width", "R", "dparams"))
+def query_conservation_runs_packed(table, codes2, bad, *, k: int, width: int,
+                                   R: int, dparams=None):
+    """kmer-conservation with device-side run extraction: the fetch is R
+    (csid, start, len) records per read instead of W csids.
+
+    -> (run_csid (B,R) u32, run_start (B,R) u16, run_len (B,R) u16,
+        ovf (B,) bool — run budget exceeded or probe overflow)."""
+    codes = unpack_reads(codes2, bad, width)
+    hit, csid, ovf = dict_probe(table, codes, k, dparams)
+    run_csid, run_start, run_len, rovf = compact_runs_starts(hit, csid, R)
+    return (
+        run_csid,
+        run_start.astype(jnp.uint16),
+        run_len.astype(jnp.uint16),
+        rovf | jnp.any(ovf, axis=1),
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "width", "R", "dparams"))
+def query_distinct_runs_packed(table, codes2, bad, *, k: int, width: int,
+                               R: int, dparams=None):
+    """--deduplicate fetch: compacted (possibly duplicated) run csids per
+    read; the host derives the distinct-set key from <=R entries instead of
+    W window csids. -> (run_csid (B,R) u32, ovf (B,) bool)."""
+    codes = unpack_reads(codes2, bad, width)
+    hit, csid, ovf = dict_probe(table, codes, k, dparams)
+    run_csid, _cnt, rovf = compact_runs(hit, csid, R)
+    return run_csid, rovf | jnp.any(ovf, axis=1)
 
 
 def _pack_hits(hit):
@@ -114,25 +219,27 @@ def _pack_hits(hit):
     return pack_bool_bits(hit)
 
 
-@partial(jax.jit, static_argnames=("k", "width", "small_csid"))
-def query_conservation_packed(table, codes2, bad, *, k, width, small_csid: bool):
+@partial(jax.jit, static_argnames=("k", "width", "small_csid", "dparams"))
+def query_conservation_packed(table, codes2, bad, *, k, width, small_csid: bool,
+                              dparams=None):
     """kmer-conservation device step: positivity packed to bit words and
     csid narrowed to u16 when the set count allows — the device->host link
     is a pipeline stage (docs/DESIGN-NOTES.md §1)."""
     codes = unpack_reads(codes2, bad, width)
-    hit, csid = lookup_batch(table, codes, k)
+    hit, csid, ovf = dict_probe(table, codes, k, dparams)
     hitw = _pack_hits(hit)
     if small_csid:
         csid_out = jnp.where(hit, csid, jnp.uint32(0xFFFF)).astype(jnp.uint16)
     else:
         csid_out = csid
-    return hitw, csid_out
+    return hitw, csid_out, jnp.any(ovf, axis=1)
 
 
-@partial(jax.jit, static_argnames=("k", "width", "num_colors"))
-def query_kmer_matches_packed2(table, dense_bits, codes2, bad, *, k, width, num_colors):
+@partial(jax.jit, static_argnames=("k", "width", "num_colors", "dparams"))
+def query_kmer_matches_packed2(table, dense_bits, codes2, bad, *, k, width,
+                               num_colors, dparams=None):
     """kmer-matches with bit-packed positivity (fetch-size optimized)."""
     codes = unpack_reads(codes2, bad, width)
-    hit, csid = lookup_batch(table, codes, k)
+    hit, csid, ovf = dict_probe(table, codes, k, dparams)
     scores = _tu_dispatch(dense_bits, hit, csid, num_colors)
-    return _pack_hits(hit), scores.astype(jnp.uint16)
+    return _pack_hits(hit), scores.astype(jnp.uint16), jnp.any(ovf, axis=1)

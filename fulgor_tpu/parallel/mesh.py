@@ -31,10 +31,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.intersect import (
     compact_runs,
+    compact_runs_starts,
     full_intersection_runs,
+    pack_bool_bits,
     threshold_union_scores_runs,
 )
-from ..ops.lookup import lookup_batch, unpack_reads
+from ..ops.lookup import unpack_reads
+from ..ops.pipeline import dict_probe
 
 
 def make_mesh(devices=None, data: int | None = None, color: int | None = None) -> Mesh:
@@ -56,15 +59,16 @@ def pad_bits_for_mesh(dense_bits: np.ndarray, color_shards: int) -> np.ndarray:
     return dense_bits
 
 
-def make_sharded_full_intersection(mesh: Mesh, k: int, max_runs: int = 64):
+def make_sharded_full_intersection(mesh: Mesh, k: int, max_runs: int = 64, dparams=None):
     """Returns a jitted fn(table, u2c, bits, codes) -> (bits_out, mapped, ovf).
 
     Global shapes: codes (B, L) with B % (D*P) == 0; bits (S, C32) with
     C32 % P == 0. Output bits_out (B, C32) sharded ('data', 'color')."""
 
     def step(table, bits_shard, codes):
-        hit, csid = lookup_batch(table, codes, k)
+        hit, csid, dovf = dict_probe(table, codes, k, dparams)
         run_csid, _cnt, ovf = compact_runs(hit, csid, max_runs)
+        ovf = ovf | jnp.any(dovf, axis=1)
         mapped = jnp.any(hit, axis=1)
         run_all = jax.lax.all_gather(run_csid, "color", axis=0, tiled=True)
         mapped_all = jax.lax.all_gather(mapped, "color", axis=0, tiled=True)
@@ -82,14 +86,15 @@ def make_sharded_full_intersection(mesh: Mesh, k: int, max_runs: int = 64):
     return jax.jit(sm)
 
 
-def make_sharded_threshold_union(mesh: Mesh, k: int, num_colors_padded: int, max_runs: int = 64):
+def make_sharded_threshold_union(mesh: Mesh, k: int, num_colors_padded: int, max_runs: int = 64, dparams=None):
     """Like above; scores output (B, C_padded) sharded ('data', 'color')."""
     P_ = mesh.shape["color"]
     assert num_colors_padded % (32 * P_) == 0
 
     def step(table, bits_shard, codes):
-        hit, csid = lookup_batch(table, codes, k)
+        hit, csid, dovf = dict_probe(table, codes, k, dparams)
         run_csid, run_cnt, ovf = compact_runs(hit, csid, max_runs)
+        ovf = ovf | jnp.any(dovf, axis=1)
         npos = jnp.sum(hit.astype(jnp.int32), axis=1)
         run_all = jax.lax.all_gather(run_csid, "color", axis=0, tiled=True)
         cnt_all = jax.lax.all_gather(run_cnt, "color", axis=0, tiled=True)
@@ -120,14 +125,15 @@ def shard_inputs(mesh: Mesh, table, bits, codes):
     )
 
 
-def make_sharded_full_intersection_packed(mesh: Mesh, k: int, width: int, max_runs: int):
+def make_sharded_full_intersection_packed(mesh: Mesh, k: int, width: int, max_runs: int, dparams=None):
     """Packed-read variant of make_sharded_full_intersection (2-bit codes +
     validity bitmask, see ops/lookup.pack_reads_host)."""
 
     def step(table, bits_shard, codes2, bad):
         codes = unpack_reads(codes2, bad, width)
-        hit, csid = lookup_batch(table, codes, k)
+        hit, csid, dovf = dict_probe(table, codes, k, dparams)
         run_csid, _cnt, ovf = compact_runs(hit, csid, max_runs)
+        ovf = ovf | jnp.any(dovf, axis=1)
         mapped = jnp.any(hit, axis=1)
         run_all = jax.lax.all_gather(run_csid, "color", axis=0, tiled=True)
         mapped_all = jax.lax.all_gather(mapped, "color", axis=0, tiled=True)
@@ -146,15 +152,17 @@ def make_sharded_full_intersection_packed(mesh: Mesh, k: int, width: int, max_ru
 
 
 def make_sharded_threshold_union_packed(
-    mesh: Mesh, k: int, width: int, num_colors_padded: int, max_runs: int
+    mesh: Mesh, k: int, width: int, num_colors_padded: int, max_runs: int,
+    dparams=None,
 ):
     P_ = mesh.shape["color"]
     assert num_colors_padded % (32 * P_) == 0
 
     def step(table, bits_shard, codes2, bad):
         codes = unpack_reads(codes2, bad, width)
-        hit, csid = lookup_batch(table, codes, k)
+        hit, csid, dovf = dict_probe(table, codes, k, dparams)
         run_csid, run_cnt, ovf = compact_runs(hit, csid, max_runs)
+        ovf = ovf | jnp.any(dovf, axis=1)
         npos = jnp.sum(hit.astype(jnp.int32), axis=1)
         run_all = jax.lax.all_gather(run_csid, "color", axis=0, tiled=True)
         cnt_all = jax.lax.all_gather(run_cnt, "color", axis=0, tiled=True)
@@ -178,3 +186,82 @@ def make_sharded_threshold_union_packed(
 def place_packed(mesh: Mesh, codes2, bad):
     sh = NamedSharding(mesh, P(("data", "color"), None))
     return jax.device_put(codes2, sh), jax.device_put(bad, sh)
+
+
+# ---------------------------------------------------------------------------
+# kmer-conservation / kmer-matches / --deduplicate mesh steps. kc and the
+# dedup fetch are embarrassingly data-parallel (no color dimension): reads
+# shard over every device, zero collectives. kmer-matches follows the
+# threshold-union shape (runs all_gather'd along 'color', score matmul on
+# each color shard).
+# ---------------------------------------------------------------------------
+
+
+def make_sharded_conservation_runs(mesh: Mesh, k: int, width: int, R: int,
+                                   dparams=None):
+    def step(table, codes2, bad):
+        codes = unpack_reads(codes2, bad, width)
+        hit, csid, dovf = dict_probe(table, codes, k, dparams)
+        rc, rs, rl, rovf = compact_runs_starts(hit, csid, R)
+        return (rc, rs.astype(jnp.uint16), rl.astype(jnp.uint16),
+                rovf | jnp.any(dovf, axis=1))
+
+    dp = P(("data", "color"), None)
+    sm = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), dp, dp),
+        out_specs=(dp, dp, dp, P(("data", "color"))),
+    )
+    return jax.jit(sm)
+
+
+def make_sharded_distinct_runs(mesh: Mesh, k: int, width: int, R: int,
+                               dparams=None):
+    def step(table, codes2, bad):
+        codes = unpack_reads(codes2, bad, width)
+        hit, csid, dovf = dict_probe(table, codes, k, dparams)
+        rc, _cnt, rovf = compact_runs(hit, csid, R)
+        return rc, rovf | jnp.any(dovf, axis=1)
+
+    dp = P(("data", "color"), None)
+    sm = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), dp, dp),
+        out_specs=(dp, P(("data", "color"))),
+    )
+    return jax.jit(sm)
+
+
+def make_sharded_kmer_matches(mesh: Mesh, k: int, width: int,
+                              num_colors_padded: int, max_runs: int,
+                              dparams=None):
+    P_ = mesh.shape["color"]
+    assert num_colors_padded % (32 * P_) == 0
+    W = width - k + 1
+    Wpad = (-W) % 32
+
+    def step(table, bits_shard, codes2, bad):
+        codes = unpack_reads(codes2, bad, width)
+        hit, csid, dovf = dict_probe(table, codes, k, dparams)
+        run_csid, run_cnt, rovf = compact_runs(hit, csid, max_runs)
+        hitp = jnp.pad(hit, ((0, 0), (0, Wpad))) if Wpad else hit
+        hitw = pack_bool_bits(hitp)
+        ovf = rovf | jnp.any(dovf, axis=1)
+        run_all = jax.lax.all_gather(run_csid, "color", axis=0, tiled=True)
+        cnt_all = jax.lax.all_gather(run_cnt, "color", axis=0, tiled=True)
+        scores = threshold_union_scores_runs(
+            bits_shard, run_all, cnt_all, num_colors_padded // P_
+        )
+        return hitw, scores.astype(jnp.uint16), ovf
+
+    dp = P(("data", "color"), None)
+    sm = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P(None, "color"), dp, dp),
+        out_specs=(dp, P("data", "color"), P(("data", "color"))),
+        check_vma=False,
+    )
+    return jax.jit(sm)

@@ -25,23 +25,36 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import INVALID_U32
-from ..core import kmers as K
 from ..index import Index
 from ..ops.lookup import pack_reads_host
 from ..ops.pipeline import (
-    query_conservation_packed,
+    query_conservation_runs_packed,
+    query_distinct_runs_packed,
+    query_fi_lists_packed,
     query_full_intersection,
     query_full_intersection_packed,
     query_kmer_matches_packed2,
     query_threshold_union,
     query_threshold_union_packed,
+    query_tu_lists_packed,
     query_window_csids,
 )
-from .host_lookup import lookup_host
 from .formatters import make_formatter
 
 WIDTH_LADDER = (64, 96, 128, 160, 192, 256, 384, 512, 768, 1024)
 MAX_STREAM_WIDTH = WIDTH_LADDER[-1]
+
+# Device-side result compaction kicks in when the dense (B, C32) result
+# fetch would dominate the device->host link: ship <=T_LIST color ids per
+# read + selective row fetches for the rare larger results.
+LISTS_MIN_WORDS = 64
+T_LIST = 64
+
+
+def _runs_budget(W: int) -> int:
+    """kmer-conservation run budget per read width (runs beyond it -> exact
+    host redo; a 150 bp read rarely crosses >4 unitig/color boundaries)."""
+    return 16 if W <= 256 else max(16, W // 16)
 
 
 def _round_up(x, m):
@@ -66,6 +79,7 @@ class QueryEngine:
         self.idx = index
         self.k = index.k
         self._cs_cache = index.color_sets_decoded()
+        table_np, self.dparams = index.device_dict()
         n_dev = len(jax.devices())
         self.mesh = None
         if use_mesh or (use_mesh is None and n_dev > 1):
@@ -76,18 +90,43 @@ class QueryEngine:
             self.mesh = M.make_mesh()
             shards = self.mesh.shape["color"]
             bits = M.pad_bits_for_mesh(index.dense_color_bits(), shards)
-            self.table = jax.device_put(
-                index.dict_table, NamedSharding(self.mesh, P())
-            )
+            rep = NamedSharding(self.mesh, P())
+            self.table = jax.tree.map(lambda a: jax.device_put(a, rep), table_np)
             self.bits = jax.device_put(bits, NamedSharding(self.mesh, P(None, "color")))
             self._mesh_mod = M
             n_cells = self.mesh.shape["data"] * shards
             batch_size = _round_up(batch_size, n_cells)
         else:
-            self.table = jnp.asarray(index.dict_table)
+            self.table = jax.tree.map(jnp.asarray, table_np)
             self.bits = jnp.asarray(index.dense_color_bits())
         self.batch = batch_size
         self._mesh_fns = {}
+        # list-compacted fetches (single-device path): worth it once the
+        # dense row fetch is wide; below that the dense fetch is small and
+        # the extra kernel work is pure overhead
+        self.use_lists = self.mesh is None and index.words_per_set > LISTS_MIN_WORDS
+        self._ms_tabs: dict = {}
+
+    def _minscore_tab(self, threshold: float, W: int):
+        """floor(npos * tau) for npos in [0, W] (f64 on host; exact device
+        thresholding via a gather — see query_tu_lists_packed)."""
+        key = (threshold, W)
+        if key not in self._ms_tabs:
+            npos = np.arange(W + 1, dtype=np.float64)
+            self._ms_tabs[key] = jnp.asarray(
+                (npos * threshold).astype(np.int64).astype(np.int32)
+            )
+        return self._ms_tabs[key]
+
+    def _fetch_rows(self, arr, idx: np.ndarray) -> np.ndarray:
+        """Fetch selected rows of a device (B, C32) array (pow2-bucketed
+        gather so recompiles stay bounded)."""
+        if len(idx) == 0:
+            return np.zeros((0, arr.shape[1]), np.uint32)
+        nb = 1 << (len(idx) - 1).bit_length()
+        pad = np.zeros(nb, np.int32)
+        pad[: len(idx)] = idx
+        return np.asarray(jnp.take(arr, jnp.asarray(pad), axis=0))[: len(idx)]
 
     # ---------------------------------------------------------------- helpers
 
@@ -116,14 +155,8 @@ class QueryEngine:
 
     def _host_csids(self, row_codes: np.ndarray):
         """Exact host window->csid for one read (slow path)."""
-        km, valid = K.pack_kmers(row_codes.astype(np.uint8), self.k)
-        out = np.full(len(km), INVALID_U32, dtype=np.uint32)
-        if len(km) == 0:
-            return out
-        vals = lookup_host(self.idx.dict_table, K.canonicalize(km, self.k))
-        hitm = valid & (vals != INVALID_U32)
-        out[hitm] = vals[hitm]  # table values ARE color-set ids
-        return out
+        _hit, csid = self.idx.host_window_csids(row_codes.astype(np.uint8))
+        return csid
 
     def _host_full_intersection(self, row_codes: np.ndarray) -> np.ndarray:
         cat, offs = self._cs_cache
@@ -178,22 +211,34 @@ class QueryEngine:
         pending = []
         for sel, chunk in self._iter_batches(codes, lens):
             if threshold is None:
-                out = query_full_intersection(self.table, self.bits, chunk, k=self.k)
+                out = query_full_intersection(
+                    self.table, self.bits, chunk, k=self.k, dparams=self.dparams
+                )
             else:
                 out = query_threshold_union(
-                    self.table, self.bits, chunk, k=self.k, num_colors=C
+                    self.table, self.bits, chunk, k=self.k, num_colors=C,
+                    dparams=self.dparams,
                 )
             pending.append((sel, out))
         for sel, out in pending:
             nsel = len(sel)
+            ovf = np.asarray(out[-1][:nsel])
             if threshold is None:
-                lists, _ = self._bits_to_lists(np.asarray(out[:nsel]), C)
+                lists, _ = self._bits_to_lists(np.asarray(out[0][:nsel]), C)
             else:
                 lists, _ = self._scores_to_lists(
                     np.asarray(out[0][:nsel]), np.asarray(out[1][:nsel]), threshold
                 )
             for j, ridx in enumerate(sel):
-                results[ridx] = lists[j]
+                if ovf[j]:  # rare: probe budget exhausted -> exact host redo
+                    row = codes[ridx][: lens[ridx]]
+                    results[ridx] = (
+                        self._host_full_intersection(row)
+                        if threshold is None
+                        else self._host_threshold(row, threshold)
+                    )
+                else:
+                    results[ridx] = lists[j]
         return results
 
     def pseudoalign_codes_dedup(self, codes: np.ndarray, lens: np.ndarray):
@@ -207,15 +252,23 @@ class QueryEngine:
         groups: dict[bytes, list[int]] = {}
         pending = []
         for sel, chunk in self._iter_batches(codes, lens):
-            pending.append((sel, query_window_csids(self.table, chunk, k=self.k)))
-        for sel, (hit, csid) in pending:
+            pending.append(
+                (sel, query_window_csids(self.table, chunk, k=self.k,
+                                         dparams=self.dparams))
+            )
+        for sel, (hit, csid, ovf) in pending:
             csid = np.asarray(csid[: len(sel)])
+            ovf_any = np.asarray(ovf[: len(sel)]).any(axis=1)
             s = np.sort(csid, axis=1)
             uniq_mask = np.concatenate(
                 [np.ones((len(sel), 1), dtype=bool), s[:, 1:] != s[:, :-1]], axis=1
             ) & (s != INVALID_U32)
             for j, ridx in enumerate(sel):
-                key = s[j][uniq_mask[j]].tobytes()
+                if ovf_any[j]:
+                    c = self._host_csids(codes[ridx][: lens[ridx]])
+                    key = np.unique(c[c != INVALID_U32]).tobytes()
+                else:
+                    key = s[j][uniq_mask[j]].tobytes()
                 groups.setdefault(key, []).append(int(ridx))
         results: list = [None] * N
         for key, readlist in groups.items():
@@ -238,12 +291,14 @@ class QueryEngine:
         """-> list (per read) of (hit bool (W_r,), csid u32 (W_r,))."""
         out: list = [None] * len(lens)
         for sel, chunk in self._iter_batches(codes, lens):
-            hit, csid = query_window_csids(self.table, chunk, k=self.k)
+            hit, csid, ovf = query_window_csids(self.table, chunk, k=self.k,
+                                                dparams=self.dparams)
             hit = np.asarray(hit[: len(sel)])
             csid = np.asarray(csid[: len(sel)])
+            ovf_any = np.asarray(ovf[: len(sel)]).any(axis=1)
             for j, ridx in enumerate(sel):
                 w = max(0, int(lens[ridx]) - self.k + 1)
-                if w > hit.shape[1]:  # read longer than bucket: host path
+                if w > hit.shape[1] or ovf_any[j]:  # too long / ovf: host path
                     c = self._host_csids(codes[ridx][: lens[ridx]])
                     out[ridx] = (c != INVALID_U32, c)
                 else:
@@ -263,16 +318,17 @@ class QueryEngine:
         if key not in self._mesh_fns:
             if threshold is None:
                 self._mesh_fns[key] = M.make_sharded_full_intersection_packed(
-                    self.mesh, self.k, W, max_runs
+                    self.mesh, self.k, W, max_runs, dparams=self.dparams
                 )
             else:
                 self._mesh_fns[key] = M.make_sharded_threshold_union_packed(
-                    self.mesh, self.k, W, self.bits.shape[1] * 32, max_runs
+                    self.mesh, self.k, W, self.bits.shape[1] * 32, max_runs,
+                    dparams=self.dparams,
                 )
         out = self._mesh_fns[key](self.table, self.bits, codes2, bad)
         if threshold is None:
-            return out[0]  # (B, C32pad) result bits
-        return out[0][:, :C], out[1]  # scores (slice pad), npos
+            return out[0], out[2]  # (B, C32pad) result bits, ovf
+        return out[0][:, :C], out[1], out[2]  # scores (slice pad), npos, ovf
 
     def _stream(self, query_path: str, dispatch, consume, need_names=False,
                 progress=False):
@@ -374,27 +430,75 @@ class QueryEngine:
         num_reads = 0
         query_sec = 0.0
         write_sec = 0.0
+        ovf_ids: list[int] = []  # reads needing the exact host redo (rare)
 
         def dispatch(chunk):
             if self.mesh is not None:
                 return self._mesh_dispatch(chunk, threshold, C)
+            W = chunk.shape[1]
             codes2, bad = pack_reads_host(chunk)
+            if self.use_lists:
+                if threshold is None:
+                    return query_fi_lists_packed(
+                        self.table, self.bits, codes2, bad, k=self.k, width=W,
+                        T=T_LIST, dparams=self.dparams,
+                    )
+                return query_tu_lists_packed(
+                    self.table, self.bits, codes2, bad,
+                    self._minscore_tab(threshold, W - self.k + 1),
+                    k=self.k, width=W, num_colors=C, T=T_LIST,
+                    dparams=self.dparams,
+                )
             if threshold is None:
                 return query_full_intersection_packed(
-                    self.table, self.bits, codes2, bad, k=self.k, width=chunk.shape[1]
+                    self.table, self.bits, codes2, bad, k=self.k,
+                    width=W, dparams=self.dparams,
                 )
             return query_threshold_union_packed(
                 self.table, self.bits, codes2, bad,
-                k=self.k, width=chunk.shape[1], num_colors=C,
+                k=self.k, width=W, num_colors=C,
+                dparams=self.dparams,
             )
+
+        def consume_lists(qid0, n, lens, _names, handle):
+            nonlocal num_mapped, num_reads, query_sec, write_sec
+            tq = time.perf_counter()
+            cnt = np.asarray(handle[0][:n])
+            lists = np.asarray(handle[1][:n])
+            ovf = np.asarray(handle[3][:n])
+            keep = (lens <= MAX_STREAM_WIDTH) & ~ovf
+            over = np.flatnonzero(keep & (cnt > T_LIST))
+            rows_over = self._fetch_rows(handle[2], over)
+            tw = time.perf_counter()
+            query_sec += tw - tq
+            om = {}
+            if len(over):
+                over_lists, _ = self._bits_to_lists(rows_over, C)
+                om = dict(zip(over.tolist(), over_lists))
+            if ovf.any():
+                ovf_ids.extend(
+                    (qid0 + np.flatnonzero(ovf & (lens <= MAX_STREAM_WIDTH))).tolist()
+                )
+            ids, colors = [], []
+            for j in np.flatnonzero(keep):
+                ids.append(qid0 + j)
+                colors.append(
+                    om[j] if j in om else lists[j, : cnt[j]].astype(np.uint32)
+                )
+            fmtr.write_batch(ids, colors)
+            num_mapped += int(((cnt > 0) & keep).sum())
+            num_reads += n
+            write_sec += time.perf_counter() - tw
 
         def consume(qid0, n, lens, _names, handle):
             nonlocal num_mapped, num_reads, query_sec, write_sec
             tq = time.perf_counter()
             if threshold is None:
-                fetched = np.asarray(handle[:n])
+                fetched = np.asarray(handle[0][:n])
+                ovf = np.asarray(handle[1][:n])
             else:
                 fetched = (np.asarray(handle[0][:n]), np.asarray(handle[1][:n]))
+                ovf = np.asarray(handle[2][:n])
             tw = time.perf_counter()
             query_sec += tw - tq
             if threshold is None:
@@ -403,7 +507,9 @@ class QueryEngine:
                 lists, counts = self._scores_to_lists(
                     fetched[0].astype(np.int64), fetched[1], threshold
                 )
-            keep = lens <= MAX_STREAM_WIDTH
+            keep = (lens <= MAX_STREAM_WIDTH) & ~ovf
+            if ovf.any():
+                ovf_ids.extend((qid0 + np.flatnonzero(ovf & (lens <= MAX_STREAM_WIDTH))).tolist())
             if keep.all():
                 fmtr.write_batch(range(qid0, qid0 + n), lists)
                 num_mapped += int((counts > 0).sum())
@@ -415,19 +521,24 @@ class QueryEngine:
             num_reads += n
             write_sec += time.perf_counter() - tw
 
+        if self.use_lists:
+            consume = consume_lists
+
         total, long_ids, parse_sec = self._stream(query_path, dispatch, consume,
                                                   progress=verbose)
-        if long_ids:
-            # exact host pass for reads wider than the stream ladder (ragged
-            # selective re-parse: never materializes the whole file densely)
-            seqs, _names = native.parse_reads_select(query_path, long_ids)
+        redo = sorted(set(long_ids) | set(ovf_ids))
+        if redo:
+            # exact host pass for reads wider than the stream ladder or whose
+            # probe overflowed (ragged selective re-parse: never materializes
+            # the whole file densely)
+            seqs, _names = native.parse_reads_select(query_path, redo)
             extra = []
             for row in seqs:
                 if threshold is None:
                     extra.append(self._host_full_intersection(row))
                 else:
                     extra.append(self._host_threshold(row, threshold))
-            fmtr.write_batch(sorted(long_ids), extra)
+            fmtr.write_batch(redo, extra)
             num_mapped += sum(1 for s in extra if len(s))
         fmtr.close()
 
@@ -459,26 +570,49 @@ class QueryEngine:
         dense = self.idx.dense_color_bits()
         groups: dict[bytes, list[int]] = {}
 
+        ovf_ids: list[int] = []
+
         def dispatch(chunk):
-            return query_window_csids(self.table, chunk, k=self.k)
+            # compacted (csid, run) fetch: the distinct-set key needs only
+            # the <=R run ids, not every window's csid
+            W = chunk.shape[1]
+            codes2, bad = pack_reads_host(chunk)
+            if self.mesh is not None:
+                key = ("dedup", W)
+                if key not in self._mesh_fns:
+                    self._mesh_fns[key] = self._mesh_mod.make_sharded_distinct_runs(
+                        self.mesh, self.k, W, 2 * _runs_budget(W),
+                        dparams=self.dparams,
+                    )
+                codes2, bad = self._mesh_mod.place_packed(self.mesh, codes2, bad)
+                return self._mesh_fns[key](self.table, codes2, bad)
+            return query_distinct_runs_packed(
+                self.table, codes2, bad, k=self.k, width=W,
+                R=2 * _runs_budget(W), dparams=self.dparams,
+            )
 
         def consume(qid0, n, lens, _names, handle):
-            _hit, csid = handle
-            csid = np.asarray(csid[:n])  # misses are already INVALID_U32
-            s = np.sort(csid, axis=1)
+            runs, ovf = handle
+            runs = np.asarray(runs[:n])
+            ovf_any = np.asarray(ovf[:n])
+            s = np.sort(runs, axis=1)
             uniq = np.concatenate(
                 [np.ones((n, 1), dtype=bool), s[:, 1:] != s[:, :-1]], axis=1
             ) & (s != INVALID_U32)
-            keep = lens <= MAX_STREAM_WIDTH
+            keep = (lens <= MAX_STREAM_WIDTH) & ~ovf_any
+            ovf_ids.extend(
+                (qid0 + np.flatnonzero(ovf_any & (lens <= MAX_STREAM_WIDTH))).tolist()
+            )
             for j in range(n):
                 if not keep[j]:
                     continue
                 groups.setdefault(s[j][uniq[j]].tobytes(), []).append(qid0 + j)
 
         total, long_ids, parse_sec = self._stream(query_path, dispatch, consume)
-        if long_ids:
-            seqs, _names = native.parse_reads_select(query_path, long_ids)
-            for qid, row in zip(sorted(long_ids), seqs):
+        redo = sorted(set(long_ids) | set(ovf_ids))
+        if redo:
+            seqs, _names = native.parse_reads_select(query_path, redo)
+            for qid, row in zip(redo, seqs):
                 c = self._host_csids(row)
                 key = np.unique(c[c != INVALID_U32]).tobytes()
                 groups.setdefault(key, []).append(qid)
@@ -523,13 +657,18 @@ class QueryEngine:
             f"num_mapped_reads {stats['num_mapped']}/{stats['num_reads']} "
             f"({100.0 * stats['num_mapped'] / n:.3f}%)"
         )
+        # busy time per overlapped stage (parse runs on the prefetch thread,
+        # device compute is async) — the sum can legitimately exceed elapsed
+        print(
+            f"stage busy: parse {stats.get('parse_sec', 0.0):.3f}s "
+            f"query {stats.get('query_sec', 0.0):.3f}s "
+            f"write {stats.get('write_sec', 0.0):.3f}s"
+        )
 
     def kmer_conservation_file(self, query_path: str, out_path: str, verbose=False):
         from ..native import lib as native
 
         f = open(out_path, "wb", buffering=1 << 20)
-        small = self.idx.num_color_sets < 0xFFFF
-        INV16 = 0xFFFF
 
         def write_one(name, hit, csid):
             triples = conservation_runs(hit, csid)
@@ -539,36 +678,50 @@ class QueryEngine:
             else:
                 f.write(f"{name}\t0\n".encode())
 
+        ovf_ids: list[int] = []
+
         def dispatch(chunk):
+            # device-side run extraction: fetch <=R (csid, start, len)
+            # records per read instead of every window's csid
+            W = chunk.shape[1]
             codes2, bad = pack_reads_host(chunk)
-            return query_conservation_packed(
-                self.table, codes2, bad, k=self.k, width=chunk.shape[1], small_csid=small
+            if self.mesh is not None:
+                key = ("kc", W)
+                if key not in self._mesh_fns:
+                    self._mesh_fns[key] = (
+                        self._mesh_mod.make_sharded_conservation_runs(
+                            self.mesh, self.k, W, _runs_budget(W),
+                            dparams=self.dparams,
+                        )
+                    )
+                codes2, bad = self._mesh_mod.place_packed(self.mesh, codes2, bad)
+                return self._mesh_fns[key](self.table, codes2, bad)
+            return query_conservation_runs_packed(
+                self.table, codes2, bad, k=self.k, width=W,
+                R=_runs_budget(W), dparams=self.dparams,
             )
 
         def consume(qid0, n, lens, names, handle):
-            hitw = np.ascontiguousarray(np.asarray(handle[0][:n]))
-            csid = np.asarray(handle[1][:n])
-            W = csid.shape[1]
-            hit = np.unpackbits(hitw.view(np.uint8), axis=1, bitorder="little")[
-                :, :W
-            ].astype(bool)
-            if small:
-                hit = hit & (csid != INV16)
-            widths = np.maximum(0, lens.astype(np.int64) - self.k + 1)
-            keep = widths <= W
-            per_row = conservation_runs_batch(
-                hit, csid.astype(np.uint32), np.minimum(widths, W)
+            rc = np.asarray(handle[0][:n])
+            rs = np.asarray(handle[1][:n]).astype(np.uint32)
+            rl = np.asarray(handle[2][:n]).astype(np.uint32)
+            ovf_any = np.asarray(handle[3][:n])
+            keep = (lens <= MAX_STREAM_WIDTH) & ~ovf_any
+            ovf_ids.extend(
+                (qid0 + np.flatnonzero(ovf_any & (lens <= MAX_STREAM_WIDTH))).tolist()
             )
+            valid = rc != INVALID_U32
+            nruns = valid.sum(axis=1)
             sel_names, starts, lens_r, ids, run_offs = [], [], [], [], [0]
             for j in range(n):
                 if not keep[j]:
                     continue
-                s, l, i = per_row[j]
+                v = valid[j]
                 sel_names.append(names[j])
-                starts.append(s)
-                lens_r.append(l)
-                ids.append(i)
-                run_offs.append(run_offs[-1] + len(s))
+                starts.append(rs[j][v])
+                lens_r.append(rl[j][v])
+                ids.append(rc[j][v])
+                run_offs.append(run_offs[-1] + int(nruns[j]))
             if sel_names:
                 f.write(
                     native.format_kc(
@@ -582,8 +735,9 @@ class QueryEngine:
 
         total, long_ids, _psec = self._stream(query_path, dispatch, consume,
                                               need_names=True, progress=verbose)
-        if long_ids:
-            seqs, names = native.parse_reads_select(query_path, long_ids)
+        redo = sorted(set(long_ids) | set(ovf_ids))
+        if redo:
+            seqs, names = native.parse_reads_select(query_path, redo)
             for row, name in zip(seqs, names):
                 c = self._host_csids(row)
                 write_one(name, c != INVALID_U32, c)
@@ -612,19 +766,39 @@ class QueryEngine:
                 )
             )
 
+        ovf_ids: list[int] = []
+
         def dispatch(chunk):
+            W = chunk.shape[1]
             codes2, bad = pack_reads_host(chunk)
+            if self.mesh is not None:
+                key = ("km", W)
+                if key not in self._mesh_fns:
+                    self._mesh_fns[key] = self._mesh_mod.make_sharded_kmer_matches(
+                        self.mesh, self.k, W, self.bits.shape[1] * 32,
+                        W - self.k + 1, dparams=self.dparams,
+                    )
+                codes2, bad = self._mesh_mod.place_packed(self.mesh, codes2, bad)
+                hitw, scores, ovf = self._mesh_fns[key](
+                    self.table, self.bits, codes2, bad
+                )
+                return hitw, scores[:, :C], ovf
             return query_kmer_matches_packed2(
                 self.table, self.bits, codes2, bad,
-                k=self.k, width=chunk.shape[1], num_colors=C,
+                k=self.k, width=W, num_colors=C,
+                dparams=self.dparams,
             )
 
         def consume(qid0, n, lens, names, handle):
             hitw = np.ascontiguousarray(np.asarray(handle[0][:n]))
             counts = np.asarray(handle[1][:n]).astype(np.int64)
+            ovf_any = np.asarray(handle[2][:n])
             widths = np.maximum(0, lens.astype(np.int64) - self.k + 1)
             Wcap = hitw.shape[1] * 32
-            keep = np.flatnonzero(widths <= Wcap)
+            keep = np.flatnonzero((widths <= Wcap) & ~ovf_any)
+            ovf_ids.extend(
+                (qid0 + np.flatnonzero(ovf_any & (widths <= Wcap))).tolist()
+            )
             if len(keep):
                 f.write(
                     native.format_km(
@@ -637,38 +811,14 @@ class QueryEngine:
 
         total, long_ids, _psec = self._stream(query_path, dispatch, consume,
                                               need_names=True, progress=verbose)
-        if long_ids:
-            seqs, names = native.parse_reads_select(query_path, long_ids)
+        redo = sorted(set(long_ids) | set(ovf_ids))
+        if redo:
+            seqs, names = native.parse_reads_select(query_path, redo)
             for row, name in zip(seqs, names):
                 c = self._host_csids(row)
                 write_one(name, c != INVALID_U32, c)
         f.close()
         return dict(num_reads=total)
-
-
-def conservation_runs_batch(hit: np.ndarray, csid: np.ndarray, widths: np.ndarray):
-    """Vectorized run extraction for a (n, W) batch; widths = true window
-    counts per row. -> list per row of (starts, lengths, ids) arrays."""
-    n, W = hit.shape
-    col = np.arange(W)[None, :]
-    valid = hit & (col < widths[:, None])
-    prev_valid = np.concatenate([np.zeros((n, 1), bool), valid[:, :-1]], axis=1)
-    prev_csid = np.concatenate([np.zeros((n, 1), csid.dtype), csid[:, :-1]], axis=1)
-    next_valid = np.concatenate([valid[:, 1:], np.zeros((n, 1), bool)], axis=1)
-    next_csid = np.concatenate([csid[:, 1:], np.zeros((n, 1), csid.dtype)], axis=1)
-    is_start = valid & (~prev_valid | (csid != prev_csid))
-    is_end = valid & (~next_valid | (csid != next_csid))
-    srow, scol = np.nonzero(is_start)
-    erow, ecol = np.nonzero(is_end)
-    assert len(srow) == len(erow)
-    lengths = ecol - scol + 1
-    ids = csid[srow, scol]
-    counts = np.bincount(srow, minlength=n)
-    offs = np.concatenate([[0], np.cumsum(counts)])
-    return [
-        (scol[offs[i] : offs[i + 1]], lengths[offs[i] : offs[i + 1]], ids[offs[i] : offs[i + 1]])
-        for i in range(n)
-    ]
 
 
 def conservation_runs(hit: np.ndarray, csid: np.ndarray):

@@ -18,6 +18,12 @@ if not os.environ.get("FULGOR_TPU_TEST_REAL"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # persistent compile cache: the mini-dictionary probe graphs are large
+    # and recompiling them on every pytest run dominates suite time
+    cache = os.path.join(os.path.expanduser("~"), ".cache", "fulgor_tpu_xla_tests")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
 import pytest

@@ -185,7 +185,39 @@ def test_pseudoalign_deduplicate(built, tmp_path):
     assert cli.main(
         ["pseudoalign", "-i", index_path, "-q", qfile, "-o", out_d, "--deduplicate"]
     ) == 0
-    assert open(out_a).read() == open(out_d).read()
+    # line SETS must match; order may differ (overflow/long reads are
+    # appended at the end of the non-dedup stream, reference README.md:220
+    # makes no ordering promise either)
+    assert sorted(open(out_a).read().splitlines()) == sorted(
+        open(out_d).read().splitlines()
+    )
+
+
+def test_lists_path_equals_dense(built, tmp_path):
+    """The device-side list-compaction fetch (use_lists, normally active
+    only past LISTS_MIN_WORDS colors) must produce byte-identical output to
+    the dense-row fetch, for both FI and TU, including the over-T selective
+    row fetch path."""
+    import fulgor_tpu.query.engine as E
+    from fulgor_tpu.query.engine import QueryEngine
+
+    tmp, index_path, qfile, reads, _ = built
+    idx = Index.load(index_path)
+    dense = QueryEngine(idx, use_mesh=False)
+    lists = QueryEngine(idx, use_mesh=False)
+    assert not lists.use_lists  # small index: off by default
+    lists.use_lists = True
+    old_T = E.T_LIST
+    E.T_LIST = 3  # tiny cap so the over-T row-fetch path actually runs
+    try:
+        for kw in ({}, {"threshold": 0.8}):
+            o1 = str(tmp_path / "dense.tsv")
+            o2 = str(tmp_path / "lists.tsv")
+            dense.pseudoalign_file(qfile, o1, **kw)
+            lists.pseudoalign_file(qfile, o2, **kw)
+            assert open(o1).read() == open(o2).read(), f"mismatch for {kw}"
+    finally:
+        E.T_LIST = old_T
 
 
 def test_long_reads_and_long_names(built, tmp_path):

@@ -20,7 +20,7 @@ def small_index(tmp_path, rng):
         p = str(tmp_path / f"g{i}.fa")
         write_fasta(p, seqs)
         paths.append(p)
-    return build_index(paths, k=k, m=9), genomes, k
+    return build_index(paths, k=k, m=9, dict_kind="cuckoo"), genomes, k
 
 
 def test_build_and_check(small_index):
@@ -76,12 +76,11 @@ def test_dump_from_dump_roundtrip(small_index, tmp_path):
     np.testing.assert_array_equal(idx2.u2c_csid, idx.u2c_csid)
     np.testing.assert_array_equal(idx2.color_store.bit_offs, idx.color_store.bit_offs)
     np.testing.assert_array_equal(idx2.color_store.stream, idx.color_store.stream)
-    # dictionary content equivalent (same key-value map, maybe same table)
-    codes = K.unpack2(idx.unitig_seq, int(idx.unitig_offs[-1]))
-    keys, uids = unitig_kmers(codes, idx.unitig_offs, idx.k)
-    np.testing.assert_array_equal(
-        lookup_host(idx2.dict_table, keys), idx.u2c_csid[uids.astype(np.int64)]
-    )
+    # dictionary content equivalent (backend-agnostic: from_dump defaults to
+    # the mini backend; the fixture index is cuckoo)
+    from fulgor_tpu.build.builder import check_index
+
+    assert check_index(idx2)
     # second dump is byte-identical
     base2 = str(tmp_path / "dumped2")
     idx2.dump(base2)

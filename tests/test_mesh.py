@@ -40,33 +40,46 @@ def setup(tmp_path_factory):
 def test_sharded_full_intersection(setup):
     idx, codes = setup
     assert len(jax.devices()) == 8
+    table, dparams = idx.device_dict()
     mesh = M.make_mesh(data=4, color=2)
     bits = M.pad_bits_for_mesh(idx.dense_color_bits(), 2)
-    fn = M.make_sharded_full_intersection(mesh, K_LEN, max_runs=36)
-    args = M.shard_inputs(mesh, idx.dict_table, bits, codes)
+    fn = M.make_sharded_full_intersection(mesh, K_LEN, max_runs=36, dparams=dparams)
+    args = M.shard_inputs(mesh, table, bits, codes)
     out, mapped, ovf = fn(*args)
-    assert not np.asarray(ovf).any()
-    ref_bits = query_full_intersection(
-        jnp.asarray(idx.dict_table), jnp.asarray(bits), jnp.asarray(codes), k=K_LEN
+    ref_bits, ref_ovf = query_full_intersection(
+        jax.tree.map(jnp.asarray, table), jnp.asarray(bits), jnp.asarray(codes),
+        k=K_LEN, dparams=dparams
     )
-    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref_bits))
+    # the mini probe may overflow its verify budget on a few reads (the
+    # engine redoes those on host); sharded and single-device must agree on
+    # WHICH reads, and match exactly on the rest
+    ovf, ref_ovf = np.asarray(ovf), np.asarray(ref_ovf)
+    np.testing.assert_array_equal(ovf, ref_ovf)
+    assert ovf.mean() < 0.25
+    keep = ~ovf
+    np.testing.assert_array_equal(np.asarray(out)[keep], np.asarray(ref_bits)[keep])
 
 
 def test_sharded_threshold_union(setup):
     idx, codes = setup
+    table, dparams = idx.device_dict()
     mesh = M.make_mesh(data=2, color=4)
     bits = M.pad_bits_for_mesh(idx.dense_color_bits(), 4)
     Cpad = bits.shape[1] * 32
-    fn = M.make_sharded_threshold_union(mesh, K_LEN, num_colors_padded=Cpad, max_runs=36)
-    args = M.shard_inputs(mesh, idx.dict_table, bits, codes)
+    fn = M.make_sharded_threshold_union(mesh, K_LEN, num_colors_padded=Cpad,
+                                        max_runs=36, dparams=dparams)
+    args = M.shard_inputs(mesh, table, bits, codes)
     scores, npos, ovf = fn(*args)
-    assert not np.asarray(ovf).any()
-    ref_scores, ref_npos = query_threshold_union(
-        jnp.asarray(idx.dict_table), jnp.asarray(bits), jnp.asarray(codes), k=K_LEN,
-        num_colors=Cpad,
+    ref_scores, ref_npos, ref_ovf = query_threshold_union(
+        jax.tree.map(jnp.asarray, table), jnp.asarray(bits), jnp.asarray(codes),
+        k=K_LEN, num_colors=Cpad, dparams=dparams,
     )
-    np.testing.assert_array_equal(np.asarray(scores), np.asarray(ref_scores))
-    np.testing.assert_array_equal(np.asarray(npos), np.asarray(ref_npos))
+    ovf, ref_ovf = np.asarray(ovf), np.asarray(ref_ovf)
+    np.testing.assert_array_equal(ovf, ref_ovf)
+    assert ovf.mean() < 0.25
+    keep = ~ovf
+    np.testing.assert_array_equal(np.asarray(scores)[keep], np.asarray(ref_scores)[keep])
+    np.testing.assert_array_equal(np.asarray(npos)[keep], np.asarray(ref_npos)[keep])
 
 
 def test_engine_mesh_equals_single(tmp_path):
@@ -92,13 +105,25 @@ def test_engine_mesh_equals_single(tmp_path):
             s = genomes[g][0]
             p = rng.integers(0, len(s) - 50)
             f.write(f"@r{i}\n{s[p : p + 50]}\n+\n{'I' * 50}\n")
-    out1 = str(tmp_path / "single.tsv")
-    out2 = str(tmp_path / "mesh.tsv")
-    out3 = str(tmp_path / "mesh_thr.tsv")
-    out4 = str(tmp_path / "single_thr.tsv")
-    QueryEngine(idx, batch_size=64, use_mesh=False).pseudoalign_file(qfile, out1)
-    QueryEngine(idx, batch_size=64, use_mesh=True).pseudoalign_file(qfile, out2)
-    assert open(out1).read() == open(out2).read()
-    QueryEngine(idx, batch_size=64, use_mesh=False).pseudoalign_file(qfile, out4, threshold=0.8)
-    QueryEngine(idx, batch_size=64, use_mesh=True).pseudoalign_file(qfile, out3, threshold=0.8)
-    assert open(out3).read() == open(out4).read()
+    single = QueryEngine(idx, batch_size=64, use_mesh=False)
+    meshed = QueryEngine(idx, batch_size=64, use_mesh=True)
+
+    def run(eng, tag, method, **kw):
+        out = str(tmp_path / f"{tag}.tsv")
+        getattr(eng, method)(qfile, out, **kw)
+        return open(out).read()
+
+    # all four tools must match the single-device engine byte for byte
+    assert run(single, "s_fi", "pseudoalign_file") == run(meshed, "m_fi", "pseudoalign_file")
+    assert run(single, "s_tu", "pseudoalign_file", threshold=0.8) == run(
+        meshed, "m_tu", "pseudoalign_file", threshold=0.8
+    )
+    assert run(single, "s_dd", "pseudoalign_file", deduplicate=True) == run(
+        meshed, "m_dd", "pseudoalign_file", deduplicate=True
+    )
+    assert run(single, "s_kc", "kmer_conservation_file") == run(
+        meshed, "m_kc", "kmer_conservation_file"
+    )
+    assert run(single, "s_km", "kmer_matches_file") == run(
+        meshed, "m_km", "kmer_matches_file"
+    )

@@ -23,7 +23,7 @@ def setup(tmp_path_factory):
         p = str(tmp / f"g{i}.fa")
         write_fasta(p, seqs)
         paths.append(p)
-    idx = build_index(paths, k=K_LEN, m=M_LEN)
+    idx = build_index(paths, k=K_LEN, m=M_LEN, dict_kind="cuckoo")
     codes_all = K.unpack2(idx.unitig_seq, int(idx.unitig_offs[-1]))
     md = MD.build_minidict(codes_all, idx.unitig_offs, idx.u2c_csid, K_LEN, M_LEN)
     return idx, md, genomes, rng

@@ -1,0 +1,137 @@
+"""minidict2 (bucketless robin-hood dictionary): host exactness vs the
+cuckoo oracle, device kernel vs host device-semantics, overflow contract."""
+
+import numpy as np
+import pytest
+
+from fulgor_tpu.build.builder import build_index
+from fulgor_tpu.core import kmers as K
+from fulgor_tpu.ops import minidict2 as M2
+from fulgor_tpu.query.host_lookup import lookup_host
+from tests.test_ccdbg import random_genomes
+from tests.test_native import write_fasta
+
+K_LEN, M_LEN = 15, 9
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory):
+    rng = np.random.default_rng(17)
+    tmp = tmp_path_factory.mktemp("md2")
+    genomes = random_genomes(rng, num_colors=6, length=3000, mut=0.02, k=K_LEN)
+    paths = []
+    for i, seqs in enumerate(genomes):
+        p = str(tmp / f"g{i}.fa")
+        write_fasta(p, seqs)
+        paths.append(p)
+    idx = build_index(paths, k=K_LEN, m=M_LEN, dict_kind="cuckoo")
+    ucodes = K.unpack2(idx.unitig_seq, int(idx.unitig_offs[-1]))
+    d = M2.build_minidict2(ucodes, idx.unitig_offs, idx.u2c_csid, K_LEN, M_LEN)
+    return idx, d, genomes, rng, paths
+
+
+def _reads(rng, genomes, n, L):
+    reads = []
+    for _ in range(n):
+        g = genomes[rng.integers(0, len(genomes))][0]
+        p = rng.integers(0, len(g) - L)
+        r = K.seq_to_codes(g[p : p + L]).copy()
+        ne = rng.integers(0, 3)
+        if ne:
+            pos = rng.choice(L, size=ne, replace=False)
+            r[pos] = (r[pos] + rng.integers(1, 4, size=ne)) % 4
+        reads.append(r)
+    reads.append(rng.integers(0, 4, size=L).astype(np.uint8))  # junk
+    reads.append(np.full(L, 4, dtype=np.uint8))  # all-N
+    return reads
+
+
+def test_host_exact_vs_cuckoo(built):
+    idx, d, genomes, rng, _paths = built
+    for row in _reads(rng, genomes, 60, 60):
+        hit, cs = M2.lookup_host_exact(d, row)
+        km, valid = K.pack_kmers(row, K_LEN)
+        gt = lookup_host(idx.dict_table, K.canonicalize(km, K_LEN))
+        gt_hit = valid & (gt != 0xFFFFFFFF)
+        np.testing.assert_array_equal(hit, gt_hit)
+        np.testing.assert_array_equal(cs[gt_hit], gt[gt_hit])
+
+
+def test_device_matches_host_sem(built):
+    import jax.numpy as jnp
+
+    idx, d, genomes, rng, _paths = built
+    L = 60
+    reads = _reads(rng, genomes, 40, L)
+    batch = np.stack(reads)
+    hit, cs, ovf = M2.lookup_minidict2_batch(
+        jnp.asarray(d.slots), jnp.asarray(d.text32), jnp.asarray(d.sec_table),
+        jnp.asarray(batch.astype(np.int32)), k=K_LEN, m=M_LEN,
+        num_slots=d.num_slots,
+    )
+    hit, cs, ovf = np.asarray(hit), np.asarray(cs), np.asarray(ovf)
+    for i, row in enumerate(reads):
+        hh, cc, oo = M2.lookup_host_device_sem(d, row)
+        np.testing.assert_array_equal(hit[i], hh, err_msg=f"read {i} hit")
+        np.testing.assert_array_equal(cs[i], cc, err_msg=f"read {i} csid")
+        np.testing.assert_array_equal(ovf[i], oo, err_msg=f"read {i} ovf")
+
+
+def test_overflow_contract(built):
+    """Every non-ovf window must agree with the exact probe; ovf windows
+    must be resolvable by it (the engine's fallback path)."""
+    idx, d, genomes, rng, _paths = built
+    for row in _reads(rng, genomes, 30, 80):
+        he, ce = M2.lookup_host_exact(d, row)
+        hd, cd, ovf = M2.lookup_host_device_sem(d, row)
+        np.testing.assert_array_equal(hd[~ovf], he[~ovf])
+        np.testing.assert_array_equal(cd[hd], ce[hd])
+        assert not (ovf & hd).any()
+
+
+def test_probe_windows_host_matches_exact(built):
+    """The vectorized bulk host probe == the per-read exact probe."""
+    idx, d, genomes, rng, _paths = built
+    for row in _reads(rng, genomes, 40, 80):
+        he, ce = M2.lookup_host_exact(d, row)
+        hv, cv = M2.probe_windows_host(d, row)
+        np.testing.assert_array_equal(he, hv)
+        np.testing.assert_array_equal(ce[he], cv[he])
+
+
+def test_mini_index_end_to_end(built, tmp_path):
+    """mini-backend Index: build, check, save/load roundtrip, and engine
+    results equal to the cuckoo backend on the same reads."""
+    from fulgor_tpu.build.builder import build_index as BI, check_index
+    from fulgor_tpu.query.engine import QueryEngine
+
+    idx_c, d, genomes, rng, paths = built
+    idx_m = BI(paths, k=K_LEN, m=M_LEN, dict_kind="mini")
+    assert idx_m.dict_kind == "mini" and idx_m.dict_table is None
+    assert idx_m.num_kmers == idx_c.num_kmers
+    assert check_index(idx_m)
+
+    path = str(tmp_path / "mini.tfur")
+    idx_m.save(path)
+    from fulgor_tpu.index import Index
+
+    idx_r = Index.load(path)
+    assert idx_r.dict_kind == "mini"
+    np.testing.assert_array_equal(idx_r.mini_slots, idx_m.mini_slots)
+    np.testing.assert_array_equal(idx_r.mini_sec, idx_m.mini_sec)
+    assert idx_r.mini_num_slots == idx_m.mini_num_slots
+
+    reads = _reads(rng, genomes, 50, 60)
+    codes = np.stack(reads)
+    lens = np.full(len(reads), 60, dtype=np.int64)
+    res_c = QueryEngine(idx_c, batch_size=32, use_mesh=False).pseudoalign_codes(codes, lens)
+    res_m = QueryEngine(idx_r, batch_size=32, use_mesh=False).pseudoalign_codes(codes, lens)
+    for a, b in zip(res_c, res_m):
+        np.testing.assert_array_equal(a, b)
+    # threshold-union too
+    res_ct = QueryEngine(idx_c, batch_size=32, use_mesh=False).pseudoalign_codes(
+        codes, lens, threshold=0.8)
+    res_mt = QueryEngine(idx_r, batch_size=32, use_mesh=False).pseudoalign_codes(
+        codes, lens, threshold=0.8)
+    for a, b in zip(res_ct, res_mt):
+        np.testing.assert_array_equal(a, b)

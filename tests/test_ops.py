@@ -29,7 +29,7 @@ def setup(tmp_path_factory):
         p = str(tmp / f"g{i}.fa")
         write_fasta(p, seqs)
         paths.append(p)
-    idx = build_index(paths, k=k, m=9)
+    idx = build_index(paths, k=k, m=9, dict_kind="cuckoo")
     # reads: windows of genomes + mutations + random junk + Ns
     reads = []
     L = 60
@@ -64,7 +64,7 @@ def naive_window_csids(idx, read, k):
 
 def test_window_csids_match_host(setup):
     idx, reads, codes, k = setup
-    hit, csid = map(np.asarray, query_window_csids(idx.dict_table, codes, k=k))
+    hit, csid, _ovf = map(np.asarray, query_window_csids(idx.dict_table, codes, k=k))
     W = codes.shape[1] - k + 1
     for i, read in enumerate(reads):
         expect = naive_window_csids(idx, read, k)
@@ -78,7 +78,7 @@ def test_full_intersection_matches_naive(setup):
     idx, reads, codes, k = setup
     cat, offs = idx.color_sets_decoded()
     bits = np.asarray(
-        query_full_intersection(idx.dict_table, idx.dense_color_bits(), codes, k=k)
+        query_full_intersection(idx.dict_table, idx.dense_color_bits(), codes, k=k)[0]
     )
     for i, read in enumerate(reads):
         csids = naive_window_csids(idx, read, k)
@@ -98,7 +98,7 @@ def test_full_intersection_matches_naive(setup):
 def test_threshold_union_matches_naive(setup, threshold):
     idx, reads, codes, k = setup
     cat, offs = idx.color_sets_decoded()
-    scores, npos = map(
+    scores, npos, _ovf = map(
         np.asarray,
         query_threshold_union(
             idx.dict_table, idx.dense_color_bits(), codes, k=k, num_colors=idx.num_colors
@@ -129,7 +129,7 @@ def test_compact_runs(setup):
     import jax.numpy as jnp
 
     idx, reads, codes, k = setup
-    hit, csid = map(
+    hit, csid, _ovf = map(
         np.asarray, query_window_csids(idx.dict_table, codes, k=k)
     )
     run_csid, run_cnt, ovf = map(
