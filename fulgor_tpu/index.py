@@ -78,7 +78,7 @@ class Index:
 
     dict_kind: str = "cuckoo"
     mini_slots: np.ndarray | None = None  # (M2, 6) u32 paired entry slots
-    mini_sec: np.ndarray | None = None  # (nb, 4) u32 exact secondary
+    mini_sec: np.ndarray | None = None  # (NR, 8) u32 skew pointer table
     mini_num_slots: int = 0  # fastrange modulus M
 
     _dense_bits: np.ndarray | None = field(default=None, repr=False)
@@ -221,8 +221,10 @@ class Index:
             arrays["dict_table"] = self.dict_table
         else:
             arrays["dict.slots"] = self.mini_slots
-            arrays["dict.sec"] = self.mini_sec
+            arrays["dict.skew"] = self.mini_sec
             meta["dict_num_slots"] = self.mini_num_slots
+            meta["dict_version"] = 2  # 2 = skew pointer table (not the
+            # retired per-k-mer 2-choice exact table)
         for name, arr in cs_arrays.items():
             arrays["cs." + name] = arr
         container.save(
@@ -238,6 +240,11 @@ class Index:
             c.extra["color_store"], lambda name: c.array("cs." + name)
         )
         dict_kind = meta.get("dict_kind", "cuckoo")
+        if dict_kind == "mini" and meta.get("dict_version", 1) != 2:
+            raise ValueError(
+                f"{path}: mini-dictionary format v{meta.get('dict_version', 1)} "
+                "predates the skew pointer table; rebuild the index"
+            )
         idx = cls(
             kind=c.kind,
             k=meta["k"],
@@ -252,7 +259,7 @@ class Index:
             color_store=store,
             dict_kind=dict_kind,
             mini_slots=c.array("dict.slots") if dict_kind == "mini" else None,
-            mini_sec=c.array("dict.sec") if dict_kind == "mini" else None,
+            mini_sec=c.array("dict.skew") if dict_kind == "mini" else None,
             mini_num_slots=meta.get("dict_num_slots", 0),
         )
         assert meta["num_unitigs"] == idx.num_unitigs

@@ -110,6 +110,13 @@ def _load():
             ct.POINTER(ct.POINTER(ct.c_char)), ct.POINTER(ct.c_int64),
         ]
         lib.fn_format_km.restype = ct.c_int
+        lib.fn_format_psa_ascii_bits.argtypes = [
+            ct.POINTER(ct.c_uint32), ct.POINTER(ct.c_uint32),
+            ct.c_int64, ct.c_int32,
+            ct.POINTER(ct.POINTER(ct.c_char)), ct.POINTER(ct.c_int64),
+            ct.POINTER(ct.c_int64),
+        ]
+        lib.fn_format_psa_ascii_bits.restype = ct.c_int
         _lib = lib
         return lib
 
@@ -297,6 +304,29 @@ def format_psa_ascii(qids: np.ndarray, colors_cat: np.ndarray, offs: np.ndarray)
     out = ct.string_at(buf, blen.value)
     lib.fn_free(buf)
     return out
+
+
+def format_psa_ascii_bits(qids: np.ndarray, bits: np.ndarray):
+    """ascii pseudoalignment block straight from (n, C32) u32 bitset rows.
+    -> (bytes, num_mapped). Avoids materializing per-read color lists."""
+    lib = _load()
+    qids = np.ascontiguousarray(qids, dtype=np.uint32)
+    bits = np.ascontiguousarray(bits, dtype=np.uint32)
+    n, c32 = bits.shape
+    buf = ct.POINTER(ct.c_char)()
+    blen = ct.c_int64()
+    mapped = ct.c_int64()
+    rc = lib.fn_format_psa_ascii_bits(
+        qids.ctypes.data_as(ct.POINTER(ct.c_uint32)),
+        bits.ctypes.data_as(ct.POINTER(ct.c_uint32)),
+        n, c32,
+        ct.byref(buf), ct.byref(blen), ct.byref(mapped),
+    )
+    if rc != 0:
+        raise RuntimeError("format_psa_ascii_bits failed")
+    out = ct.string_at(buf, blen.value)
+    lib.fn_free(buf)
+    return out, int(mapped.value)
 
 
 class ReadsStream:

@@ -1275,3 +1275,53 @@ extern "C" int fn_format_km(const char* names, const int64_t* name_offs,
     *out_len = (int64_t)(p - buf);
     return 0;
 }
+
+// ascii pseudoalignment lines straight from the device bitset rows:
+// "qid\tn[\tc1\tc2...]\n" without materializing per-read color lists on the
+// Python side (reference psa_ascii_formatter, src/ps_utils.cpp:48-83).
+// bits: n rows of c32 uint32 words, LSB-first color order. Returns the
+// number of mapped rows (>=1 bit set) in *out_mapped.
+extern "C" int fn_format_psa_ascii_bits(const uint32_t* qids, const uint32_t* bits,
+                                        int64_t n, int32_t c32, char** out_buf,
+                                        int64_t* out_len, int64_t* out_mapped) {
+    int64_t total_bits = 0;
+    for (int64_t i = 0; i < n * (int64_t)c32; ++i) total_bits += __builtin_popcount(bits[i]);
+    size_t cap = (size_t)(n * 24 + total_bits * 11 + 1024);
+    char* buf = (char*)malloc(cap);
+    if (!buf) return 1;
+    char* p = buf;
+    char tmp[16];
+    auto put_u32 = [&](uint32_t v) {
+        int len = 0;
+        do {
+            tmp[len++] = (char)('0' + v % 10);
+            v /= 10;
+        } while (v);
+        while (len) *p++ = tmp[--len];
+    };
+    int64_t mapped = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const uint32_t* row = bits + i * c32;
+        uint32_t cnt = 0;
+        for (int32_t w = 0; w < c32; ++w) cnt += (uint32_t)__builtin_popcount(row[w]);
+        put_u32(qids[i]);
+        *p++ = '\t';
+        put_u32(cnt);
+        if (cnt) ++mapped;
+        for (int32_t w = 0; w < c32; ++w) {
+            uint32_t x = row[w];
+            while (x) {
+                int b = __builtin_ctz(x);
+                x &= x - 1;
+                *p++ = '\t';
+                put_u32((uint32_t)(w * 32 + b));
+            }
+        }
+        *p++ = '\n';
+    }
+    assert((size_t)(p - buf) <= cap);
+    *out_buf = buf;
+    *out_len = (int64_t)(p - buf);
+    *out_mapped = mapped;
+    return 0;
+}

@@ -1,4 +1,5 @@
-"""Minimizer-positional k-mer dictionary, v2: bucketless robin-hood layout.
+"""Minimizer-positional k-mer dictionary, v2: bucketless robin-hood layout
+with a skew pointer table for heavy minimizers.
 
 v1 (ops/minidict.py) stores buckets as an explicit (start, count) array —
 8-16 B/entry of pure metadata — and probes up to `cap` candidates with two
@@ -10,22 +11,31 @@ text extracts each. v2 removes the bucket array entirely:
     waste);
   * entries sorted by bucket and placed greedily at the first free slot at
     or after their bucket; a minimizer group that cannot fit entirely
-    inside the probe's SCAN-slot window spills to a small exact secondary
-    (2-choice full-key table over the spilled k-mers only);
+    inside the probe's SCAN-slot window is PARKED in arbitrary free slots
+    (covered bit set) and reached through the skew table instead;
   * each entry carries a 16-bit fingerprint of the minimizer hash, so the
     probe screens SCAN slots with pure register compares and text-verifies
-    only the (typically 0-1) fingerprint+in-span survivors.
+    only the (typically 0-1) fingerprint+in-span survivors;
+  * heavy minimizer groups (>= COVER_GROUP entries — pangenomes of many
+    near-identical genomes produce thousands of these) get one SKEW TABLE
+    slot per COVERED K-MER: a u32 (fp8 | primary_slot_id+1) pointer keyed
+    by the canonical k-mer, 2-choice rows of 8. The probe routes covered
+    windows by full-k-mer hash straight to the right parked entry — the
+    SSHash skew-index idea (reference sshash; see SURVEY §2.2) with
+    pointers instead of an MPHF. ~4.7 B per covered k-mer vs ~19 B for the
+    previous per-k-mer exact table.
 
-Space: 12 B/LOAD per entry + 0.5 B/base text + ~20 B per spilled k-mer;
-at (k=31, m=19) one entry covers ~6.5 k-mers => ~2.9-3.4 B/k-mer total vs
-19.5 for the cuckoo table and ~1 for SSHash (reference include/index.hpp:13).
+Space: 12 B/LOAD per entry + 0.5 B/base text + ~4.7 B per covered k-mer;
+at (k=31, m=19) one entry covers ~5-6.5 k-mers => ~3-6 B/k-mer total
+(corpus-dependent) vs 19.5 for the cuckoo table and ~1 for SSHash
+(reference include/index.hpp:13).
 
 Exactness contract (device + host agree):
   hit  => the k-mer IS in the index and csid is its color-set id
-          (text-verified 62-bit compare or exact secondary);
-  ovf  => the probe ran out of verify slots before deciding; the caller
-          must fall back to the exact host probe (rare: the build reports
-          the measured multiplicity tail, typically <0.1%).
+          (always a text-verified 62-bit compare);
+  ovf  => the probe ran out of verify/candidate slots before deciding; the
+          caller must fall back to the exact host probe (rare: fp8/fp16
+          collision pileups, measured well below 0.1% of windows).
 """
 
 from __future__ import annotations
@@ -47,23 +57,22 @@ from .minidict import (
 LOAD = 0.6
 SCAN = 8  # slots screened per probe
 ROWW = 8  # entries per slot row (power of 2): SCAN/ROWW row gathers per probe
-VERIFY_BUDGET = 4  # text verifications per probe (shared across orientations)
-COVER_GROUP = 5  # groups with >= this many entries also go to the secondary
+VERIFY_BUDGET = 6  # text verifications per probe (shared across orientations)
+COVER_GROUP = 4  # groups with >= this many entries route via the skew table
 MAX_SPAN = 127  # span field is 7 bits (bit 15 of the meta word = covered)
 
-# secondary: 2-choice hash table over the spilled/covered k-mers, keyed on
-# the LSB-first canonical packing (min of fwd/rc as (hi, lo) tuples — no
-# bit-reversal needed on device). Rows of 2 entries [klo, khi, val] x 2 + pad
-# = 32 B; probe = 2 mix32 hashes + 2 row gathers + 4 full-key compares.
-# (Replaces a quotient-cuckoo secondary whose two 62-bit permutation chains
-# measured ~40% of the whole lookup kernel.)
-SEC_SEED1 = 0x2545F491
-SEC_SEED2 = 0x9E3779B9
-SEC_LOAD = 0.85
-SEC_EMPTY = 0xFFFFFFFF  # klo=khi=2^32-1: impossible (hi of a 62-bit key < 2^30)
+# skew table: per-covered-k-mer u32 pointer (fp8 | slot_id+1), keyed by the
+# LSB-first canonical packing (min of fwd/rc as (hi, lo) tuples — no
+# bit-reversal needed on device). 2-choice rows of SKEW_ROWW slots; probe =
+# 2 mix32 hashes + 2 row gathers + <=SKEW_CAND entry gathers + text verify.
+SKEW_SEED1 = 0x2545F491
+SKEW_SEED2 = 0x9E3779B9
+SKEW_LOAD = 0.85
+SKEW_ROWW = 8  # u32 slots per row: one 32 B gather
+SKEW_CAND = 3  # fp8-matching entries chased per probe (more -> ovf)
 
 
-def _sec_hash_np(klo, khi, seed):
+def _skew_hash_np(klo, khi, seed):
     return _mix32_np(klo ^ _mix32_np(khi ^ np.uint32(seed)))
 
 
@@ -76,65 +85,126 @@ def canonical_lsb_np(flo, fhi, rlo, rhi):
     return np.where(take_f, flo, rlo), np.where(take_f, fhi, rhi)
 
 
-def sec_build(klo: np.ndarray, khi: np.ndarray, vals: np.ndarray) -> np.ndarray:
-    """Build the (NR, 8) uint32 2-choice table; grows until the cuckoo walk
-    places every key. Keys must be distinct."""
-    n = len(klo)
-    NR = max(2, int(np.ceil(n / 2 / SEC_LOAD)))
+def skew_build(klo: np.ndarray, khi: np.ndarray, slot_ids: np.ndarray) -> np.ndarray:
+    """Build the (NR, SKEW_ROWW) uint32 pointer table: slot value =
+    ((primary_slot_id + 1) << 8) | fp8, 0 = empty. Greedy 2-choice row
+    placement (each key targets the emptier of its two rows, round by
+    round; the table grows until every key fits — bins of 8 at load 0.85
+    virtually always succeed). Keys must be distinct."""
+    n = len(slot_ids)
+    if n == 0:
+        return np.zeros((1, SKEW_ROWW), dtype=np.uint32)
+    assert int(slot_ids.max()) + 1 < (1 << 24), (
+        "primary slot id exceeds the 24-bit skew pointer; widen the skew "
+        "slot layout for indexes beyond ~16M dictionary entries"
+    )
     klo = klo.astype(np.uint32)
     khi = khi.astype(np.uint32)
-    vals = vals.astype(np.uint32)
+    h1 = _skew_hash_np(klo, khi, SKEW_SEED1)
+    h2 = _skew_hash_np(klo, khi, SKEW_SEED2)
+    val = ((slot_ids.astype(np.uint32) + np.uint32(1)) << np.uint32(8)) | (
+        h1 & np.uint32(0xFF)
+    )
+    NR = max(2, int(np.ceil(n / SKEW_ROWW / SKEW_LOAD)))
     while True:
-        rows = np.full((NR, 8), SEC_EMPTY, dtype=np.uint32)
-        r1 = _fastrange_np(_sec_hash_np(klo, khi, SEC_SEED1), NR)
-        r2 = _fastrange_np(_sec_hash_np(klo, khi, SEC_SEED2), NR)
-        ok = True
-        for i in range(n):
-            lo, hi, v = klo[i], khi[i], vals[i]
-            ra, rb = int(r1[i]), int(r2[i])
-            placed = False
-            for _ in range(500):
-                done = False
-                for r in (ra, rb):
-                    for e in (0, 3):
-                        if rows[r, e] == SEC_EMPTY and rows[r, e + 1] == SEC_EMPTY:
-                            rows[r, e] = lo
-                            rows[r, e + 1] = hi
-                            rows[r, e + 2] = v
-                            done = True
-                            break
-                    if done:
-                        break
-                if done:
-                    placed = True
-                    break
-                # evict entry 0 of ra, move displaced key to its alternate row
-                olo, ohi, ov = rows[ra, 0], rows[ra, 1], rows[ra, 2]
-                rows[ra, 0], rows[ra, 1], rows[ra, 2] = lo, hi, v
-                lo, hi, v = olo, ohi, ov
-                o1 = int(_fastrange_np(_sec_hash_np(lo[None], hi[None], SEC_SEED1), NR)[0])
-                o2 = int(_fastrange_np(_sec_hash_np(lo[None], hi[None], SEC_SEED2), NR)[0])
-                ra, rb = (o2, o1) if o1 == ra else (o1, o2)
-            if not placed:
-                ok = False
+        r1 = _fastrange_np(h1, NR)
+        r2 = _fastrange_np(h2, NR)
+        counts = np.zeros(NR, dtype=np.int32)
+        row_of = np.full(n, -1, dtype=np.int64)
+        pending = np.arange(n, dtype=np.int64)
+        # phase 1: vectorized greedy rounds (emptier of the two rows) —
+        # places ~96% of keys at load 0.85; no eviction
+        for _round in range(32):
+            if not len(pending):
                 break
-        if ok:
-            return rows
-        NR = int(NR * 1.4) + 1
+            tgt = np.where(
+                counts[r1[pending]] <= counts[r2[pending]], r1[pending], r2[pending]
+            )
+            order = np.argsort(tgt, kind="stable")
+            ts = tgt[order]
+            new = np.concatenate([[True], ts[1:] != ts[:-1]])
+            starts = np.flatnonzero(new)
+            glen = np.diff(np.concatenate([starts, [len(ts)]]))
+            rank = np.arange(len(ts)) - np.repeat(starts, glen)
+            ok = rank < (SKEW_ROWW - counts[ts])
+            row_of[pending[order[ok]]] = ts[ok]
+            np.add.at(counts, ts[ok], 1)
+            pending = pending[order[~ok]]
+            if not ok.any():
+                break
+        # phase 2: sequential cuckoo eviction for the stragglers whose rows
+        # both filled (the tail the greedy phase cannot place)
+        occ = np.full(NR * SKEW_ROWW, -1, dtype=np.int64)  # slot -> key
+        placed_keys = np.flatnonzero(row_of >= 0)
+        pr = row_of[placed_keys]
+        order = np.argsort(pr, kind="stable")
+        ro = pr[order]
+        new = np.concatenate([[True], ro[1:] != ro[:-1]])
+        starts = np.flatnonzero(new)
+        glen = np.diff(np.concatenate([starts, [len(ro)]]))
+        slotpos = np.arange(len(ro)) - np.repeat(starts, glen)
+        occ[ro * SKEW_ROWW + slotpos] = placed_keys[order]
+        ok_all = True
+        for key in pending:
+            key = int(key)
+            steps = 0
+            while True:
+                placed = False
+                for rr in (int(r1[key]), int(r2[key])):
+                    base = rr * SKEW_ROWW
+                    for e in range(SKEW_ROWW):
+                        if occ[base + e] < 0:
+                            occ[base + e] = key
+                            placed = True
+                            break
+                    if placed:
+                        break
+                if placed:
+                    break
+                steps += 1
+                if steps > 5000:
+                    ok_all = False
+                    break
+                # evict a pseudo-random victim from the first-choice row and
+                # take its slot; the victim re-inserts (deterministic walk)
+                rr = int(r1[key]) if steps % 2 else int(r2[key])
+                e = ((int(h1[key]) ^ (steps * 0x9E3779B9)) >> 7) % SKEW_ROWW
+                v = rr * SKEW_ROWW + e
+                victim = int(occ[v])
+                occ[v] = key
+                key = victim
+            if not ok_all:
+                break
+        if ok_all:
+            break
+        NR = int(NR * 1.2) + 1
+    rows = np.zeros((NR, SKEW_ROWW), dtype=np.uint32)
+    filled = np.flatnonzero(occ >= 0)
+    rows.reshape(-1)[filled] = val[occ[filled]]
+    return rows
 
 
-def sec_probe_host(rows: np.ndarray, klo: np.ndarray, khi: np.ndarray):
-    """Vectorized host probe of the 2-choice secondary. -> val u32
-    (INVALID_U32 on miss)."""
-    NR = len(rows)
-    out = np.full(len(klo), INVALID_U32, dtype=np.uint32)
-    for seed in (SEC_SEED1, SEC_SEED2):
-        r = _fastrange_np(_sec_hash_np(klo, khi, seed), NR)
-        row = rows[r]
-        for e in (0, 3):
-            m = (row[:, e] == klo) & (row[:, e + 1] == khi) & (out == INVALID_U32)
-            out[m] = row[m, e + 2]
-    return out
+def skew_candidates_host(skew: np.ndarray, klo: np.ndarray, khi: np.ndarray):
+    """All fp8-matching (key_index, primary_slot_id) pairs in probe order
+    (row1 slots, then row2 slots), plus the per-key match count. Exact host
+    paths verify every pair; device-semantics paths cap at SKEW_CAND."""
+    NR = len(skew)
+    h1 = _skew_hash_np(klo, khi, SKEW_SEED1)
+    h2 = _skew_hash_np(klo, khi, SKEW_SEED2)
+    fp = h1 & np.uint32(0xFF)
+    cnt = np.zeros(len(klo), dtype=np.int32)
+    pairs_i: list[np.ndarray] = []
+    pairs_s: list[np.ndarray] = []
+    for r in (_fastrange_np(h1, NR), _fastrange_np(h2, NR)):
+        row = skew[r]
+        for e in range(SKEW_ROWW):
+            v = row[:, e]
+            m = (v != 0) & ((v & np.uint32(0xFF)) == fp)
+            sel = np.flatnonzero(m)
+            pairs_i.append(sel)
+            pairs_s.append((v[sel] >> np.uint32(8)).astype(np.int64) - 1)
+            cnt += m.astype(np.int32)
+    return cnt, pairs_i, pairs_s
 
 
 def _fastrange32(h: np.ndarray, M: int) -> np.ndarray:
@@ -154,8 +224,8 @@ class MiniDict2:
     slots: np.ndarray  # (MR, 3*ROWW) uint32: ROWW 12 B entries per row
     num_slots: int  # M (fastrange modulus)
     text32: np.ndarray  # (n, 4) uint32: 64 bases per row, stride 32
-    sec_table: np.ndarray  # (NR, 8) uint32 2-choice table over spilled kmers
-    spill_frac: float
+    sec_table: np.ndarray  # (NR, SKEW_ROWW) u32 skew pointers (fp8|slot+1)
+    spill_frac: float  # fraction of k-mers routed via the skew table
     multi_tail: float  # fraction of probe sites with >VERIFY_SLOTS in-span cands
 
     def num_bytes(self) -> int:
@@ -338,11 +408,11 @@ def build_minidict2(unitig_codes, unitig_offs, unitig_cs, k, m,
     )
 
     # tombstones: every SPILLED group leaves a (sp=0, covered=1, fp) marker
-    # in its probe window so the query can gate the secondary gather to the
-    # (rare) windows that actually need it — all other windows gather row 0,
-    # which coalesces to ~nothing on the memory system. If a window is too
-    # full even for the marker, the probe's "window full" rule triggers the
-    # secondary instead (see lookup_minidict2_batch).
+    # in its probe window so the query can gate the skew gathers to the
+    # (rare) windows that actually need them — all other windows gather row
+    # 0, which coalesces to ~nothing on the memory system. If a window is
+    # too full even for the marker, the probe's "window full" rule triggers
+    # the skew path instead (see lookup_minidict2_batch).
     occupied = np.zeros(MR * ROWW, dtype=bool)
     occupied[slot_of] = True
     ts_g = np.flatnonzero(~placed)
@@ -355,28 +425,54 @@ def build_minidict2(unitig_codes, unitig_offs, unitig_cs, k, m,
                 occupied[s] = True
                 flat[s, 2] = (np.uint32(1) << np.uint32(15)) | (ts_fp[i] << np.uint32(16))
                 break
-    slots = flat.reshape(MR, 3 * ROWW)
 
-    # secondary: exact 2-choice table over the k-mers of spilled entries
-    # PLUS the k-mers of covered (heavy-minimizer) groups
+    # park spilled entries in arbitrary free slots (covered bit set so the
+    # window scan never treats them as candidates); they are reached only
+    # through the skew table, by slot id
+    unplaced_sel = np.flatnonzero(~ent_placed)
+    free = np.flatnonzero(~occupied)
+    if len(free) < len(unplaced_sel):  # pathological; grow the flat array
+        extra = len(unplaced_sel) - len(free)
+        flat = np.concatenate([flat, np.zeros((extra, 3), np.uint32)])
+        free = np.concatenate([free, np.arange(len(occupied), len(flat))])
+        MR = (len(flat) + ROWW - 1) // ROWW
+        flat = np.concatenate(
+            [flat, np.zeros((MR * ROWW - len(flat), 3), np.uint32)]
+        )
+    park = free[: len(unplaced_sel)]
+    flat[park, 0] = wlo_s[unplaced_sel].astype(np.uint32)
+    flat[park, 1] = csid_s[unplaced_sel]
+    flat[park, 2] = (
+        moff_s[unplaced_sel].astype(np.uint32)
+        | (span_s[unplaced_sel].astype(np.uint32) << np.uint32(8))
+        | (np.uint32(1) << np.uint32(15))
+        | (fp[unplaced_sel] << np.uint32(16))
+    )
+    slots = flat.reshape(-1, 3 * ROWW)
+
+    # skew table: one pointer per k-mer of covered (heavy-minimizer) or
+    # parked entries, keyed by the canonical k-mer
+    slot_all = np.empty(NE, dtype=np.int64)
+    slot_all[ent_placed] = slot_of
+    slot_all[~ent_placed] = park
     spill_sel = np.flatnonzero(~ent_placed | ent_covered)
     if len(spill_sel):
         sp_wlo = wlo_s[spill_sel]
         sp_span = span_s[spill_sel]
-        sp_csid = csid_s[spill_sel]
+        sp_slot = slot_all[spill_sel]
         kpos = np.repeat(sp_wlo, sp_span) + (
             np.arange(int(sp_span.sum()))
             - np.repeat(np.concatenate([[0], np.cumsum(sp_span)])[:-1], sp_span)
         )
-        vals = np.repeat(sp_csid, sp_span)
+        kslot = np.repeat(sp_slot, sp_span)
         flo, fhi, rlo, rhi, _okw = window_packings_lsb(r["codes"], k)
         klo, khi = canonical_lsb_np(flo[kpos], fhi[kpos], rlo[kpos], rhi[kpos])
         key64 = (khi.astype(np.uint64) << np.uint64(32)) | klo.astype(np.uint64)
         _, uniq_idx = np.unique(key64, return_index=True)
-        sec = sec_build(klo[uniq_idx], khi[uniq_idx], vals[uniq_idx])
+        sec = skew_build(klo[uniq_idx], khi[uniq_idx], kslot[uniq_idx])
         n_spill_kmers = len(uniq_idx)
     else:
-        sec = np.full((2, 8), SEC_EMPTY, dtype=np.uint32)
+        sec = np.zeros((1, SKEW_ROWW), dtype=np.uint32)
         n_spill_kmers = 0
 
     nk = int(np.sum(r["span"]))
@@ -408,8 +504,10 @@ def _window_minimizers(codes: np.ndarray, k: int, m: int):
 
 def _probe_candidates(d: MiniDict2, p, minval, left, right):
     """In-slot-order (entry, orientation) candidates for window p:
-    fingerprint-matching, in-span, NOT covered (covered entries are decided
-    by the secondary). -> list of (q, csid). Shared by both host probes."""
+    fingerprint-matching, in-span, NOT covered (covered entries are reached
+    via the skew table). -> (cands [(q, csid, orient)], gated) where gated
+    mirrors the device's need_sec rule (covered/marker fp match, or window
+    full). Shared by both host probes."""
     k, m = d.k, d.m
     kk = probe_key(np.array([minval[p]], np.uint32))
     b = int(_fastrange32(kk, d.num_slots)[0])
@@ -417,10 +515,16 @@ def _probe_candidates(d: MiniDict2, p, minval, left, right):
     flat = d.slots.reshape(-1, 3)
     base = b & ~(ROWW - 1)
     cands = []
+    gated = False
+    n_occ = 0
     for sidx in range(base, base + SCAN):
         wlo, cs, ms = flat[sidx]
         sp = (int(ms) >> 8) & 0x7F
-        if sp == 0 or np.uint32(int(ms) >> 16) != fp or (int(ms) >> 15) & 1:
+        cov = (int(ms) >> 15) & 1
+        n_occ += int(sp > 0 or cov)
+        if cov and np.uint32(int(ms) >> 16) == fp:
+            gated = True
+        if sp == 0 or np.uint32(int(ms) >> 16) != fp or cov:
             continue
         mo = int(ms) & 0xFF
         mpos = int(wlo) + mo
@@ -430,7 +534,9 @@ def _probe_candidates(d: MiniDict2, p, minval, left, right):
         qr = mpos - (k - m) + int(right[p])
         if int(wlo) <= qr < int(wlo) + sp:
             cands.append((qr, int(cs), 1))
-    return cands
+    if n_occ >= SCAN:
+        gated = True
+    return cands, gated
 
 
 def _verify(d: MiniDict2, q, orient, flo, fhi, rlo, rhi, lo_mask, hi_mask):
@@ -456,21 +562,43 @@ def _probe_read(d: MiniDict2, codes: np.ndarray, budget):
     for p in range(Wk):
         if not okw[p] or minval[p] == 0xFFFFFFFF:
             continue
-        cands = _probe_candidates(d, p, minval, left, right)
+        cands, gated = _probe_candidates(d, p, minval, left, right)
         nv = len(cands) if budget is None else min(budget, len(cands))
         for q, cs, orient in cands[:nv]:
             if _verify(d, q, orient, flo[p], fhi[p], rlo[p], rhi[p], lo_mask, hi_mask):
                 hit[p], out[p] = True, cs
                 break
-        if not hit[p]:
+        if not hit[p] and (gated or budget is None):
+            # skew route (device gates it on need_sec; ungated windows can
+            # never hold a skew key, so the exact path may probe freely)
             klo, khi = canonical_lsb_np(
                 flo[p : p + 1], fhi[p : p + 1], rlo[p : p + 1], rhi[p : p + 1]
             )
-            v = sec_probe_host(d.sec_table, klo, khi)[0]
-            if v != INVALID_U32:
-                hit[p], out[p] = True, v
-            if not hit[p] and budget is not None and len(cands) > budget:
+            cnt2, pairs_i, pairs_s = skew_candidates_host(d.sec_table, klo, khi)
+            sids = [int(s) for ps in pairs_s for s in ps]
+            if budget is not None:
+                sids = sids[:SKEW_CAND]
+            flat = d.slots.reshape(-1, 3)
+            for sid in sids:
+                wlo, cs, ms = flat[sid]
+                sp = (int(ms) >> 8) & 0x7F
+                mo = int(ms) & 0xFF
+                mpos = int(wlo) + mo
+                for orient, q in (
+                    (0, mpos - int(left[p])),
+                    (1, mpos - (k - m) + int(right[p])),
+                ):
+                    if sp > 0 and int(wlo) <= q < int(wlo) + sp and not hit[p]:
+                        if _verify(d, q, orient, flo[p], fhi[p], rlo[p],
+                                   rhi[p], lo_mask, hi_mask):
+                            hit[p], out[p] = True, int(cs)
+                if hit[p]:
+                    break
+            if (not hit[p] and budget is not None and gated
+                    and int(cnt2[0]) > SKEW_CAND):
                 ovf[p] = True
+        if not hit[p] and budget is not None and len(cands) > budget:
+            ovf[p] = True
     return hit, out, ovf
 
 
@@ -539,11 +667,40 @@ def probe_windows_host(d: MiniDict2, codes: np.ndarray):
                 out[sel] = cs[sel]
     rem = np.flatnonzero(usable & ~hit)
     if len(rem):
+        # exact skew route: verify EVERY fp8-matching pointer (the skew
+        # table only holds true k-mers, so probing ungated windows is just
+        # a guaranteed miss — no gating needed for exactness)
         klo, khi = canonical_lsb_np(flo[rem], fhi[rem], rlo[rem], rhi[rem])
-        v = sec_probe_host(d.sec_table, klo, khi)
-        found = v != INVALID_U32
-        hit[rem[found]] = True
-        out[rem[found]] = v[found]
+        _cnt2, pairs_i, pairs_s = skew_candidates_host(d.sec_table, klo, khi)
+        rhit = np.zeros(len(rem), dtype=bool)
+        for pi, ps in zip(pairs_i, pairs_s):
+            if not len(pi):
+                continue
+            act = ~rhit[pi]
+            pi, ps = pi[act], ps[act]
+            if not len(pi):
+                continue
+            ent = flat[ps]
+            wloe = ent[:, 0].astype(np.int64)
+            cse = ent[:, 1]
+            mse = ent[:, 2]
+            spe = ((mse >> np.uint32(8)) & np.uint32(0x7F)).astype(np.int64)
+            moe = (mse & np.uint32(0xFF)).astype(np.int64)
+            mpos = wloe + moe
+            g = rem[pi]
+            for q, wl, wh in (
+                (mpos - left64[g], flo[g], fhi[g]),
+                (mpos - (k - m) + right64[g], rlo[g], rhi[g]),
+            ):
+                cand = (spe > 0) & (q >= wloe) & (q < wloe + spe) & ~rhit[pi]
+                ci = np.flatnonzero(cand)
+                if len(ci):
+                    tlo, thi = extract33_host(d.text32, q[ci])
+                    ok2 = ((tlo & lo_mask) == wl[ci]) & ((thi & hi_mask) == wh[ci])
+                    sel = ci[ok2]
+                    rhit[pi[sel]] = True
+                    hit[g[sel]] = True
+                    out[g[sel]] = cse[sel]
     return hit, out
 
 
@@ -552,9 +709,13 @@ def probe_windows_host(d: MiniDict2, codes: np.ndarray):
 # --------------------------------------------------------------------------
 
 
-def sec_probe_device(rows, flo, fhi, rlo, rhi, mask):
-    """Device probe of the 2-choice secondary from the LSB-first window
-    packings (mirror of sec_probe_host). -> (hit, val)."""
+def skew_probe_device(skew, flat_slots, flo, fhi, rlo, rhi, iL, iR, gate,
+                      hit, val, *, k: int, m: int, lo_mask, hi_mask,
+                      extract33):
+    """Device skew route (mirror of the SKEW_CAND-capped host semantics):
+    select the first SKEW_CAND fp8-matching pointers in probe order, gather
+    their primary entries, text-verify the in-span orientations.
+    -> (hit, val, skew_cnt). Non-gated lanes gather row/slot 0."""
     import jax.numpy as jnp
 
     from .lookup import mix32, mulhi32
@@ -562,18 +723,42 @@ def sec_probe_device(rows, flo, fhi, rlo, rhi, mask):
     take_f = (fhi < rhi) | ((fhi == rhi) & (flo <= rlo))
     klo = jnp.where(take_f, flo, rlo)
     khi = jnp.where(take_f, fhi, rhi)
-    NR = rows.shape[0]
-    hit = jnp.zeros(klo.shape, dtype=bool)
-    val = jnp.full(klo.shape, INVALID_U32, dtype=jnp.uint32)
-    for seed in (SEC_SEED1, SEC_SEED2):
-        h = mix32(klo ^ mix32(khi ^ jnp.uint32(seed)))
-        r = jnp.where(mask, mulhi32(h, NR).astype(jnp.int32), 0)
-        row = jnp.take(rows, r, axis=0)
-        for e in (0, 3):
-            m = mask & (row[..., e] == klo) & (row[..., e + 1] == khi)
-            val = jnp.where(m & ~hit, row[..., e + 2], val)
-            hit = hit | m
-    return hit, val
+    NR = skew.shape[0]
+    h1 = mix32(klo ^ mix32(khi ^ jnp.uint32(SKEW_SEED1)))
+    h2 = mix32(klo ^ mix32(khi ^ jnp.uint32(SKEW_SEED2)))
+    fp8 = h1 & jnp.uint32(0xFF)
+    cnt2 = jnp.zeros(klo.shape, jnp.int32)
+    sid = [jnp.zeros(klo.shape, jnp.int32) for _ in range(SKEW_CAND)]
+    for h in (h1, h2):
+        r = jnp.where(gate, mulhi32(h, NR).astype(jnp.int32), 0)
+        row = jnp.take(skew, r, axis=0)
+        for e in range(SKEW_ROWW):
+            v = row[..., e]
+            mca = gate & (v != 0) & ((v & jnp.uint32(0xFF)) == fp8)
+            for j in range(SKEW_CAND):
+                upd = mca & (cnt2 == j)
+                sid[j] = jnp.where(upd, (v >> jnp.uint32(8)).astype(jnp.int32) - 1,
+                                   sid[j])
+            cnt2 = cnt2 + mca.astype(jnp.int32)
+    for j in range(SKEW_CAND):
+        has = gate & (cnt2 > j) & ~hit
+        ent = jnp.take(flat_slots, jnp.where(has, sid[j], 0), axis=0)
+        wlo = ent[..., 0].astype(jnp.int32)
+        cs = ent[..., 1]
+        ms = ent[..., 2]
+        sp = ((ms >> 8) & jnp.uint32(0x7F)).astype(jnp.int32)
+        mo = (ms & jnp.uint32(0xFF)).astype(jnp.int32)
+        mpos = wlo + mo
+        for q, wl, wh in (
+            (mpos - iL, flo, fhi),
+            (mpos - (k - m) + iR, rlo, rhi),
+        ):
+            cand = has & (sp > 0) & (q >= wlo) & (q < wlo + sp) & ~hit
+            tlo, thi = extract33(jnp.where(cand, q, 0))
+            okv = cand & ((tlo & lo_mask) == wl) & ((thi & hi_mask) == wh)
+            val = jnp.where(okv & ~hit, cs, val)
+            hit = hit | okv
+    return hit, val, cnt2
 
 
 def lookup_minidict2_batch(slots, text32, sec_table, codes, *, k: int, m: int,
@@ -719,13 +904,17 @@ def lookup_minidict2_batch(slots, text32, sec_table, codes, *, k: int, m: int,
         val = jnp.where(new, cs_sel[j], val)
         hit = hit | okv
 
-    # ---- secondary (exact 2-choice table over spilled + covered kmers),
-    # gathered only where gated — everyone else coalesces onto row 0 ----
+    # ---- skew route (covered/heavy-minimizer k-mers), gathered only where
+    # gated — everyone else coalesces onto row/slot 0 ----
     gate = usable & ~hit & need_sec
-    shit, sval = sec_probe_device(sec_table, flo, fhi, rlo, rhi, gate)
-    val = jnp.where(shit & ~hit, sval, val)
-    hit = hit | shit
+    flat_slots = slots.reshape(-1, 3)
+    hit, val, cnt2 = skew_probe_device(
+        sec_table, flat_slots, flo, fhi, rlo, rhi, iL, iR, gate, hit, val,
+        k=k, m=m, lo_mask=lo_mask, hi_mask=hi_mask, extract33=extract33,
+    )
 
-    ovf = usable & ~hit & (cnt > VERIFY_BUDGET)
+    ovf = (usable & ~hit & (cnt > VERIFY_BUDGET)) | (
+        gate & ~hit & (cnt2 > SKEW_CAND)
+    )
     val = jnp.where(hit, val, jnp.uint32(INVALID_U32))
     return hit, val, ovf

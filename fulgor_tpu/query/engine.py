@@ -158,9 +158,31 @@ class QueryEngine:
         _hit, csid = self.idx.host_window_csids(row_codes.astype(np.uint8))
         return csid
 
-    def _host_full_intersection(self, row_codes: np.ndarray) -> np.ndarray:
+    def _host_csids_many(self, rows) -> list:
+        """Exact host window->csid for MANY ragged reads in one vectorized
+        probe: reads are joined with a single invalid code (4) so every
+        boundary-crossing window self-invalidates, then sliced back per
+        read. Orders of magnitude faster than per-read probes when the
+        overflow-redo batch has hundreds of reads."""
+        if not len(rows):
+            return []
+        k = self.k
+        parts, starts, pos = [], [], 0
+        sep = np.full(1, 4, dtype=np.uint8)
+        for r in rows:
+            starts.append(pos)
+            parts.append(np.asarray(r, dtype=np.uint8))
+            parts.append(sep)
+            pos += len(r) + 1
+        csid = self._host_csids(np.concatenate(parts))
+        out = []
+        for r, s in zip(rows, starts):
+            n = max(0, len(r) - k + 1)
+            out.append(csid[s : s + n])
+        return out
+
+    def _fi_from_csids(self, csids: np.ndarray) -> np.ndarray:
         cat, offs = self._cs_cache
-        csids = self._host_csids(row_codes)
         distinct = np.unique(csids[csids != INVALID_U32])
         if len(distinct) == 0:
             return np.empty(0, dtype=np.uint32)
@@ -172,9 +194,8 @@ class QueryEngine:
                 break
         return acc.astype(np.uint32)
 
-    def _host_threshold(self, row_codes: np.ndarray, threshold: float) -> np.ndarray:
+    def _tu_from_csids(self, csids: np.ndarray, threshold: float) -> np.ndarray:
         cat, offs = self._cs_cache
-        csids = self._host_csids(row_codes)
         pos = csids[csids != INVALID_U32]
         if len(pos) == 0:
             return np.empty(0, dtype=np.uint32)
@@ -183,6 +204,12 @@ class QueryEngine:
             scores[cat[offs[sid] : offs[sid + 1]].astype(np.int64)] += 1
         min_score = int(len(pos) * threshold)
         return np.flatnonzero(scores >= min_score).astype(np.uint32)
+
+    def _host_full_intersection(self, row_codes: np.ndarray) -> np.ndarray:
+        return self._fi_from_csids(self._host_csids(row_codes))
+
+    def _host_threshold(self, row_codes: np.ndarray, threshold: float) -> np.ndarray:
+        return self._tu_from_csids(self._host_csids(row_codes), threshold)
 
     @staticmethod
     def _bits_to_lists(bits_np: np.ndarray, num_colors: int):
@@ -501,15 +528,28 @@ class QueryEngine:
                 ovf = np.asarray(handle[2][:n])
             tw = time.perf_counter()
             query_sec += tw - tq
+            keep = (lens <= MAX_STREAM_WIDTH) & ~ovf
+            if ovf.any():
+                ovf_ids.extend((qid0 + np.flatnonzero(ovf & (lens <= MAX_STREAM_WIDTH))).tolist())
+            if threshold is None and hasattr(fmtr, "write_batch_bits"):
+                # fast path: native bits->ascii straight from the device's
+                # result layout, no per-read list expansion (dropped rows —
+                # overflow/long reads — are re-emitted by the exact redo)
+                if keep.all():
+                    ids, rows = np.arange(qid0, qid0 + n, dtype=np.uint32), fetched
+                else:
+                    kj = np.flatnonzero(keep)
+                    ids, rows = (qid0 + kj).astype(np.uint32), fetched[kj]
+                num_mapped += fmtr.write_batch_bits(ids, rows)
+                num_reads += n
+                write_sec += time.perf_counter() - tw
+                return
             if threshold is None:
                 lists, counts = self._bits_to_lists(fetched, C)
             else:
                 lists, counts = self._scores_to_lists(
                     fetched[0].astype(np.int64), fetched[1], threshold
                 )
-            keep = (lens <= MAX_STREAM_WIDTH) & ~ovf
-            if ovf.any():
-                ovf_ids.extend((qid0 + np.flatnonzero(ovf & (lens <= MAX_STREAM_WIDTH))).tolist())
             if keep.all():
                 fmtr.write_batch(range(qid0, qid0 + n), lists)
                 num_mapped += int((counts > 0).sum())
@@ -532,12 +572,11 @@ class QueryEngine:
             # probe overflowed (ragged selective re-parse: never materializes
             # the whole file densely)
             seqs, _names = native.parse_reads_select(query_path, redo)
-            extra = []
-            for row in seqs:
-                if threshold is None:
-                    extra.append(self._host_full_intersection(row))
-                else:
-                    extra.append(self._host_threshold(row, threshold))
+            all_csids = self._host_csids_many(seqs)
+            if threshold is None:
+                extra = [self._fi_from_csids(c) for c in all_csids]
+            else:
+                extra = [self._tu_from_csids(c, threshold) for c in all_csids]
             fmtr.write_batch(redo, extra)
             num_mapped += sum(1 for s in extra if len(s))
         fmtr.close()

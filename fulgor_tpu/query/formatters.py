@@ -38,6 +38,16 @@ class AsciiFormatter:
         )
         self.f.write(native.format_psa_ascii(qarr, cat, offs))
 
+    def write_batch_bits(self, qids: np.ndarray, bits: np.ndarray) -> int:
+        """Write a batch straight from (n, C32) u32 bitset rows (the
+        device's native result layout) -> number of mapped reads. Skips
+        the bits->lists expansion entirely."""
+        from ..native import lib as native
+
+        out, mapped = native.format_psa_ascii_bits(qids, bits)
+        self.f.write(out)
+        return mapped
+
     def close(self):
         self.f.close()
 
