@@ -3,11 +3,13 @@
 Reference L6 (include/builders/{meta,differential,meta_differential}_builder.hpp,
 tools/build.cpp:247-303 `fulgor color`). Pipeline per tier:
 
-  meta      permute COLORS: HLL sketch per color over the unitigs containing
-            it -> divisive k-means -> colors grouped by cluster (partitions);
+  meta      permute COLORS: exact pooled co-occurrence features per color
+            -> divisive k-means -> colors grouped by cluster (partitions);
             sets re-expressed over permuted ids; filenames permuted to match.
-            Set ids / u2c / dictionary unchanged.
-  diff      cluster COLOR SETS: HLL sketch per set over its colors, sliced
+            Set ids / u2c / dictionary unchanged. (The reference sketches
+            with HLLs because its merges are per-pair scalar adds; our
+            vectorized bincount affords exact features.)
+  diff      cluster COLOR SETS: exact pooled membership features, sliced
             by density quartiles, k-means per slice; majority representative
             per cluster, symmetric-difference coding. Set ids stay stable
             (we store an explicit set->cluster map instead of permuting sets
@@ -32,49 +34,56 @@ POOLED_DIMS = 128  # HLL registers sum-pooled before k-means (8x less work
 # per distance; register noise dominates well below this resolution)
 
 
-def _pool_sketches(regs: np.ndarray) -> np.ndarray:
-    n, r = regs.shape
-    assert r % POOLED_DIMS == 0
-    return regs.reshape(n, POOLED_DIMS, r // POOLED_DIMS).sum(axis=2, dtype=np.float32)
+def color_features(idx: Index) -> np.ndarray:
+    """Exact pooled co-occurrence features per color -> (C, POOLED_DIMS)
+    f32: feature[c, h(s)] += sqrt(#unitigs of set s) for every set s
+    containing color c.
 
-
-def sketch_colors_by_unitigs(idx: Index) -> np.ndarray:
-    """HLL per color over the unitig ids containing that color
-    (reference build_util.hpp:8-146). -> (num_colors, 2^p) uint8.
-
-    Two-level merge exploiting HLL's max-mergeability: sketch each SET over
-    its unitig ids (one pass over all unitigs), then each color's sketch =
-    register-max over the sets containing it (chunked np.maximum.at). This
-    turns O(sum |set| * unitigs(set)) scalar adds into O(unitigs) adds +
-    O(total ints in sets) register merges."""
+    Replaces the reference's HLL-per-color-over-unitigs sketches
+    (build_util.hpp:8-146): colors contained in the same sets get
+    near-identical rows — precisely the similarity the partitioner needs —
+    and one weighted bincount over the (set, color) incidences costs
+    seconds where the register-row merge of 2^p-wide HLLs costs minutes at
+    half a million sets."""
     cat, offs = idx.color_sets_decoded()
     S = idx.num_color_sets
-    R = 1 << SK.HLL_P
-    regs_sets = np.zeros((S, R), dtype=np.uint8)
-    u2c = idx.u2c_csid.astype(np.int64)
-    uid = np.arange(len(u2c), dtype=np.uint64)
-    idx_r, rank = SK.hll_parts(uid)
-    np.maximum.at(regs_sets, (u2c, idx_r), rank)
-    regs = np.zeros((idx.num_colors, R), dtype=np.uint8)
+    w = np.sqrt(
+        np.bincount(idx.u2c_csid.astype(np.int64), minlength=S).astype(np.float64)
+    )
     sizes = (offs[1:] - offs[:-1]).astype(np.int64)
-    set_of_pair = np.repeat(np.arange(S, dtype=np.int64), sizes)
-    color_of_pair = cat.astype(np.int64)
-    CH = 1 << 16
-    for lo in range(0, len(cat), CH):
-        hi = min(len(cat), lo + CH)
-        np.maximum.at(
-            regs, color_of_pair[lo:hi], regs_sets[set_of_pair[lo:hi]]
-        )
-    return regs
+    sid = np.repeat(np.arange(S, dtype=np.int64), sizes)
+    hs = (SK._splitmix64(sid.astype(np.uint64)) % np.uint64(POOLED_DIMS)).astype(
+        np.int64
+    )
+    key = cat.astype(np.int64) * POOLED_DIMS + hs
+    feat = np.bincount(
+        key, weights=w[sid], minlength=idx.num_colors * POOLED_DIMS
+    ).astype(np.float32)
+    return feat.reshape(idx.num_colors, POOLED_DIMS)
+
+
+def set_features(cat, offs, num_colors) -> np.ndarray:
+    """Exact pooled membership features per color set -> (S, POOLED_DIMS)
+    f32: feature[s, block(c)] += 1 for every member color (blocks =
+    contiguous color ranges). Two sets with a small symmetric difference
+    get near-identical rows; replaces per-set HLL sketches of the members
+    (reference build_util.hpp:148-253) with an exact one-pass bincount."""
+    n = len(offs) - 1
+    sizes = (offs[1:] - offs[:-1]).astype(np.int64)
+    sid = np.repeat(np.arange(n, dtype=np.int64), sizes)
+    block = cat.astype(np.int64) * POOLED_DIMS // max(1, num_colors)
+    feat = np.bincount(
+        sid * POOLED_DIMS + block, minlength=n * POOLED_DIMS
+    ).astype(np.float32)
+    return feat.reshape(n, POOLED_DIMS)
 
 
 def permute_colors(idx: Index):
     """-> (perm new_id_of_old (C,), partition_bounds (P+1,)).
 
-    Reference permuter (meta_builder.hpp:14-124): cluster color sketches;
+    Reference permuter (meta_builder.hpp:14-124): cluster color features;
     colors ordered by (cluster, old id); partitions = cluster extents."""
-    regs = _pool_sketches(sketch_colors_by_unitigs(idx))
-    labels = SK.kmeans_divisive(regs, **KMEANS_PARAMS)
+    labels = SK.kmeans_divisive(color_features(idx), **KMEANS_PARAMS)
     order = np.lexsort((np.arange(idx.num_colors), labels))  # (cluster, old id)
     perm = np.empty(idx.num_colors, dtype=np.int64)
     perm[order] = np.arange(idx.num_colors)
@@ -95,20 +104,19 @@ def _permuted_sets(idx: Index, perm: np.ndarray):
 
 def cluster_color_sets(cat, offs, num_colors) -> np.ndarray:
     """Set clustering for diff coding (reference differential_permuter,
-    differential_builder.hpp:7-197): sketch each set (HLL over member
-    colors), slice by density, k-means per slice; labels globally unique."""
+    differential_builder.hpp:7-197): exact pooled membership features per
+    set, sliced by density, k-means per slice; labels globally unique."""
     n = len(offs) - 1
     sizes = (offs[1:] - offs[:-1]).astype(np.float64)
     frac = sizes / max(1, num_colors)
+    feats = set_features(cat, offs, num_colors)
     labels = np.zeros(n, dtype=np.int64)
     next_label = 0
     for lo, hi in zip(DENSITY_SLICES[:-1], DENSITY_SLICES[1:]):
         sel = np.flatnonzero((frac > lo) & (frac <= hi))
         if len(sel) == 0:
             continue
-        groups = [cat[offs[i] : offs[i + 1]].astype(np.uint64) for i in sel]
-        regs = _pool_sketches(SK.sketch_matrix(groups))
-        sub = SK.kmeans_divisive(regs, **KMEANS_PARAMS)
+        sub = SK.kmeans_divisive(feats[sel], **KMEANS_PARAMS)
         labels[sel] = sub.astype(np.int64) + next_label
         next_label += int(sub.astype(np.int64).max()) + 1
     return labels

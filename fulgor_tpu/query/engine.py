@@ -41,6 +41,61 @@ from ..ops.pipeline import (
 )
 from .formatters import make_formatter
 
+
+class AsyncWriter:
+    """Runs formatter writes on a worker thread so ascii formatting + file
+    IO (ctypes releases the GIL during the native calls) overlap device
+    compute and the next batch's result fetch. FIFO queue preserves output
+    order; `mapped` and `busy_sec` are valid after close()."""
+
+    def __init__(self, fmtr):
+        import queue
+        import threading
+
+        self.fmtr = fmtr
+        self.q = queue.Queue(maxsize=4)
+        self.mapped = 0
+        self.busy_sec = 0.0
+        self.err = None
+        self.t = threading.Thread(target=self._run, daemon=True)
+        self.t.start()
+
+    def _run(self):
+        while True:
+            item = self.q.get()
+            if item is None:
+                return
+            try:
+                t0 = time.perf_counter()
+                kind, a, b = item
+                if kind == "bits":
+                    self.mapped += self.fmtr.write_batch_bits(a, b)
+                else:
+                    self.fmtr.write_batch(a, b)
+                    self.mapped += sum(1 for s in b if len(s))
+                self.busy_sec += time.perf_counter() - t0
+            except BaseException as e:  # surfaced on next write or close
+                self.err = e
+
+    def _put(self, item):
+        if self.err is not None:
+            raise self.err
+        self.q.put(item)
+
+    def write_batch_bits(self, ids, rows):
+        self._put(("bits", ids, rows))
+
+    def write_batch(self, ids, lists):
+        self._put(("lists", list(ids), list(lists)))
+
+    def close(self):
+        self.q.put(None)
+        self.t.join()
+        if self.err is not None:
+            raise self.err
+        self.fmtr.close()
+
+
 WIDTH_LADDER = (64, 96, 128, 160, 192, 256, 384, 512, 768, 1024)
 MAX_STREAM_WIDTH = WIDTH_LADDER[-1]
 
@@ -452,11 +507,11 @@ class QueryEngine:
             return self._pseudoalign_dedup_stream(query_path, out_path, threshold,
                                                   fmt, verbose, t0)
 
-        fmtr = make_formatter(fmt, out_path, C)
-        num_mapped = 0
+        inner = make_formatter(fmt, out_path, C)
+        fmtr = AsyncWriter(inner)
+        fmtr.has_bits = hasattr(inner, "write_batch_bits")
         num_reads = 0
         query_sec = 0.0
-        write_sec = 0.0
         ovf_ids: list[int] = []  # reads needing the exact host redo (rare)
 
         def dispatch(chunk):
@@ -488,7 +543,7 @@ class QueryEngine:
             )
 
         def consume_lists(qid0, n, lens, _names, handle):
-            nonlocal num_mapped, num_reads, query_sec, write_sec
+            nonlocal num_reads, query_sec
             tq = time.perf_counter()
             cnt = np.asarray(handle[0][:n])
             lists = np.asarray(handle[1][:n])
@@ -513,12 +568,10 @@ class QueryEngine:
                     om[j] if j in om else lists[j, : cnt[j]].astype(np.uint32)
                 )
             fmtr.write_batch(ids, colors)
-            num_mapped += int(((cnt > 0) & keep).sum())
             num_reads += n
-            write_sec += time.perf_counter() - tw
 
         def consume(qid0, n, lens, _names, handle):
-            nonlocal num_mapped, num_reads, query_sec, write_sec
+            nonlocal num_reads, query_sec
             tq = time.perf_counter()
             if threshold is None:
                 fetched = np.asarray(handle[0][:n])
@@ -531,7 +584,8 @@ class QueryEngine:
             keep = (lens <= MAX_STREAM_WIDTH) & ~ovf
             if ovf.any():
                 ovf_ids.extend((qid0 + np.flatnonzero(ovf & (lens <= MAX_STREAM_WIDTH))).tolist())
-            if threshold is None and hasattr(fmtr, "write_batch_bits"):
+            num_reads += n
+            if threshold is None and fmtr.has_bits:
                 # fast path: native bits->ascii straight from the device's
                 # result layout, no per-read list expansion (dropped rows —
                 # overflow/long reads — are re-emitted by the exact redo)
@@ -540,26 +594,19 @@ class QueryEngine:
                 else:
                     kj = np.flatnonzero(keep)
                     ids, rows = (qid0 + kj).astype(np.uint32), fetched[kj]
-                num_mapped += fmtr.write_batch_bits(ids, rows)
-                num_reads += n
-                write_sec += time.perf_counter() - tw
+                fmtr.write_batch_bits(ids, rows)
                 return
             if threshold is None:
-                lists, counts = self._bits_to_lists(fetched, C)
+                lists, _counts = self._bits_to_lists(fetched, C)
             else:
-                lists, counts = self._scores_to_lists(
+                lists, _counts = self._scores_to_lists(
                     fetched[0].astype(np.int64), fetched[1], threshold
                 )
             if keep.all():
                 fmtr.write_batch(range(qid0, qid0 + n), lists)
-                num_mapped += int((counts > 0).sum())
             else:
                 ids = qid0 + np.flatnonzero(keep)
-                sel = [lists[j] for j in np.flatnonzero(keep)]
-                fmtr.write_batch(ids, sel)
-                num_mapped += sum(1 for s in sel if len(s))
-            num_reads += n
-            write_sec += time.perf_counter() - tw
+                fmtr.write_batch(ids, [lists[j] for j in np.flatnonzero(keep)])
 
         if self.use_lists:
             consume = consume_lists
@@ -578,18 +625,19 @@ class QueryEngine:
             else:
                 extra = [self._tu_from_csids(c, threshold) for c in all_csids]
             fmtr.write_batch(redo, extra)
-            num_mapped += sum(1 for s in extra if len(s))
         fmtr.close()
+        num_mapped = fmtr.mapped
 
         elapsed = time.perf_counter() - t0
         # per-stage busy times; stages overlap (parse on a prefetch thread,
-        # device compute async), so their sum can exceed `elapsed`.
+        # device compute async, formatting/IO on the writer thread), so
+        # their sum can exceed `elapsed`.
         stats = dict(
             num_reads=num_reads,
             num_mapped=num_mapped,
             parse_sec=parse_sec,
             query_sec=query_sec,
-            write_sec=write_sec,
+            write_sec=fmtr.busy_sec,
         )
         if verbose:
             self._print_stats(stats, elapsed)
