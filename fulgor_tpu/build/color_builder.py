@@ -94,12 +94,14 @@ def permute_colors(idx: Index):
 
 def _permuted_sets(idx: Index, perm: np.ndarray):
     cat, offs = idx.color_sets_decoded()
-    new_cat = perm[cat.astype(np.int64)]
-    # re-sort within each set (one segmented lexsort)
+    # re-sort within each set: one combined-key sort (sid * C + color) is
+    # several times faster than a 2-key lexsort at 10^8+ elements
+    C = np.int64(idx.num_colors)
     sizes = (offs[1:] - offs[:-1]).astype(np.int64)
     sid = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
-    order = np.lexsort((new_cat, sid))
-    return new_cat[order].astype(np.uint32), offs
+    key = sid * C + perm[cat.astype(np.int64)]
+    key.sort()
+    return (key % C).astype(np.uint32), offs
 
 
 def cluster_color_sets(cat, offs, num_colors) -> np.ndarray:
@@ -253,12 +255,13 @@ def check_conversion(base: Index, converted: Index) -> bool:
         s = int(np.flatnonzero(bs != cs)[0])
         print(f"CHECK FAILED: set {s} size mismatch")
         return False
-    # segmented sort both sides (one lexsort each), then compare wholesale
+    # segmented sort both sides (combined-key sorts), then compare wholesale
+    C = np.int64(base.num_colors)
     sid = np.repeat(np.arange(len(bs), dtype=np.int64), bs)
-    pb = perm[bcat.astype(np.int64)]
-    pb = pb[np.lexsort((pb, sid))]
-    cc = ccat.astype(np.int64)
-    cc = cc[np.lexsort((cc, sid))]
+    pb = sid * C + perm[bcat.astype(np.int64)]
+    pb.sort()
+    cc = sid * C + ccat.astype(np.int64)
+    cc.sort()
     bad = pb != cc
     if bad.any():
         s = int(sid[np.flatnonzero(bad)[0]])

@@ -543,9 +543,20 @@ class DiffStore:
         sizes = (offs[1:] - offs[:-1]).astype(np.int64)
         sid = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
         keys = labels[sid] * C + cat.astype(np.int64)
+        gsize = np.bincount(labels, minlength=ncl)
+        if ncl * int(C) <= (1 << 31):
+            # dense (ncl, C) frequency matrix via one bincount — orders of
+            # magnitude faster than a sort-based unique at 10^8 elements
+            freq = np.bincount(keys, minlength=ncl * int(C)).reshape(ncl, int(C))
+            member = freq >= ((gsize + 1) // 2)[:, None]
+            rep_cl, rep_col = np.nonzero(member)
+            rep_cat = rep_col.astype(np.uint32)
+            rep_offs = np.concatenate(
+                [[0], np.cumsum(member.sum(axis=1))]
+            ).astype(np.int64)
+            return rep_cat, rep_offs
         uk, cnt = np.unique(keys, return_counts=True)
         kcl = uk // C
-        gsize = np.bincount(labels, minlength=ncl)
         keep = cnt >= (gsize[kcl] + 1) // 2
         rep_cl = kcl[keep]
         rep_cat = (uk[keep] % C).astype(np.uint32)

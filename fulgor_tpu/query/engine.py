@@ -104,6 +104,9 @@ MAX_STREAM_WIDTH = WIDTH_LADDER[-1]
 # read + selective row fetches for the rare larger results.
 LISTS_MIN_WORDS = 64
 T_LIST = 64
+# Runs-compacted FI fetch (distinct csids per read + host dedup-intersect)
+# kicks in at >=8 words (>256 colors); below that the dense row is cheaper.
+RUNS_FETCH_MIN_WORDS = 8
 
 
 def _runs_budget(W: int) -> int:
@@ -160,6 +163,15 @@ class QueryEngine:
         # dense row fetch is wide; below that the dense fetch is small and
         # the extra kernel work is pure overhead
         self.use_lists = self.mesh is None and index.words_per_set > LISTS_MIN_WORDS
+        # runs-compacted FI fetch + exact host dedup-intersect: past ~256
+        # colors the dense (B, C32) row fetch dominates a thin device->host
+        # link, while <=R run csids per read cost a fixed 4R bytes and the
+        # distinct-list intersections are trivial host AND-reductions
+        # (the reference's --deduplicate flow, made the default fetch)
+        self.use_runs_fetch = (
+            self.mesh is None and RUNS_FETCH_MIN_WORDS <= index.words_per_set
+            and not self.use_lists
+        )
         self._ms_tabs: dict = {}
 
     def _minscore_tab(self, threshold: float, W: int):
@@ -514,11 +526,27 @@ class QueryEngine:
         query_sec = 0.0
         ovf_ids: list[int] = []  # reads needing the exact host redo (rare)
 
+        runs_fetch = self.use_runs_fetch and fmtr.has_bits
+
         def dispatch(chunk):
             if self.mesh is not None:
                 return self._mesh_dispatch(chunk, threshold, C)
             W = chunk.shape[1]
             codes2, bad = pack_reads_host(chunk)
+            if runs_fetch:
+                if threshold is None:
+                    return query_distinct_runs_packed(
+                        self.table, codes2, bad, k=self.k, width=W,
+                        R=_runs_budget(W), dparams=self.dparams,
+                    )
+                # threshold union: >= min_score moved on device, ship the
+                # passing-color bitmap (C32 words) instead of (C,) scores
+                return query_tu_lists_packed(
+                    self.table, self.bits, codes2, bad,
+                    self._minscore_tab(threshold, W - self.k + 1),
+                    k=self.k, width=W, num_colors=C, T=T_LIST,
+                    dparams=self.dparams,
+                )
             if self.use_lists:
                 if threshold is None:
                     return query_fi_lists_packed(
@@ -608,7 +636,61 @@ class QueryEngine:
                 ids = qid0 + np.flatnonzero(keep)
                 fmtr.write_batch(ids, [lists[j] for j in np.flatnonzero(keep)])
 
-        if self.use_lists:
+        def consume_runs(qid0, n, lens, _names, handle):
+            # FI via distinct run csids: normalize each read's <=R csids to a
+            # sorted-unique key, intersect once per DISTINCT key on the host
+            # dense rows, fan results back out as bitset rows
+            nonlocal num_reads, query_sec
+            tq = time.perf_counter()
+            runs = np.asarray(handle[0][:n])
+            ovf = np.asarray(handle[1][:n])
+            query_sec += time.perf_counter() - tq
+            keep = (lens <= MAX_STREAM_WIDTH) & ~ovf
+            if ovf.any():
+                ovf_ids.extend(
+                    (qid0 + np.flatnonzero(ovf & (lens <= MAX_STREAM_WIDTH))).tolist()
+                )
+            num_reads += n
+            s = np.sort(runs, axis=1)
+            dup = np.zeros_like(s, dtype=bool)
+            dup[:, 1:] = s[:, 1:] == s[:, :-1]
+            s[dup] = np.uint32(INVALID_U32)
+            s.sort(axis=1)
+            kj = np.flatnonzero(keep)
+            keys, inv = np.unique(s[kj], axis=0, return_inverse=True)
+            dense = self.idx.dense_color_bits()
+            ksz = (keys != np.uint32(INVALID_U32)).sum(axis=1).astype(np.int64)
+            res = np.zeros((len(keys), dense.shape[1]), dtype=np.uint32)
+            nz = np.flatnonzero(ksz > 0)
+            if len(nz):
+                flat = keys[nz][keys[nz] != np.uint32(INVALID_U32)].astype(np.int64)
+                starts = np.concatenate([[0], np.cumsum(ksz[nz])])[:-1]
+                res[nz] = np.bitwise_and.reduceat(dense[flat], starts, axis=0)
+            fmtr.write_batch_bits((qid0 + kj).astype(np.uint32), res[inv])
+
+        def consume_tubits(qid0, n, lens, _names, handle):
+            nonlocal num_reads, query_sec
+            tq = time.perf_counter()
+            maskbits = np.asarray(handle[2][:n])
+            ovf = np.asarray(handle[3][:n])
+            query_sec += time.perf_counter() - tq
+            keep = (lens <= MAX_STREAM_WIDTH) & ~ovf
+            if ovf.any():
+                ovf_ids.extend(
+                    (qid0 + np.flatnonzero(ovf & (lens <= MAX_STREAM_WIDTH))).tolist()
+                )
+            num_reads += n
+            if keep.all():
+                fmtr.write_batch_bits(
+                    np.arange(qid0, qid0 + n, dtype=np.uint32), maskbits
+                )
+            else:
+                kj = np.flatnonzero(keep)
+                fmtr.write_batch_bits((qid0 + kj).astype(np.uint32), maskbits[kj])
+
+        if runs_fetch:
+            consume = consume_runs if threshold is None else consume_tubits
+        elif self.use_lists:
             consume = consume_lists
 
         total, long_ids, parse_sec = self._stream(query_path, dispatch, consume,

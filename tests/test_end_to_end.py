@@ -220,6 +220,31 @@ def test_lists_path_equals_dense(built, tmp_path):
         E.T_LIST = old_T
 
 
+def test_runs_fetch_equals_dense(built, tmp_path):
+    """The runs-compacted FI fetch (distinct csids + host dedup-intersect)
+    and the device-thresholded TU bitmap fetch — normally active only past
+    RUNS_FETCH_MIN_WORDS colors — must produce byte-identical output to the
+    dense-row fetch."""
+    from fulgor_tpu.query.engine import QueryEngine
+
+    tmp, index_path, qfile, reads, _ = built
+    idx = Index.load(index_path)
+    dense = QueryEngine(idx, use_mesh=False)
+    runs = QueryEngine(idx, use_mesh=False)
+    assert not runs.use_runs_fetch  # small index: off by default
+    runs.use_runs_fetch = True
+    for kw in ({}, {"threshold": 0.8}):
+        o1 = str(tmp_path / "dense.tsv")
+        o2 = str(tmp_path / "runs.tsv")
+        dense.pseudoalign_file(qfile, o1, **kw)
+        runs.pseudoalign_file(qfile, o2, **kw)
+        # line SETS must match (overflow/long reads re-emit at the end in
+        # possibly different order)
+        assert sorted(open(o1).read().splitlines()) == sorted(
+            open(o2).read().splitlines()
+        ), f"mismatch for {kw}"
+
+
 def test_long_reads_and_long_names(built, tmp_path):
     """Reads wider than the stream ladder take the exact ragged host
     fallback (never a dense whole-file re-parse), and 200+ char FASTQ
