@@ -104,9 +104,14 @@ MAX_STREAM_WIDTH = WIDTH_LADDER[-1]
 # read + selective row fetches for the rare larger results.
 LISTS_MIN_WORDS = 64
 T_LIST = 64
+# TU device-thresholding (fetch the passing-color bitmap instead of (C,)
+# u16 scores) kicks in at >=8 words (>256 colors).
+TU_BITS_MIN_WORDS = 8
 # Runs-compacted FI fetch (distinct csids per read + host dedup-intersect)
-# kicks in at >=8 words (>256 colors); below that the dense row is cheaper.
-RUNS_FETCH_MIN_WORDS = 8
+# kicks in only past LISTS_MIN_WORDS colors: adjacent-run compaction keeps
+# ~2x the unitig crossings per read, so the budget must be generous
+# (RUNS_FI_BUDGET) — below ~2048 colors the dense row is already smaller.
+RUNS_FI_BUDGET = 48
 
 
 def _runs_budget(W: int) -> int:
@@ -162,15 +167,20 @@ class QueryEngine:
         # list-compacted fetches (single-device path): worth it once the
         # dense row fetch is wide; below that the dense fetch is small and
         # the extra kernel work is pure overhead
-        self.use_lists = self.mesh is None and index.words_per_set > LISTS_MIN_WORDS
-        # runs-compacted FI fetch + exact host dedup-intersect: past ~256
+        # manual override: device-side list compaction (kept for tuning and
+        # its equivalence test; the default large-C paths below supersede it)
+        self.use_lists = False
+        # runs-compacted FI fetch + exact host dedup-intersect: past ~2048
         # colors the dense (B, C32) row fetch dominates a thin device->host
-        # link, while <=R run csids per read cost a fixed 4R bytes and the
-        # distinct-list intersections are trivial host AND-reductions
-        # (the reference's --deduplicate flow, made the default fetch)
+        # link, while <=RUNS_FI_BUDGET run csids per read cost a fixed 192 B
+        # and the distinct-list intersections are trivial host AND-reductions
+        # (the reference's --deduplicate flow, made the default fetch).
+        # TU always gets the device-thresholded bitmap fetch past 256 colors.
         self.use_runs_fetch = (
-            self.mesh is None and RUNS_FETCH_MIN_WORDS <= index.words_per_set
-            and not self.use_lists
+            self.mesh is None and index.words_per_set > LISTS_MIN_WORDS
+        )
+        self.use_tu_bits = (
+            self.mesh is None and index.words_per_set >= TU_BITS_MIN_WORDS
         )
         self._ms_tabs: dict = {}
 
@@ -526,7 +536,10 @@ class QueryEngine:
         query_sec = 0.0
         ovf_ids: list[int] = []  # reads needing the exact host redo (rare)
 
-        runs_fetch = self.use_runs_fetch and fmtr.has_bits
+        runs_fetch = (self.use_runs_fetch and fmtr.has_bits
+                      and threshold is None and not self.use_lists)
+        tu_bits = ((self.use_tu_bits or self.use_runs_fetch) and fmtr.has_bits
+                   and threshold is not None and not self.use_lists)
 
         def dispatch(chunk):
             if self.mesh is not None:
@@ -534,11 +547,11 @@ class QueryEngine:
             W = chunk.shape[1]
             codes2, bad = pack_reads_host(chunk)
             if runs_fetch:
-                if threshold is None:
-                    return query_distinct_runs_packed(
-                        self.table, codes2, bad, k=self.k, width=W,
-                        R=_runs_budget(W), dparams=self.dparams,
-                    )
+                return query_distinct_runs_packed(
+                    self.table, codes2, bad, k=self.k, width=W,
+                    R=min(RUNS_FI_BUDGET, W - self.k + 1), dparams=self.dparams,
+                )
+            if tu_bits:
                 # threshold union: >= min_score moved on device, ship the
                 # passing-color bitmap (C32 words) instead of (C,) scores
                 return query_tu_lists_packed(
@@ -689,7 +702,9 @@ class QueryEngine:
                 fmtr.write_batch_bits((qid0 + kj).astype(np.uint32), maskbits[kj])
 
         if runs_fetch:
-            consume = consume_runs if threshold is None else consume_tubits
+            consume = consume_runs
+        elif tu_bits:
+            consume = consume_tubits
         elif self.use_lists:
             consume = consume_lists
 
