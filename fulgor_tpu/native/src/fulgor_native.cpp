@@ -23,6 +23,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <memory>
 #include <string>
 #include <thread>
 #include <unordered_map>
@@ -362,34 +363,76 @@ extern "C" int fn_build_ccdbg_mp(const char* paths, int num_files, int k, int nu
             return a.kmer < b.kmer || (a.kmer == b.kmer && a.color < b.color);
         });
 
-        // intern this pass's kmers (appends in globally sorted order)
-        size_t i = 0, n = pairs.size();
-        while (i < n) {
-            size_t j = i + 1;
-            while (j < n && pairs[j].kmer == pairs[i].kmer) ++j;
-            g.kmers.push_back(pairs[i].kmer);
-            std::vector<uint32_t> tmp;
-            tmp.reserve(j - i);
-            for (size_t t = i; t < j; ++t) tmp.push_back(pairs[t].color);
-            uint64_t h = fnv64(tmp.data(), tmp.size() * 4);
-            auto& cand = table[h];
-            uint32_t sid = UINT32_MAX;
-            for (uint32_t c : cand) {
-                int64_t sz = cs_offs[c + 1] - cs_offs[c];
-                if ((size_t)sz == tmp.size() &&
-                    memcmp(&colors_cat[cs_offs[c]], tmp.data(), sz * 4) == 0) {
-                    sid = c;
-                    break;
+        // intern this pass's kmers (appends in globally sorted order).
+        // Phase 1 (parallel): chunk the pair stream at kmer boundaries and
+        // collapse each chunk to (kmer, color-list slice, content hash).
+        // Phase 2 (sequential, cheap): global set-id dedup over the hashes
+        // — only hash lookups plus memcmp on candidates; the per-pair
+        // copying happens in phase 1 (reference pipelines its encoding the
+        // same way, include/builders/builder.hpp:74-153).
+        {
+            size_t n = pairs.size();
+            int nthreads = (int)std::min<unsigned>(
+                std::max(1u, std::thread::hardware_concurrency()), 16);
+            std::vector<size_t> bounds(nthreads + 1, n);
+            bounds[0] = 0;
+            for (int t = 1; t < nthreads; ++t) {
+                size_t e = n * (size_t)t / nthreads;
+                while (e < n && e > 0 && pairs[e].kmer == pairs[e - 1].kmer) ++e;
+                bounds[t] = e;
+            }
+            struct Chunk {
+                std::vector<uint64_t> kmers;
+                std::vector<uint32_t> cat;
+                std::vector<uint32_t> sizes;
+                std::vector<uint64_t> hashes;
+            };
+            std::vector<Chunk> chunks(nthreads);
+            std::vector<std::thread> ths;
+            for (int t = 0; t < nthreads; ++t) {
+                ths.emplace_back([&, t]() {
+                    Chunk& ck = chunks[t];
+                    size_t i = bounds[t], e = bounds[t + 1];
+                    while (i < e) {
+                        size_t j = i + 1;
+                        while (j < e && pairs[j].kmer == pairs[i].kmer) ++j;
+                        ck.kmers.push_back(pairs[i].kmer);
+                        size_t base = ck.cat.size();
+                        for (size_t q = i; q < j; ++q) ck.cat.push_back(pairs[q].color);
+                        ck.sizes.push_back((uint32_t)(j - i));
+                        ck.hashes.push_back(fnv64(&ck.cat[base], (j - i) * 4));
+                        i = j;
+                    }
+                });
+            }
+            for (auto& t : ths) t.join();
+            for (int t = 0; t < nthreads; ++t) {
+                Chunk& ck = chunks[t];
+                size_t pos = 0;
+                for (size_t r = 0; r < ck.kmers.size(); ++r) {
+                    g.kmers.push_back(ck.kmers[r]);
+                    uint32_t sz = ck.sizes[r];
+                    const uint32_t* content = &ck.cat[pos];
+                    pos += sz;
+                    auto& cand = table[ck.hashes[r]];
+                    uint32_t sid = UINT32_MAX;
+                    for (uint32_t c : cand) {
+                        int64_t csz = cs_offs[c + 1] - cs_offs[c];
+                        if ((size_t)csz == sz &&
+                            memcmp(&colors_cat[cs_offs[c]], content, (size_t)sz * 4) == 0) {
+                            sid = c;
+                            break;
+                        }
+                    }
+                    if (sid == UINT32_MAX) {
+                        sid = (uint32_t)(cs_offs.size() - 1);
+                        colors_cat.insert(colors_cat.end(), content, content + sz);
+                        cs_offs.push_back((int64_t)colors_cat.size());
+                        cand.push_back(sid);
+                    }
+                    g.kset.push_back(sid);
                 }
             }
-            if (sid == UINT32_MAX) {
-                sid = (uint32_t)(cs_offs.size() - 1);
-                colors_cat.insert(colors_cat.end(), tmp.begin(), tmp.end());
-                cs_offs.push_back((int64_t)colors_cat.size());
-                cand.push_back(sid);
-            }
-            g.kset.push_back(sid);
-            i = j;
         }
     }
     table.clear();
@@ -397,7 +440,7 @@ extern "C" int fn_build_ccdbg_mp(const char* paths, int num_files, int k, int nu
     g.build_hash();
     const int64_t nk = (int64_t)g.kmers.size();
     // parallel start classification (read-only on the graph)
-    std::vector<uint8_t> start_orient(nk, 255);  // 0=fwd, 1=rc, 255=none
+    std::vector<uint8_t> start_orient(nk, 0);  // bit0 = fwd start, bit1 = rc start
     {
         int nthreads = (int)std::min<unsigned>(
             std::max(1u, std::thread::hardware_concurrency()), 16);
@@ -408,15 +451,21 @@ extern "C" int fn_build_ccdbg_mp(const char* paths, int num_files, int k, int nu
             ths.emplace_back([&, lo, hi]() {
                 for (int64_t idx = lo; idx < hi; ++idx) {
                     uint64_t x0 = g.kmers[idx];
-                    if (g.is_start(idx, x0))
-                        start_orient[idx] = 0;
-                    else if (g.is_start(idx, revcomp(x0, k)))
-                        start_orient[idx] = 1;
+                    uint8_t so = 0;  // bit0 = fwd start, bit1 = rc start
+                    if (g.is_start(idx, x0)) so |= 1;
+                    if (g.is_start(idx, revcomp(x0, k))) so |= 2;
+                    start_orient[idx] = so;
                 }
             });
         }
         for (auto& t : ths) t.join();
     }
+    // Sequential unitig walk (deterministic: ascending canonical k-mer,
+    // forward orientation preferred). A claim-free parallel walk was tried
+    // and reverted: inverted repeats (hairpins) make chain extents depend
+    // on the `visited` stop, so only a fixed claim order is reproducible.
+    // The walk is ~20% of ccdBG time; parsing, sorting, interning and
+    // start classification above are the parallel stages.
     std::vector<uint8_t> visited(nk, 0);
 
     struct Uni {
@@ -456,8 +505,8 @@ extern "C" int fn_build_ccdbg_mp(const char* paths, int num_files, int k, int nu
     };
 
     for (int64_t idx = 0; idx < nk; ++idx) {
-        if (visited[idx] || start_orient[idx] == 255) continue;
-        walk_emit(idx, start_orient[idx]);
+        if (visited[idx] || start_orient[idx] == 0) continue;
+        walk_emit(idx, (start_orient[idx] & 1) ? 0 : 1);
     }
     for (int64_t idx = 0; idx < nk; ++idx)
         if (!visited[idx]) walk_emit(idx, 0);  // pure cycles
