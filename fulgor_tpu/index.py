@@ -84,6 +84,8 @@ class Index:
     _dense_bits: np.ndarray | None = field(default=None, repr=False)
     _cs_cache: tuple | None = field(default=None, repr=False)
     _mini_obj: object | None = field(default=None, repr=False)
+    _row_memo: dict | None = field(default=None, repr=False)
+    _row_known: np.ndarray | None = field(default=None, repr=False)
 
     # ------------------------------------------------ basic accessors
 
@@ -195,6 +197,43 @@ class Index:
             )
             self._dense_bits = bits
         return self._dense_bits
+
+    def color_rows(self, csids: np.ndarray) -> np.ndarray:
+        """(len(csids), C32) uint32 bitset rows decoded ON DEMAND with a
+        memo — the 150k-color regime's row source: the full dense matrix
+        (num_sets x C bits) never materializes; only the distinct sets a
+        query stream actually touches are decoded (VERDICT round-2 item:
+        on-demand compressed decode instead of a dense matrix)."""
+        if self._dense_bits is not None:  # already paid for — use it
+            return self._dense_bits[np.asarray(csids, dtype=np.int64)]
+        if self._row_memo is None:
+            self._row_memo = {}
+            self._row_known = np.zeros(self.num_color_sets, dtype=bool)
+        memo = self._row_memo
+        csids = np.asarray(csids, dtype=np.int64)
+        W = self.words_per_set
+        new = np.unique(csids[~self._row_known[csids]])
+        if len(new):
+            cat, offs = self.color_sets_decoded()
+            sizes = (offs[new + 1] - offs[new]).astype(np.int64)
+            rows = np.zeros((len(new), W), dtype=np.uint32)
+            r_of = np.repeat(np.arange(len(new), dtype=np.int64), sizes)
+            gather = np.repeat(offs[new], sizes) + (
+                np.arange(int(sizes.sum()))
+                - np.repeat(np.concatenate([[0], np.cumsum(sizes)])[:-1], sizes)
+            )
+            cols = cat[gather].astype(np.int64)
+            np.bitwise_or.at(
+                rows, (r_of, cols >> 5),
+                (np.uint32(1) << (cols & 31).astype(np.uint32)),
+            )
+            for i, s in enumerate(new.tolist()):
+                memo[s] = rows[i]
+            self._row_known[new] = True
+        out = np.empty((len(csids), W), dtype=np.uint32)
+        for i, s in enumerate(csids.tolist()):
+            out[i] = memo[s]
+        return out
 
     # ------------------------------------------------ serialization
 

@@ -155,13 +155,16 @@ class QueryEngine:
             bits = M.pad_bits_for_mesh(index.dense_color_bits(), shards)
             rep = NamedSharding(self.mesh, P())
             self.table = jax.tree.map(lambda a: jax.device_put(a, rep), table_np)
-            self.bits = jax.device_put(bits, NamedSharding(self.mesh, P(None, "color")))
+            self._bits = jax.device_put(bits, NamedSharding(self.mesh, P(None, "color")))
             self._mesh_mod = M
             n_cells = self.mesh.shape["data"] * shards
             batch_size = _round_up(batch_size, n_cells)
         else:
             self.table = jax.tree.map(jnp.asarray, table_np)
-            self.bits = jnp.asarray(index.dense_color_bits())
+            # device bits upload is LAZY: the runs-fetch FI path never
+            # touches it, so at very large C (150k-color regime) neither
+            # the host dense matrix nor its device copy materializes
+            self._bits = None
         self.batch = batch_size
         self._mesh_fns = {}
         # list-compacted fetches (single-device path): worth it once the
@@ -183,6 +186,12 @@ class QueryEngine:
             self.mesh is None and index.words_per_set >= TU_BITS_MIN_WORDS
         )
         self._ms_tabs: dict = {}
+
+    @property
+    def bits(self):
+        if self._bits is None:
+            self._bits = jnp.asarray(self.idx.dense_color_bits())
+        return self._bits
 
     def _minscore_tab(self, threshold: float, W: int):
         """floor(npos * tau) for npos in [0, W] (f64 on host; exact device
@@ -671,14 +680,17 @@ class QueryEngine:
             s.sort(axis=1)
             kj = np.flatnonzero(keep)
             keys, inv = np.unique(s[kj], axis=0, return_inverse=True)
-            dense = self.idx.dense_color_bits()
             ksz = (keys != np.uint32(INVALID_U32)).sum(axis=1).astype(np.int64)
-            res = np.zeros((len(keys), dense.shape[1]), dtype=np.uint32)
+            res = np.zeros((len(keys), self.idx.words_per_set), dtype=np.uint32)
             nz = np.flatnonzero(ksz > 0)
             if len(nz):
                 flat = keys[nz][keys[nz] != np.uint32(INVALID_U32)].astype(np.int64)
                 starts = np.concatenate([[0], np.cumsum(ksz[nz])])[:-1]
-                res[nz] = np.bitwise_and.reduceat(dense[flat], starts, axis=0)
+                # on-demand row decode: at 150k-color scale no dense matrix
+                # exists on host or device — only touched sets decode
+                res[nz] = np.bitwise_and.reduceat(
+                    self.idx.color_rows(flat), starts, axis=0
+                )
             fmtr.write_batch_bits((qid0 + kj).astype(np.uint32), res[inv])
 
         def consume_tubits(qid0, n, lens, _names, handle):
