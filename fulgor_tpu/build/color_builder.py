@@ -78,12 +78,18 @@ def set_features(cat, offs, num_colors) -> np.ndarray:
     return feat.reshape(n, POOLED_DIMS)
 
 
-def permute_colors(idx: Index):
+def permute_colors(idx: Index, min_cluster_size: int | None = None):
     """-> (perm new_id_of_old (C,), partition_bounds (P+1,)).
 
     Reference permuter (meta_builder.hpp:14-124): cluster color features;
-    colors ordered by (cluster, old id); partitions = cluster extents."""
-    labels = SK.kmeans_divisive(color_features(idx), **KMEANS_PARAMS)
+    colors ordered by (cluster, old id); partitions = cluster extents.
+    min_cluster_size: the meta tier keeps the reference's 50; the
+    meta-diff tier passes a finer grain (its chain diffs live on partial
+    ids, and fine partitions are what make partials deduplicate)."""
+    params = dict(KMEANS_PARAMS)
+    if min_cluster_size is not None:
+        params["min_cluster_size"] = min_cluster_size
+    labels = SK.kmeans_divisive(color_features(idx), **params)
     order = np.lexsort((np.arange(idx.num_colors), labels))  # (cluster, old id)
     perm = np.empty(idx.num_colors, dtype=np.int64)
     perm[order] = np.arange(idx.num_colors)
@@ -183,21 +189,21 @@ def meta_diff_color(idx: Index) -> Index:
         bounds = idx.color_store.partition_bounds
         filenames = list(idx.filenames)
     else:
-        perm, bounds = permute_colors(idx)
+        perm, bounds = permute_colors(
+            idx, min_cluster_size=max(8, min(50, idx.num_colors // 16))
+        )
         cat, offs = _permuted_sets(idx, perm)
         filenames = [idx.filenames[old] for old in np.argsort(perm)]
 
-    def cluster_fn(pc, po, psize):
-        n = len(po) - 1
-        if n == 0:
-            return np.arange(0), np.array([0, 0])
-        labels = cluster_color_sets(pc.astype(np.uint32), po, psize)
-        perm_l = np.lexsort((np.arange(n), labels))
-        sizes = np.bincount(labels[perm_l])
-        cl_offs = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
-        return perm_l, cl_offs
-
-    store = MetaDiffStore.build(cat, offs, idx.num_colors, bounds, cluster_fn)
+    # cluster the (permuted) SETS: the meta-level chain diff orders similar
+    # sets adjacently so their global partial-id lists differ in few
+    # entries; the chain-order features must live in COLOR space (partial
+    # ids carry no locality)
+    set_labels = cluster_color_sets(cat, offs, idx.num_colors)
+    store = MetaDiffStore.build(
+        cat, offs, idx.num_colors, bounds, set_labels,
+        order_features=set_features(cat, offs, idx.num_colors),
+    )
     return Index(
         kind=KIND_META_DIFF,
         k=idx.k,

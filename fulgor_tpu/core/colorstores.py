@@ -584,25 +584,33 @@ class DiffStore:
         return ((lo | hi) & np.uint64((1 << width) - 1)).astype(np.int64)
 
     @classmethod
-    def build(cls, cat, offs, num_colors, cluster_labels) -> "DiffStore":
+    def build(cls, cat, offs, num_colors, cluster_labels,
+              order_features=None) -> "DiffStore":
         """cluster_labels: (n_sets,) cluster id per set (any order). The
         chain order within each cluster is a deterministic sort by quantized
-        pooled membership features (a cheap nearest-neighbor proxy)."""
+        pooled membership features (a cheap nearest-neighbor proxy);
+        order_features overrides them — callers whose `cat` values are NOT
+        the similarity space (e.g. the meta-chain's partial ids) must pass
+        features computed in the real similarity space."""
         n = len(offs) - 1
         labels = np.asarray(cluster_labels, dtype=np.int64)
         ncl = int(labels.max()) + 1 if n else 0
         sizes = (offs[1:] - offs[:-1]).astype(np.int64)
 
         # chain order: (cluster, pooled-feature lex)
-        B = min(CHAIN_POOL, max(1, int(num_colors)))
-        sid = np.repeat(np.arange(n, dtype=np.int64), sizes)
-        block = cat.astype(np.int64) * B // max(1, int(num_colors))
-        feat = np.bincount(sid * B + block, minlength=n * B).reshape(n, B)
+        if order_features is None:
+            B = min(CHAIN_POOL, max(1, int(num_colors)))
+            sid = np.repeat(np.arange(n, dtype=np.int64), sizes)
+            block = cat.astype(np.int64) * B // max(1, int(num_colors))
+            feat = np.bincount(sid * B + block, minlength=n * B).reshape(n, B)
+        else:
+            feat = np.asarray(order_features, dtype=np.float64)
+            B = feat.shape[1]
         rec = np.zeros(n, dtype=[("l", np.int64), ("f", (np.uint8, B))])
         rec["l"] = labels
         # normalize per dim before quantizing: small membership counts must
         # keep resolution or the lex order degenerates into size buckets
-        fmax = np.maximum(1.0, feat.max(axis=0) / 255.0)
+        fmax = np.maximum(1.0, feat.max(axis=0) / 255.0) if n else 1.0
         rec["f"] = np.round(feat / fmax).astype(np.uint8)
         order = np.argsort(rec, order=("l", "f"), kind="stable")
 
@@ -758,216 +766,114 @@ class DiffStore:
 
 
 class MetaDiffStore:
-    """Meta structure whose per-partition partial sets are diff-coded, with
-    the partition-id list of each meta set deduplicated ("partition sets",
-    reference include/color_sets/meta_differential.hpp)."""
+    """Meta structure whose per-set GLOBAL partial-id lists are chain-diff
+    coded by the same DiffStore machinery used for plain color sets; the
+    partials themselves are interned per partition and hybrid-coded in
+    partition-relative space (as in MetaStore).
+
+    Design difference vs the reference meta-differential codec
+    (include/color_sets/meta_differential.hpp): the reference diff-codes
+    partial CONTENTS per partition and deduplicates partition-id lists
+    ("partition sets"). After vectorized interning our partial payloads are
+    1-2% of the store while the per-set meta reference stream dominates, so
+    the chain diff attacks the meta VECTORS themselves: two sets sharing
+    most partials store only their few differing global partial ids. This
+    subsumes the partition-set dedup (identical partition lists contribute
+    nothing to a chain diff)."""
 
     kind = KIND_META_DIFF
 
-    def __init__(
-        self,
-        num_colors,
-        partition_bounds,
-        partial_stores,  # list[DiffStore] in partition-relative space
-        ps_stream,  # partition-set lists (delta-coded partition ids)
-        ps_offs,
-        meta_stream,  # per set: fixed-width psid + per-partition local ids
-        meta_bit_offs,
-        psid_width,
-        local_widths,  # (P,) bits per partition local id
-    ):
+    def __init__(self, num_colors, partition_bounds, partial_stores,
+                 partial_base, meta_diff):
         self.num_colors = int(num_colors)
         self.partition_bounds = partition_bounds
-        self.partial_stores = partial_stores
-        self.ps_stream = ps_stream
-        self.ps_offs = ps_offs
-        self.meta_stream = meta_stream
-        self.meta_bit_offs = meta_bit_offs
-        self.psid_width = int(psid_width)
-        self.local_widths = local_widths
+        self.partial_stores = partial_stores  # list[HybridStore], rel space
+        self.partial_base = partial_base  # (P+1,) global partial-id bases
+        self.meta_diff = meta_diff  # DiffStore over global-id lists
 
     @classmethod
-    def build(cls, cat, offs, num_colors, partition_bounds, partial_cluster_fn):
-        """partial_cluster_fn(pcat, poffs, psize) -> (perm, cluster_offs)
-        clusters a partition's partial sets (given as flat cat/offs arrays)
-        for diff coding (identity permutation is valid). Interning is the
-        vectorized intern_partials; partition-id lists are deduplicated by
-        position-mixed hashing (collision oracle: check_conversion)."""
-        S = len(offs) - 1
+    def build(cls, cat, offs, num_colors, partition_bounds, set_labels,
+              order_features=None):
+        """cat/offs: sets with colors already permuted (sorted per set);
+        set_labels: cluster id per set for the meta-level chain order;
+        order_features: color-space similarity features for the chain order
+        (the partial-id lists the chain diffs operate on carry no locality,
+        so ordering must come from color space)."""
         P = len(partition_bounds) - 1
         it = intern_partials(cat, offs, num_colors, partition_bounds)
-
-        # per-partition diff stores over (cluster-permuted) partials
         stores = []
-        lid_remap = []  # old local id -> new local id per partition
         for p in range(P):
+            psize = int(partition_bounds[p + 1] - partition_bounds[p])
             lo = int(it["partial_base"][p])
             hi = int(it["partial_base"][p + 1])
-            n_lists = hi - lo
-            cat_lo = int(it["plists_offs"][lo])
-            pcat0 = it["plists_cat"][cat_lo : int(it["plists_offs"][hi])]
-            poffs0 = (it["plists_offs"][lo : hi + 1] - cat_lo).astype(np.int64)
-            psize = int(partition_bounds[p + 1] - partition_bounds[p])
-            perm, cluster_offs = partial_cluster_fn(pcat0, poffs0, psize)
-            remap = np.empty(n_lists, dtype=np.int64)
-            remap[perm] = np.arange(n_lists)
-            lid_remap.append(remap)
-            # apply the permutation to the flat arrays (segmented gather)
-            psz = (poffs0[1:] - poffs0[:-1])[perm]
-            po = np.concatenate([[0], np.cumsum(psz)]).astype(np.int64)
-            g = np.repeat(poffs0[:-1][perm], psz) + (
-                np.arange(int(psz.sum()), dtype=np.int64) - np.repeat(po[:-1], psz)
-            )
-            pc = pcat0[g].astype(np.uint32)
-            labels = (
-                np.searchsorted(cluster_offs, np.arange(n_lists), side="right") - 1
-            )
-            stores.append(DiffStore.build(pc, po, psize, labels))
-
-        # partition sets: dedup the per-set partition-id lists (vectorized)
-        occ_part = it["occ_part"]
-        meta_offs = it["meta_offs"]
-        counts = (meta_offs[1:] - meta_offs[:-1]).astype(np.int64)
-        within = np.arange(len(occ_part), dtype=np.int64) - np.repeat(
-            meta_offs[:-1], counts
+            po = (
+                it["plists_offs"][lo : hi + 1] - it["plists_offs"][lo]
+            ).astype(np.int64)
+            pc = it["plists_cat"][it["plists_offs"][lo] : it["plists_offs"][hi]]
+            stores.append(HybridStore.build(pc.astype(np.uint32), po, psize))
+        total_partials = int(it["partial_base"][-1])
+        md = DiffStore.build(
+            it["occ_global"].astype(np.uint32),
+            it["meta_offs"],
+            max(1, total_partials),
+            np.asarray(set_labels, dtype=np.int64),
+            order_features=order_features,
         )
-        e = _splitmix64_np(
-            occ_part.astype(np.uint64) ^ (np.uint64(0x9E3779B1) * within.astype(np.uint64))
-        )
-        e2 = _splitmix64_np(
-            (occ_part.astype(np.uint64) + np.uint64(1)) * np.uint64(0xC2B2AE3D)
-            + within.astype(np.uint64)
-        )
-        h1 = np.add.reduceat(e, meta_offs[:-1]) if S else np.empty(0, np.uint64)
-        h2 = np.add.reduceat(e2, meta_offs[:-1]) if S else np.empty(0, np.uint64)
-        keys = np.stack([counts.astype(np.uint64), h1, h2], axis=1)
-        uniq, first_idx, inverse = np.unique(
-            keys, axis=0, return_index=True, return_inverse=True
-        )
-        order = np.argsort(first_idx)  # appearance order
-        rank = np.empty(len(uniq), dtype=np.int64)
-        rank[order] = np.arange(len(uniq))
-        psid_per_set = rank[inverse]
-        reps = first_idx[order]  # representative set per pattern
-        rep_counts = counts[reps]
-        ps_o = np.concatenate([[0], np.cumsum(rep_counts)]).astype(np.int64)
-        gather = np.repeat(meta_offs[:-1][reps], rep_counts) + (
-            np.arange(int(rep_counts.sum()))
-            - np.repeat(ps_o[:-1], rep_counts)
-        )
-        ps_c = occ_part[gather].astype(np.uint32)
-        ps_stream, ps_offs = encode_delta_lists(ps_c, ps_o)
-
-        # meta stream: per set psid (fixed width) then per-occurrence local
-        # ids at per-partition widths
-        per_part = it["per_part"]
-        local_widths = np.array(
-            [max(1, int(max(0, int(per_part[p]) - 1)).bit_length()) for p in range(P)],
-            dtype=np.int64,
-        )
-        psid_width = max(1, int(max(0, len(uniq) - 1)).bit_length())
-        # occurrence values: new local ids after cluster permutation
-        occ_local = it["occ_global"] - it["partial_base"][occ_part]
-        new_local = np.empty(len(occ_part), dtype=np.uint64)
-        for p in range(P):
-            selp = occ_part == p
-            if selp.any():
-                new_local[selp] = lid_remap[p][occ_local[selp]].astype(np.uint64)
-        occ_widths = local_widths[occ_part].astype(np.uint64)
-        # interleave: per set: [psid, occ values...]
-        item_counts = counts + 1
-        item_offs = np.concatenate([[0], np.cumsum(item_counts)]).astype(np.int64)
-        pats = np.zeros(int(item_offs[-1]), dtype=np.uint64)
-        lens = np.zeros(int(item_offs[-1]), dtype=np.uint64)
-        pats[item_offs[:-1]] = psid_per_set.astype(np.uint64)
-        lens[item_offs[:-1]] = psid_width
-        dest = np.repeat(item_offs[:-1], counts) + 1 + within
-        pats[dest] = new_local & ((np.uint64(1) << occ_widths) - np.uint64(1))
-        lens[dest] = occ_widths
-        w = BitWriter()
-        w.append_patterns(pats, lens)
-        per_set_bits = (
-            np.add.reduceat(lens, item_offs[:-1]) if S else np.empty(0)
-        )
-        bit_offs = np.concatenate([[0], np.cumsum(per_set_bits)]).astype(np.uint64)
         return cls(
             num_colors,
             np.asarray(partition_bounds, dtype=np.int64),
             stores,
-            ps_stream,
-            ps_offs,
-            w.finalize(),
-            bit_offs,
-            psid_width,
-            local_widths,
+            it["partial_base"],
+            md,
         )
 
     @property
     def num_color_sets(self) -> int:
-        return len(self.meta_bit_offs) - 1
+        return self.meta_diff.num_color_sets
 
     def decode_all(self):
-        """Fully vectorized: psids and per-occurrence local ids are read with
-        batched arbitrary-offset bit extraction; colors expand by gather."""
-        _, ps_cat, ps_o = decode_delta_lists(self.ps_stream, self.ps_offs)
-        n = self.num_color_sets
-        if n == 0:
-            return np.empty(0, np.uint32), np.zeros(1, np.int64)
-        # global partial-list table across partitions (absolute colors)
-        gcat_l, list_counts, list_sizes_l = [], [], []
+        # decode every partition's partials once (absolute color space)
+        pcat_all, offs_per_store = [], []
         for p, st in enumerate(self.partial_stores):
             c, o = st.decode_all()
-            gcat_l.append(c.astype(np.int64) + int(self.partition_bounds[p]))
-            list_counts.append(len(o) - 1)
-            list_sizes_l.append((o[1:] - o[:-1]).astype(np.int64))
-        gcat = np.concatenate(gcat_l) if gcat_l else np.empty(0, np.int64)
-        lsizes = (
-            np.concatenate(list_sizes_l) if list_sizes_l else np.empty(0, np.int64)
-        )
-        goffs = np.concatenate([[0], np.cumsum(lsizes)]).astype(np.int64)
-        pbase = np.concatenate([[0], np.cumsum(list_counts)]).astype(np.int64)
-
-        base = self.meta_bit_offs[:-1].astype(np.uint64)
-        psid = read_bits_at(self.meta_stream, base, self.psid_width)
-        pcount = (ps_o[psid + 1] - ps_o[psid]).astype(np.int64)
-        occ_offs = np.concatenate([[0], np.cumsum(pcount)]).astype(np.int64)
-        occ_set = np.repeat(np.arange(n, dtype=np.int64), pcount)
-        within = np.arange(int(pcount.sum()), dtype=np.int64) - np.repeat(
-            occ_offs[:-1], pcount
-        )
-        parts = ps_cat[np.repeat(ps_o[psid], pcount) + within].astype(np.int64)
-        occ_w = self.local_widths[parts].astype(np.int64)
-        exf = np.concatenate([[0], np.cumsum(occ_w)]).astype(np.int64)
-        within_bits = exf[:-1] - np.repeat(exf[occ_offs[:-1]], pcount)
-        occ_bit = (
-            base[occ_set] + np.uint64(self.psid_width) + within_bits.astype(np.uint64)
-        )
-        lid = read_bits_at(self.meta_stream, occ_bit, occ_w)
-        glist = pbase[parts] + lid
-        # expand colors per occurrence
-        gsz = lsizes[glist]
-        reps = np.repeat(goffs[glist], gsz)
-        wstart = np.concatenate([[0], np.cumsum(gsz)])[:-1]
-        w2 = np.arange(int(gsz.sum()), dtype=np.int64) - np.repeat(wstart, gsz)
-        cat = gcat[reps + w2].astype(np.uint32)
-        set_sizes = np.bincount(occ_set, weights=gsz, minlength=n).astype(np.int64)
-        offs = np.concatenate([[0], np.cumsum(set_sizes)]).astype(np.int64)
-        return cat, offs
+            pcat_all.append(c.astype(np.int64) + int(self.partition_bounds[p]))
+            offs_per_store.append(o)
+        sizes = np.concatenate(
+            [o[1:] - o[:-1] for o in offs_per_store]
+        ) if offs_per_store else np.empty(0, np.int64)
+        gcat = np.concatenate(pcat_all) if pcat_all else np.empty(0, np.int64)
+        goffs = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
+        idcat, idoffs = self.meta_diff.decode_all()
+        ids = idcat.astype(np.int64)
+        n = len(idoffs) - 1
+        id_sizes = sizes[ids] if len(ids) else np.empty(0, np.int64)
+        reps = np.repeat(goffs[ids], id_sizes) if len(ids) else np.empty(0, np.int64)
+        within_start = np.concatenate([[0], np.cumsum(id_sizes)])[:-1]
+        within = np.arange(int(id_sizes.sum())) - np.repeat(within_start, id_sizes)
+        cat2 = gcat[reps + within].astype(np.uint32)
+        set_sizes = np.add.reduceat(
+            id_sizes, np.minimum(idoffs[:-1], max(0, len(ids) - 1))
+        ) if n and len(ids) else np.zeros(max(0, n), np.int64)
+        set_sizes = np.where(
+            (idoffs[1:] - idoffs[:-1]) == 0, 0, set_sizes
+        ) if n else set_sizes
+        offs2 = np.concatenate([[0], np.cumsum(set_sizes)]).astype(np.int64)
+        return cat2, offs2
 
     def arrays(self):
         arrays = {
-            "ps_stream": self.ps_stream,
-            "meta_stream": self.meta_stream,
             "partition_bounds": self.partition_bounds.astype(np.int64),
-            "local_widths": self.local_widths.astype(np.int64),
+            "partial_base": np.asarray(self.partial_base, dtype=np.int64),
         }
         extra = {
+            "format": "meta-chain",
             "num_colors": self.num_colors,
-            "psid_width": self.psid_width,
             "num_partitions": len(self.partial_stores),
         }
-        _ef_arrays("ps_offs", self.ps_offs, arrays, extra)
-        _ef_arrays("meta_bit_offs", self.meta_bit_offs, arrays, extra)
+        a, e = self.meta_diff.arrays()
+        for k, v in a.items():
+            arrays["md_" + k] = v
+        extra["md"] = e
         for p, st in enumerate(self.partial_stores):
             a, e = st.arrays()
             for k, v in a.items():
@@ -977,54 +883,46 @@ class MetaDiffStore:
 
     @classmethod
     def from_arrays(cls, extra, get):
+        if extra.get("format") != "meta-chain":
+            raise ValueError(
+                "meta-differential store predates the meta-chain layout; "
+                "re-run `color` to rebuild this index"
+            )
         P = extra["num_partitions"]
         stores = [
-            DiffStore.from_arrays(extra[f"p{p}"], lambda name, p=p: get(f"p{p}_{name}"))
+            HybridStore.from_arrays(extra[f"p{p}"], lambda name, p=p: get(f"p{p}_{name}"))
             for p in range(P)
         ]
+        md = DiffStore.from_arrays(extra["md"], lambda name: get("md_" + name))
         return cls(
             extra["num_colors"],
             get("partition_bounds"),
             stores,
-            get("ps_stream"),
-            _ef_decode("ps_offs", get, extra),
-            get("meta_stream"),
-            _ef_decode("meta_bit_offs", get, extra),
-            extra["psid_width"],
-            get("local_widths"),
+            get("partial_base"),
+            md,
         )
 
     def num_bytes(self) -> int:
-        n = (
-            self.ps_stream.nbytes
-            + self.meta_stream.nbytes
-            + self.partition_bounds.nbytes
-            + self.local_widths.nbytes
-            + EliasFano.encode(self.ps_offs).num_bytes()
-            + EliasFano.encode(self.meta_bit_offs).num_bytes()
-        )
+        n = self.partition_bounds.nbytes + np.asarray(self.partial_base).nbytes
+        n += self.meta_diff.num_bytes()
         for st in self.partial_stores:
             n += st.num_bytes()
         return int(n)
 
     def stats(self) -> dict:
-        """Partial vs meta space split (reference
+        """Partial vs meta space split (role of the reference
         meta_differential::print_stats, src/color_sets.cpp:242-265)."""
         partial_bytes = sum(st.num_bytes() for st in self.partial_stores)
-        meta_bytes = (
-            self.ps_stream.nbytes
-            + self.meta_stream.nbytes
-            + EliasFano.encode(self.ps_offs).num_bytes()
-            + EliasFano.encode(self.meta_bit_offs).num_bytes()
-        )
+        meta_bytes = self.meta_diff.num_bytes()
         total = max(1, self.num_bytes())
         return {
             "partitions": len(self.partial_stores),
-            "partition_sets": len(self.ps_offs) - 1,
+            "total_partials": int(np.asarray(self.partial_base)[-1]),
             "partial_color_sets_bytes": int(partial_bytes),
-            "meta_color_sets_bytes": int(meta_bytes),
+            "meta_chain_bytes": int(meta_bytes),
             "partial_pct": round(100.0 * partial_bytes / total, 2),
             "meta_pct": round(100.0 * meta_bytes / total, 2),
+            "meta_chain": self.meta_diff.stats(),
         }
 
 

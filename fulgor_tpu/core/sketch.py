@@ -80,41 +80,48 @@ def kmeans_divisive(
     rng = np.random.default_rng(seed)
     labels = np.zeros(n, dtype=np.uint32)
     next_label = 1
+    # ||x||^2 once: SSE and 2-center assignment reduce to matvecs
+    # (sum ||x-m||^2 = sum ||x||^2 - n ||m||^2)
+    rn = (X.astype(np.float64) ** 2).sum(axis=1)
 
     def sse(idx):
         if len(idx) == 0:
             return 0.0
-        c = X[idx].mean(axis=0)
-        return float(((X[idx] - c) ** 2).sum())
+        m = X[idx].mean(axis=0, dtype=np.float64)
+        return float(rn[idx].sum() - len(idx) * (m @ m))
 
-    # queue of clusters to consider splitting, largest first
-    work = [np.arange(n)]
+    # queue of clusters to consider splitting, largest first (heap: the
+    # repeated full sort was the dominant cost at 10^5+ sets)
+    import heapq
+
+    tick = 0
+    work: list = [(-n, 0, np.arange(n))]
     while work:
-        work.sort(key=len, reverse=True)
-        idx = work.pop(0)
+        _, _, idx = heapq.heappop(work)
         if len(idx) <= min_cluster_size:
             continue
         base = sse(idx)
         if base <= 0:
             continue
-        # 2-means on this cluster
+        # 2-means on this cluster; assignment via one matvec per iteration:
+        # d1 < d0  <=>  x @ (c0 - c1) < (||c0||^2 - ||c1||^2) / 2
         sub = X[idx]
         c0 = sub[int(rng.integers(len(sub)))]
-        d = ((sub - c0) ** 2).sum(axis=1)
+        d = rn[idx] - 2.0 * (sub @ c0) + float(c0 @ c0)
         c1 = sub[int(np.argmax(d))]
-        cent = np.stack([c0, c1])
+        cent = np.stack([c0, c1]).astype(np.float32)
         assign = None
         for _ in range(max_iter):
-            d0 = ((sub - cent[0]) ** 2).sum(axis=1)
-            d1 = ((sub - cent[1]) ** 2).sum(axis=1)
-            new_assign = (d1 < d0).astype(np.int32)
+            wvec = cent[0] - cent[1]
+            bias = 0.5 * (float(cent[0] @ cent[0]) - float(cent[1] @ cent[1]))
+            new_assign = (sub @ wvec < bias).astype(np.int32)
             if assign is not None and (new_assign == assign).all():
                 break
             assign = new_assign
             for j in (0, 1):
-                sel = sub[assign == j]
-                if len(sel):
-                    cent[j] = sel.mean(axis=0)
+                sel = assign == j
+                if sel.any():
+                    cent[j] = sub[sel].mean(axis=0)
         part0 = idx[assign == 0]
         part1 = idx[assign == 1]
         if len(part0) == 0 or len(part1) == 0:
@@ -124,8 +131,9 @@ def kmeans_divisive(
             continue
         labels[part1] = next_label
         next_label += 1
-        work.append(part0)
-        work.append(part1)
+        for part in (part0, part1):
+            tick += 1
+            heapq.heappush(work, (-len(part), tick, part))
 
     # compact labels to 0..k-1 in first-appearance order
     uniq, first = np.unique(labels, return_index=True)
