@@ -57,7 +57,7 @@ from .minidict import (
 LOAD = 0.6
 SCAN = 8  # slots screened per probe
 ROWW = 8  # entries per slot row (power of 2): SCAN/ROWW row gathers per probe
-VERIFY_BUDGET = 4  # text verifications per probe (shared across orientations)
+VERIFY_BUDGET = 6  # text verifications per probe (shared across orientations)
 COVER_GROUP = 4  # groups with >= this many entries route via the skew table
 MAX_SPAN = 127  # span field is 7 bits (bit 15 of the meta word = covered)
 
@@ -69,7 +69,7 @@ SKEW_SEED1 = 0x2545F491
 SKEW_SEED2 = 0x9E3779B9
 SKEW_LOAD = 0.85
 SKEW_ROWW = 8  # u32 slots per row: one 32 B gather
-SKEW_CAND = 2  # fp8-matching entries chased per probe (more -> ovf)
+SKEW_CAND = 3  # fp8-matching entries chased per probe (more -> ovf)
 
 
 def _skew_hash_np(klo, khi, seed):
