@@ -10,13 +10,14 @@ tools/build.cpp:247-303 `fulgor color`). Pipeline per tier:
             with HLLs because its merges are per-pair scalar adds; our
             vectorized bincount affords exact features.)
   diff      cluster COLOR SETS: exact pooled membership features, sliced
-            by density quartiles, k-means per slice; majority representative
-            per cluster, symmetric-difference coding. Set ids stay stable
-            (we store an explicit set->cluster map instead of permuting sets
-            + unitigs + rebuilding the dictionary as the reference does —
-            the TPU container gathers, it does not rank).
-  meta_diff meta partitioning, then per-partition diff clustering of the
-            partial sets + partition-set dedup (core/colorstores.py).
+            by density quartiles, k-means per slice; within each cluster
+            sets form similarity CHAINS and delta-code the symmetric
+            difference vs their chain parent (core/colorstores.DiffStore).
+            Set ids stay stable (no unitig permutation / dictionary rebuild
+            as the reference does — the TPU container gathers, not ranks).
+  meta_diff meta partitioning (finer grain than the meta tier), then the
+            per-set GLOBAL partial-id lists are chain-diff coded by the
+            same DiffStore (core/colorstores.MetaDiffStore).
 """
 
 from __future__ import annotations
@@ -106,7 +107,9 @@ def _permuted_sets(idx: Index, perm: np.ndarray):
     sizes = (offs[1:] - offs[:-1]).astype(np.int64)
     sid = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
     key = sid * C + perm[cat.astype(np.int64)]
-    key.sort()
+    from ..native import lib as _native
+
+    key = _native.sort_i64(key)
     return (key % C).astype(np.uint32), offs
 
 
@@ -264,10 +267,10 @@ def check_conversion(base: Index, converted: Index) -> bool:
     # segmented sort both sides (combined-key sorts), then compare wholesale
     C = np.int64(base.num_colors)
     sid = np.repeat(np.arange(len(bs), dtype=np.int64), bs)
-    pb = sid * C + perm[bcat.astype(np.int64)]
-    pb.sort()
-    cc = sid * C + ccat.astype(np.int64)
-    cc.sort()
+    from ..native import lib as _native
+
+    pb = _native.sort_i64(sid * C + perm[bcat.astype(np.int64)])
+    cc = _native.sort_i64(sid * C + ccat.astype(np.int64))
     bad = pb != cc
     if bad.any():
         s = int(sid[np.flatnonzero(bad)[0]])

@@ -548,7 +548,9 @@ class DiffStore:
         keys = np.concatenate(
             [seg_a * C + cat_a.astype(np.int64), seg_b * C + cat_b.astype(np.int64)]
         )
-        keys.sort(kind="stable")
+        from ..native import lib as _native
+
+        keys = _native.sort_i64(keys)  # parallel; 10^8+ elements at scale
         # elements appearing once (values within a segment are distinct, so
         # duplicates come only from a∩b and have multiplicity exactly 2)
         first = np.ones(len(keys), dtype=bool)

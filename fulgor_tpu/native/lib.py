@@ -117,6 +117,8 @@ def _load():
             ct.POINTER(ct.c_int64),
         ]
         lib.fn_format_psa_ascii_bits.restype = ct.c_int
+        lib.fn_sort_i64.argtypes = [ct.POINTER(ct.c_int64), ct.c_int64]
+        lib.fn_sort_i64.restype = None
         _lib = lib
         return lib
 
@@ -304,6 +306,16 @@ def format_psa_ascii(qids: np.ndarray, colors_cat: np.ndarray, offs: np.ndarray)
     out = ct.string_at(buf, blen.value)
     lib.fn_free(buf)
     return out
+
+
+def sort_i64(arr: np.ndarray) -> np.ndarray:
+    """In-place parallel sort of a contiguous int64 array (falls back to
+    np.sort semantics; uses all cores via gnu parallel sort)."""
+    lib = _load()
+    arr = np.ascontiguousarray(arr, dtype=np.int64)
+    if len(arr):
+        lib.fn_sort_i64(arr.ctypes.data_as(ct.POINTER(ct.c_int64)), len(arr))
+    return arr
 
 
 def format_psa_ascii_bits(qids: np.ndarray, bits: np.ndarray):

@@ -1374,3 +1374,9 @@ extern "C" int fn_format_psa_ascii_bits(const uint32_t* qids, const uint32_t* bi
     *out_mapped = mapped;
     return 0;
 }
+
+// in-place parallel sort of an int64 array (conversion hot paths sort
+// 10^8-element combined-key arrays; gnu parallel sort uses all cores)
+extern "C" void fn_sort_i64(int64_t* data, int64_t n) {
+    PAR_SORT(data, data + n);
+}

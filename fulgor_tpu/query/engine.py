@@ -763,7 +763,6 @@ class QueryEngine:
 
         assert threshold is None, "--deduplicate requires full-intersection"
         C = self.idx.num_colors
-        dense = self.idx.dense_color_bits()
         groups: dict[bytes, list[int]] = {}
 
         ovf_ids: list[int] = []
@@ -819,9 +818,11 @@ class QueryEngine:
             if len(sids) == 0:
                 colors = np.empty(0, dtype=np.uint32)
             else:
-                word = dense[sids.astype(np.int64)[0]].copy()
-                for sid in sids[1:]:
-                    word &= dense[sid]
+                # on-demand row decode (no dense matrix at large C)
+                rows = self.idx.color_rows(sids.astype(np.int64))
+                word = rows[0].copy()
+                for r in rows[1:]:
+                    word &= r
                 colors = np.flatnonzero(
                     np.unpackbits(word.view(np.uint8), bitorder="little")[:C]
                 ).astype(np.uint32)
