@@ -52,7 +52,9 @@ def color_features(idx: Index) -> np.ndarray:
         np.bincount(idx.u2c_csid.astype(np.int64), minlength=S).astype(np.float64)
     )
     sizes = (offs[1:] - offs[:-1]).astype(np.int64)
-    sid = np.repeat(np.arange(S, dtype=np.int64), sizes)
+    from ..core.colorstores import seg_ids
+
+    sid = seg_ids(sizes)
     hs = (SK._splitmix64(sid.astype(np.uint64)) % np.uint64(POOLED_DIMS)).astype(
         np.int64
     )
@@ -69,14 +71,10 @@ def set_features(cat, offs, num_colors) -> np.ndarray:
     contiguous color ranges). Two sets with a small symmetric difference
     get near-identical rows; replaces per-set HLL sketches of the members
     (reference build_util.hpp:148-253) with an exact one-pass bincount."""
-    n = len(offs) - 1
-    sizes = (offs[1:] - offs[:-1]).astype(np.int64)
-    sid = np.repeat(np.arange(n, dtype=np.int64), sizes)
-    block = cat.astype(np.int64) * POOLED_DIMS // max(1, num_colors)
-    feat = np.bincount(
-        sid * POOLED_DIMS + block, minlength=n * POOLED_DIMS
-    ).astype(np.float32)
-    return feat.reshape(n, POOLED_DIMS)
+    from ..native import lib as _native
+
+    feat = _native.pooled_features(cat, offs, max(1, num_colors), POOLED_DIMS)
+    return feat.astype(np.float32)
 
 
 def permute_colors(idx: Index, min_cluster_size: int | None = None):
@@ -103,9 +101,11 @@ def _permuted_sets(idx: Index, perm: np.ndarray):
     cat, offs = idx.color_sets_decoded()
     # re-sort within each set: one combined-key sort (sid * C + color) is
     # several times faster than a 2-key lexsort at 10^8+ elements
+    from ..core.colorstores import seg_ids
+
     C = np.int64(idx.num_colors)
     sizes = (offs[1:] - offs[:-1]).astype(np.int64)
-    sid = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+    sid = seg_ids(sizes)
     key = sid * C + perm[cat.astype(np.int64)]
     from ..native import lib as _native
 
@@ -113,14 +113,15 @@ def _permuted_sets(idx: Index, perm: np.ndarray):
     return (key % C).astype(np.uint32), offs
 
 
-def cluster_color_sets(cat, offs, num_colors) -> np.ndarray:
+def cluster_color_sets(cat, offs, num_colors, feats=None) -> np.ndarray:
     """Set clustering for diff coding (reference differential_permuter,
     differential_builder.hpp:7-197): exact pooled membership features per
     set, sliced by density, k-means per slice; labels globally unique."""
     n = len(offs) - 1
     sizes = (offs[1:] - offs[:-1]).astype(np.float64)
     frac = sizes / max(1, num_colors)
-    feats = set_features(cat, offs, num_colors)
+    if feats is None:
+        feats = set_features(cat, offs, num_colors)
     labels = np.zeros(n, dtype=np.int64)
     next_label = 0
     for lo, hi in zip(DENSITY_SLICES[:-1], DENSITY_SLICES[1:]):
@@ -162,8 +163,10 @@ def meta_color(idx: Index) -> Index:
 def diff_color(idx: Index) -> Index:
     """hybrid -> differential: clustered sets, symmetric-diff coding."""
     cat, offs = idx.color_sets_decoded()
-    labels = cluster_color_sets(cat, offs, idx.num_colors)
-    store = DiffStore.build(cat, offs, idx.num_colors, labels)
+    feats = set_features(cat, offs, idx.num_colors)
+    labels = cluster_color_sets(cat, offs, idx.num_colors, feats=feats)
+    store = DiffStore.build(cat, offs, idx.num_colors, labels,
+                            order_features=feats)
     return Index(
         kind=KIND_DIFF,
         k=idx.k,
@@ -202,10 +205,10 @@ def meta_diff_color(idx: Index) -> Index:
     # sets adjacently so their global partial-id lists differ in few
     # entries; the chain-order features must live in COLOR space (partial
     # ids carry no locality)
-    set_labels = cluster_color_sets(cat, offs, idx.num_colors)
+    feats = set_features(cat, offs, idx.num_colors)
+    set_labels = cluster_color_sets(cat, offs, idx.num_colors, feats=feats)
     store = MetaDiffStore.build(
-        cat, offs, idx.num_colors, bounds, set_labels,
-        order_features=set_features(cat, offs, idx.num_colors),
+        cat, offs, idx.num_colors, bounds, set_labels, order_features=feats
     )
     return Index(
         kind=KIND_META_DIFF,
@@ -265,8 +268,10 @@ def check_conversion(base: Index, converted: Index) -> bool:
         print(f"CHECK FAILED: set {s} size mismatch")
         return False
     # segmented sort both sides (combined-key sorts), then compare wholesale
+    from ..core.colorstores import seg_ids
+
     C = np.int64(base.num_colors)
-    sid = np.repeat(np.arange(len(bs), dtype=np.int64), bs)
+    sid = seg_ids(bs)
     from ..native import lib as _native
 
     pb = _native.sort_i64(sid * C + perm[bcat.astype(np.int64)])

@@ -104,23 +104,13 @@ class BitWriter:
     def finalize(self) -> np.ndarray:
         """Pack into a uint64 word array (LSB-first)."""
         total = self._num_bits
-        words = np.zeros((total + 63) // 64, dtype=np.uint64)
         if not self._pats:
-            return words
+            return np.zeros((total + 63) // 64, dtype=np.uint64)
         pats = np.concatenate(self._pats)
         lens = np.concatenate(self._lens)
-        offs = np.concatenate([[0], np.cumsum(lens)])[:-1].astype(np.uint64)
-        widx = (offs >> np.uint64(6)).astype(np.int64)
-        shift = offs & np.uint64(63)
-        lo = pats << shift
-        # high part spills into the next word when shift > 0
-        hi = np.where(shift > 0, pats >> (np.uint64(64) - np.maximum(shift, 1)), 0).astype(
-            np.uint64
-        )
-        np.bitwise_or.at(words, widx, lo)
-        spill = hi != 0
-        np.bitwise_or.at(words, widx[spill] + 1, hi[spill])
-        return words
+        from ..native import lib as _native
+
+        return _native.pack_patterns(pats, lens, total)
 
 
 class BitReader:

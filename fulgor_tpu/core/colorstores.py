@@ -228,6 +228,35 @@ class HybridStore:
 # --------------------------------------------------------------------------
 
 
+def seg_ids(lens: np.ndarray) -> np.ndarray:
+    """np.repeat(arange(len(lens)), lens) via one cumsum — np.repeat with
+    ragged counts runs at ~15M elems/s; this runs at memory speed."""
+    lens = np.asarray(lens, dtype=np.int64)
+    total = int(lens.sum())
+    out = np.zeros(total, dtype=np.int64)
+    ends = np.cumsum(lens)[:-1]
+    np.add.at(out, ends[ends < total], 1)  # duplicates handle 0-length segs
+    return np.cumsum(out)
+
+
+def seg_gather_idx(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Flat gather indices covering [starts[i], starts[i]+lens[i]) segment
+    by segment (== np.repeat(starts, lens) + within-segment arange), via
+    one cumsum."""
+    lens = np.asarray(lens, dtype=np.int64)
+    nz = lens > 0
+    s = np.asarray(starts, dtype=np.int64)[nz]
+    l = lens[nz]
+    total = int(l.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    d = np.ones(total, dtype=np.int64)
+    d[0] = s[0]
+    if len(s) > 1:
+        d[np.cumsum(l)[:-1]] = s[1:] - (s[:-1] + l[:-1] - 1)
+    return np.cumsum(d)
+
+
 def _splitmix64_np(x):
     x = (np.asarray(x, dtype=np.uint64) + np.uint64(0x9E3779B97F4A7C15))
     x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
@@ -537,34 +566,12 @@ class DiffStore:
     @staticmethod
     def _symdiff_segments(cat_a, offs_a, cat_b, offs_b, num_colors, n):
         """Per-segment symmetric difference of two sorted-per-segment lists:
-        segment s -> setxor1d(a_s, b_s). Vectorized via key counting (an
-        element survives iff it appears exactly once across a_s ++ b_s).
+        segment s -> setxor1d(a_s, b_s). Native parallel two-pointer merges
+        (O(total), no global sort — the converter's hot op at ~10^8 elems).
         -> (cat u32 sorted within segment, offs (n+1,) i64)."""
-        C = np.int64(num_colors)
-        sa = (offs_a[1:] - offs_a[:-1]).astype(np.int64)
-        sb = (offs_b[1:] - offs_b[:-1]).astype(np.int64)
-        seg_a = np.repeat(np.arange(n, dtype=np.int64), sa)
-        seg_b = np.repeat(np.arange(n, dtype=np.int64), sb)
-        keys = np.concatenate(
-            [seg_a * C + cat_a.astype(np.int64), seg_b * C + cat_b.astype(np.int64)]
-        )
         from ..native import lib as _native
 
-        keys = _native.sort_i64(keys)  # parallel; 10^8+ elements at scale
-        # elements appearing once (values within a segment are distinct, so
-        # duplicates come only from a∩b and have multiplicity exactly 2)
-        first = np.ones(len(keys), dtype=bool)
-        first[1:] = keys[1:] != keys[:-1]
-        last = np.ones(len(keys), dtype=bool)
-        last[:-1] = keys[:-1] != keys[1:]
-        once = first & last
-        kept = keys[once]
-        seg = kept // C
-        out_cat = (kept % C).astype(np.uint32)
-        out_offs = np.concatenate(
-            [[0], np.cumsum(np.bincount(seg, minlength=n))]
-        ).astype(np.int64)
-        return out_cat, out_offs
+        return _native.symdiff_segments(cat_a, offs_a, cat_b, offs_b)
 
     @staticmethod
     def _pack_fixed(vals: np.ndarray, width: int) -> np.ndarray:
@@ -601,20 +608,30 @@ class DiffStore:
 
         # chain order: (cluster, pooled-feature lex)
         if order_features is None:
+            from ..native import lib as _native
+
             B = min(CHAIN_POOL, max(1, int(num_colors)))
-            sid = np.repeat(np.arange(n, dtype=np.int64), sizes)
-            block = cat.astype(np.int64) * B // max(1, int(num_colors))
-            feat = np.bincount(sid * B + block, minlength=n * B).reshape(n, B)
+            feat = _native.pooled_features(cat, offs, max(1, int(num_colors)), B)
         else:
             feat = np.asarray(order_features, dtype=np.float64)
             B = feat.shape[1]
-        rec = np.zeros(n, dtype=[("l", np.int64), ("f", (np.uint8, B))])
-        rec["l"] = labels
         # normalize per dim before quantizing: small membership counts must
         # keep resolution or the lex order degenerates into size buckets
         fmax = np.maximum(1.0, feat.max(axis=0) / 255.0) if n else 1.0
-        rec["f"] = np.round(feat / fmax).astype(np.uint8)
-        order = np.argsort(rec, order=("l", "f"), kind="stable")
+        fq = np.round(feat / fmax).astype(np.uint8)
+        # (label, feature-bytes lex) sort via u64-packed keys: big-endian
+        # 8-byte words compare exactly like the byte sequence, and a few
+        # u64 lexsort passes beat a structured-record argsort by >10x
+        nw = (B + 7) // 8
+        padded = np.zeros((n, nw * 8), dtype=np.uint8)
+        padded[:, :B] = fq
+        words = padded.reshape(n, nw, 8).astype(np.uint64)
+        packed = np.zeros((n, nw), dtype=np.uint64)
+        for j in range(8):
+            packed = (packed << np.uint64(8)) | words[:, :, j]
+        order = np.lexsort(
+            tuple(packed[:, i] for i in range(nw - 1, -1, -1)) + (labels,)
+        )
 
         lo = labels[order]
         new_cl = np.concatenate([[True], lo[1:] != lo[:-1]]) if n else np.zeros(0, bool)
@@ -632,9 +649,7 @@ class DiffStore:
         is_head[order[head]] = True
         par_sz = np.where(is_head, 0, sizes[parent])
         eo = np.concatenate([[0], np.cumsum(par_sz)]).astype(np.int64)
-        gather = np.repeat(offs[:-1][parent], par_sz) + (
-            np.arange(int(par_sz.sum())) - np.repeat(eo[:-1], par_sz)
-        )
+        gather = seg_gather_idx(offs[:-1][parent], par_sz)
         d_cat, d_offs = cls._symdiff_segments(
             cat.astype(np.uint32), offs, cat[gather].astype(np.uint32), eo,
             num_colors, n,
@@ -663,12 +678,7 @@ class DiffStore:
         d_sz = (d_offs[1:] - d_offs[:-1]).astype(np.int64)
 
         def seg_gather(src, seg_starts, seg_lens):
-            tot = int(seg_lens.sum())
-            g = np.repeat(seg_starts, seg_lens) + (
-                np.arange(tot)
-                - np.repeat(np.concatenate([[0], np.cumsum(seg_lens)])[:-1], seg_lens)
-            )
-            return src[g]
+            return src[seg_gather_idx(seg_starts, seg_lens)]
 
         def write_sets(sel, flat):
             tgt = np.repeat(offs[:-1][sel], sizes[sel]) + (

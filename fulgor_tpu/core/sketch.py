@@ -76,64 +76,48 @@ def kmeans_divisive(
     n = len(points)
     if n == 0:
         return np.zeros(0, dtype=np.uint32)
-    X = points.astype(np.float32)
+    X = np.ascontiguousarray(points, dtype=np.float32)
     rng = np.random.default_rng(seed)
     labels = np.zeros(n, dtype=np.uint32)
     next_label = 1
-    # ||x||^2 once: SSE and 2-center assignment reduce to matvecs
-    # (sum ||x-m||^2 = sum ||x||^2 - n ||m||^2)
-    rn = (X.astype(np.float64) ** 2).sum(axis=1)
+
+    from ..native import lib as native
 
     def sse(idx):
         if len(idx) == 0:
             return 0.0
-        m = X[idx].mean(axis=0, dtype=np.float64)
-        return float(rn[idx].sum() - len(idx) * (m @ m))
+        sub = X[idx].astype(np.float64)
+        m = sub.mean(axis=0)
+        return float((sub**2).sum() - len(idx) * (m @ m))
 
     # queue of clusters to consider splitting, largest first (heap: the
-    # repeated full sort was the dominant cost at 10^5+ sets)
+    # repeated full sort was the dominant cost at 10^5+ sets). Each entry
+    # carries its SSE so only the root pays a separate sse() pass; the
+    # bisection itself (seeding, assignment rounds, child SSEs) is one
+    # native call with thread-count-invariant reductions.
     import heapq
 
     tick = 0
-    work: list = [(-n, 0, np.arange(n))]
+    work: list = [(-n, 0, np.arange(n), sse(np.arange(n)))]
     while work:
-        _, _, idx = heapq.heappop(work)
+        _, _, idx, base = heapq.heappop(work)
         if len(idx) <= min_cluster_size:
             continue
-        base = sse(idx)
         if base <= 0:
             continue
-        # 2-means on this cluster; assignment via one matvec per iteration:
-        # d1 < d0  <=>  x @ (c0 - c1) < (||c0||^2 - ||c1||^2) / 2
-        sub = X[idx]
-        c0 = sub[int(rng.integers(len(sub)))]
-        d = rn[idx] - 2.0 * (sub @ c0) + float(c0 @ c0)
-        c1 = sub[int(np.argmax(d))]
-        cent = np.stack([c0, c1]).astype(np.float32)
-        assign = None
-        for _ in range(max_iter):
-            wvec = cent[0] - cent[1]
-            bias = 0.5 * (float(cent[0] @ cent[0]) - float(cent[1] @ cent[1]))
-            new_assign = (sub @ wvec < bias).astype(np.int32)
-            if assign is not None and (new_assign == assign).all():
-                break
-            assign = new_assign
-            for j in (0, 1):
-                sel = assign == j
-                if sel.any():
-                    cent[j] = sub[sel].mean(axis=0)
+        i0 = int(rng.integers(len(idx)))
+        assign, sse0, sse1 = native.bisect2(X, idx, i0, max_iter)
         part0 = idx[assign == 0]
         part1 = idx[assign == 1]
         if len(part0) == 0 or len(part1) == 0:
             continue
-        new_sse = sse(part0) + sse(part1)
-        if base - new_sse <= min_delta * base:
+        if base - (sse0 + sse1) <= min_delta * base:
             continue
         labels[part1] = next_label
         next_label += 1
-        for part in (part0, part1):
+        for part, s in ((part0, sse0), (part1, sse1)):
             tick += 1
-            heapq.heappush(work, (-len(part), tick, part))
+            heapq.heappush(work, (-len(part), tick, part, s))
 
     # compact labels to 0..k-1 in first-appearance order
     uniq, first = np.unique(labels, return_index=True)

@@ -119,6 +119,29 @@ def _load():
         lib.fn_format_psa_ascii_bits.restype = ct.c_int
         lib.fn_sort_i64.argtypes = [ct.POINTER(ct.c_int64), ct.c_int64]
         lib.fn_sort_i64.restype = None
+        lib.fn_symdiff_segments.argtypes = [
+            ct.POINTER(ct.c_uint32), ct.POINTER(ct.c_int64),
+            ct.POINTER(ct.c_uint32), ct.POINTER(ct.c_int64),
+            ct.c_int64, ct.POINTER(ct.c_int64),
+            ct.POINTER(ct.POINTER(ct.c_uint32)),
+        ]
+        lib.fn_symdiff_segments.restype = ct.c_int
+        lib.fn_pooled_features.argtypes = [
+            ct.POINTER(ct.c_uint32), ct.POINTER(ct.c_int64),
+            ct.c_int64, ct.c_uint32, ct.c_int32, ct.POINTER(ct.c_uint32),
+        ]
+        lib.fn_pooled_features.restype = None
+        lib.fn_bisect2.argtypes = [
+            ct.POINTER(ct.c_float), ct.c_int32, ct.POINTER(ct.c_int64),
+            ct.c_int64, ct.c_int64, ct.c_int32,
+            ct.POINTER(ct.c_uint8), ct.POINTER(ct.c_double),
+        ]
+        lib.fn_bisect2.restype = None
+        lib.fn_pack_patterns.argtypes = [
+            ct.POINTER(ct.c_uint64), ct.POINTER(ct.c_uint64), ct.c_int64,
+            ct.POINTER(ct.c_uint64),
+        ]
+        lib.fn_pack_patterns.restype = None
         _lib = lib
         return lib
 
@@ -316,6 +339,88 @@ def sort_i64(arr: np.ndarray) -> np.ndarray:
     if len(arr):
         lib.fn_sort_i64(arr.ctypes.data_as(ct.POINTER(ct.c_int64)), len(arr))
     return arr
+
+
+def pack_patterns(pats: np.ndarray, lens: np.ndarray, total_bits: int) -> np.ndarray:
+    """Pack (pattern, length) pairs into an LSB-first u64 bit stream."""
+    lib = _load()
+    pats = np.ascontiguousarray(pats, dtype=np.uint64)
+    lens = np.ascontiguousarray(lens, dtype=np.uint64)
+    nw = (total_bits + 63) // 64
+    words = np.zeros(nw + 1, dtype=np.uint64)  # +1: aligned-tail spill slack
+    if len(pats):
+        lib.fn_pack_patterns(
+            pats.ctypes.data_as(ct.POINTER(ct.c_uint64)),
+            lens.ctypes.data_as(ct.POINTER(ct.c_uint64)),
+            len(pats),
+            words.ctypes.data_as(ct.POINTER(ct.c_uint64)),
+        )
+    return words[:nw]
+
+
+def bisect2(X: np.ndarray, idx: np.ndarray, i0: int, max_iter: int):
+    """One deterministic 2-means bisection of X[idx] seeded at X[idx[i0]]
+    (parallel; thread-count-invariant chunked reductions).
+    -> (assign u8 (m,), sse0, sse1)."""
+    lib = _load()
+    assert X.dtype == np.float32 and X.flags.c_contiguous
+    idx = np.ascontiguousarray(idx, dtype=np.int64)
+    m = len(idx)
+    assign = np.empty(m, dtype=np.uint8)
+    sse = np.zeros(2, dtype=np.float64)
+    lib.fn_bisect2(
+        X.ctypes.data_as(ct.POINTER(ct.c_float)), X.shape[1],
+        idx.ctypes.data_as(ct.POINTER(ct.c_int64)), m, i0, max_iter,
+        assign.ctypes.data_as(ct.POINTER(ct.c_uint8)),
+        sse.ctypes.data_as(ct.POINTER(ct.c_double)),
+    )
+    return assign, float(sse[0]), float(sse[1])
+
+
+def pooled_features(cat: np.ndarray, offs: np.ndarray, num_colors: int,
+                    dims: int) -> np.ndarray:
+    """Per-set pooled membership counts over `dims` equal-width color blocks
+    (parallel; the converters' clustering feature space). -> u32 (n, dims)."""
+    lib = _load()
+    n = len(offs) - 1
+    cat = np.ascontiguousarray(cat, dtype=np.uint32)
+    offs = np.ascontiguousarray(offs, dtype=np.int64)
+    out = np.zeros((n, dims), dtype=np.uint32)
+    if n:
+        lib.fn_pooled_features(
+            cat.ctypes.data_as(ct.POINTER(ct.c_uint32)),
+            offs.ctypes.data_as(ct.POINTER(ct.c_int64)),
+            n, num_colors, dims,
+            out.ctypes.data_as(ct.POINTER(ct.c_uint32)),
+        )
+    return out
+
+
+def symdiff_segments(cat_a, offs_a, cat_b, offs_b):
+    """Per-segment symmetric difference of two families of sorted
+    duplicate-free u32 lists (parallel two-pointer merges; the chain-diff
+    converter's hot op). -> (out_cat u32, out_offs i64 (n+1,))."""
+    lib = _load()
+    n = len(offs_a) - 1
+    assert len(offs_b) - 1 == n
+    cat_a = np.ascontiguousarray(cat_a, dtype=np.uint32)
+    cat_b = np.ascontiguousarray(cat_b, dtype=np.uint32)
+    offs_a = np.ascontiguousarray(offs_a, dtype=np.int64)
+    offs_b = np.ascontiguousarray(offs_b, dtype=np.int64)
+    out_offs = np.zeros(n + 1, dtype=np.int64)
+    out_ptr = ct.POINTER(ct.c_uint32)()
+    rc = lib.fn_symdiff_segments(
+        cat_a.ctypes.data_as(ct.POINTER(ct.c_uint32)),
+        offs_a.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        cat_b.ctypes.data_as(ct.POINTER(ct.c_uint32)),
+        offs_b.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        n,
+        out_offs.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        ct.byref(out_ptr),
+    )
+    if rc != 0:
+        raise MemoryError("symdiff_segments allocation failed")
+    return _take(out_ptr, int(out_offs[n]), np.uint32), out_offs
 
 
 def format_psa_ascii_bits(qids: np.ndarray, bits: np.ndarray):

@@ -774,48 +774,67 @@ extern "C" int fn_hybrid_decode_all(const uint64_t* words, const uint64_t* bit_o
                          int64_t** out_offs, int64_t* out_len) {
     uint32_t sparse_thr = (uint32_t)(0.25 * num_colors);
     uint32_t dense_thr = (uint32_t)(0.75 * num_colors);
-    std::vector<uint32_t> cat;
     int64_t* offs = (int64_t*)malloc((n_sets + 1) * sizeof(int64_t));
+    if (!offs) return 1;
     offs[0] = 0;
-    std::vector<uint8_t> member(num_colors);
+    // pass 1: sizes only (each set's leading delta), then prefix-sum; lets
+    // pass 2 decode every set in parallel straight into its output slice
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
     for (int64_t i = 0; i < n_sets; ++i) {
         BitRd r{words, bit_offsets[i]};
-        uint64_t size = r.delta();
-        if (size < sparse_thr) {
-            uint32_t prev = 0;
-            for (uint64_t j = 0; j < size; ++j) {
-                uint64_t d = r.delta();
-                prev = (j == 0) ? (uint32_t)d : prev + 1 + (uint32_t)d;
-                cat.push_back(prev);
-            }
-        } else if (size < dense_thr) {
-            // bitmap: num_colors bits LSB-first from r.pos
-            for (uint32_t c = 0; c < num_colors; c += 64) {
-                int nb = (int)std::min<uint32_t>(64, num_colors - c);
-                uint64_t wbits = r.bits(nb);
-                while (wbits) {
-                    int t = __builtin_ctzll(wbits);
-                    cat.push_back(c + t);
-                    wbits &= wbits - 1;
-                }
-            }
-        } else {
-            uint64_t comp_size = num_colors - size;
-            memset(member.data(), 1, num_colors);
-            uint32_t prev = 0;
-            for (uint64_t j = 0; j < comp_size; ++j) {
-                uint64_t d = r.delta();
-                prev = (j == 0) ? (uint32_t)d : prev + 1 + (uint32_t)d;
-                member[prev] = 0;
-            }
-            for (uint32_t c = 0; c < num_colors; ++c)
-                if (member[c]) cat.push_back(c);
-        }
-        offs[i + 1] = (int64_t)cat.size();
+        offs[i + 1] = (int64_t)r.delta();
     }
-    *out_len = (int64_t)cat.size();
-    uint32_t* catp = (uint32_t*)malloc(cat.size() * 4 + 4);
-    memcpy(catp, cat.data(), cat.size() * 4);
+    for (int64_t i = 0; i < n_sets; ++i) offs[i + 1] += offs[i];
+    int64_t total = offs[n_sets];
+    uint32_t* catp = (uint32_t*)malloc((size_t)total * 4 + 4);
+    if (!catp) { free(offs); return 1; }
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+    {
+        std::vector<uint8_t> member(num_colors);
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 512)
+#endif
+        for (int64_t i = 0; i < n_sets; ++i) {
+            BitRd r{words, bit_offsets[i]};
+            uint64_t size = r.delta();
+            uint32_t* p = catp + offs[i];
+            if (size < sparse_thr) {
+                uint32_t prev = 0;
+                for (uint64_t j = 0; j < size; ++j) {
+                    uint64_t d = r.delta();
+                    prev = (j == 0) ? (uint32_t)d : prev + 1 + (uint32_t)d;
+                    *p++ = prev;
+                }
+            } else if (size < dense_thr) {
+                // bitmap: num_colors bits LSB-first from r.pos
+                for (uint32_t c = 0; c < num_colors; c += 64) {
+                    int nb = (int)std::min<uint32_t>(64, num_colors - c);
+                    uint64_t wbits = r.bits(nb);
+                    while (wbits) {
+                        int t = __builtin_ctzll(wbits);
+                        *p++ = c + t;
+                        wbits &= wbits - 1;
+                    }
+                }
+            } else {
+                uint64_t comp_size = num_colors - size;
+                memset(member.data(), 1, num_colors);
+                uint32_t prev = 0;
+                for (uint64_t j = 0; j < comp_size; ++j) {
+                    uint64_t d = r.delta();
+                    prev = (j == 0) ? (uint32_t)d : prev + 1 + (uint32_t)d;
+                    member[prev] = 0;
+                }
+                for (uint32_t c = 0; c < num_colors; ++c)
+                    if (member[c]) *p++ = c;
+            }
+        }
+    }
+    *out_len = total;
     *out_cat = catp;
     *out_offs = offs;
     return 0;
@@ -1379,4 +1398,254 @@ extern "C" int fn_format_psa_ascii_bits(const uint32_t* qids, const uint32_t* bi
 // 10^8-element combined-key arrays; gnu parallel sort uses all cores)
 extern "C" void fn_sort_i64(int64_t* data, int64_t n) {
     PAR_SORT(data, data + n);
+}
+
+// sequential LSB-first bit-stream pack of (pattern, length) pairs (the
+// BitWriter hot loop; np.bitwise_or.at runs ~5M items/s, this ~300M/s).
+// `words` must be zeroed with ONE word of slack past the stream end (the
+// unconditional spill write ORs 0 there when the last pattern is aligned).
+extern "C" void fn_pack_patterns(const uint64_t* pats, const uint64_t* lens,
+                                 int64_t n, uint64_t* words) {
+    uint64_t pos = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        uint64_t sh = pos & 63;
+        int64_t w = (int64_t)(pos >> 6);
+        words[w] |= pats[i] << sh;
+        if (sh) words[w + 1] |= pats[i] >> (64 - sh);
+        pos += lens[i];
+    }
+}
+
+// one 2-means bisection for the divisive clustering loop (reference
+// kmeans submodule semantics; builders/meta_builder.hpp:56-64): seed c0 =
+// X[idx[i0]], seed c1 = farthest point, then <= max_iter assignment /
+// centroid rounds; returns the assignment and each side's SSE (about its
+// own mean). All reductions are fixed-chunk-serial so the result is
+// independent of the OpenMP thread count (determinism contract, see
+// docs/DESIGN-NOTES.md §5).
+extern "C" void fn_bisect2(const float* X, int32_t D, const int64_t* idx,
+                           int64_t m, int64_t i0, int32_t max_iter,
+                           uint8_t* assign, double* sse_out) {
+    const int64_t CHUNK = 8192;
+    const int64_t nch = (m + CHUNK - 1) / CHUNK;
+    std::vector<double> c0(D), c1(D);
+    {
+        const float* p = X + idx[i0] * (int64_t)D;
+        for (int32_t j = 0; j < D; ++j) c0[j] = p[j];
+    }
+    // farthest point from c0 (first index on ties)
+    std::vector<double> cb(nch);
+    std::vector<int64_t> ca(nch);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t c = 0; c < nch; ++c) {
+        double best = -1.0;
+        int64_t barg = c * CHUNK;
+        int64_t hi = std::min((c + 1) * CHUNK, m);
+        for (int64_t i = c * CHUNK; i < hi; ++i) {
+            const float* x = X + idx[i] * (int64_t)D;
+            double d = 0;
+            for (int32_t j = 0; j < D; ++j) {
+                double t = (double)x[j] - c0[j];
+                d += t * t;
+            }
+            if (d > best) { best = d; barg = i; }
+        }
+        cb[c] = best;
+        ca[c] = barg;
+    }
+    double best = -1.0;
+    int64_t barg = 0;
+    for (int64_t c = 0; c < nch; ++c)
+        if (cb[c] > best) { best = cb[c]; barg = ca[c]; }
+    {
+        const float* p = X + idx[barg] * (int64_t)D;
+        for (int32_t j = 0; j < D; ++j) c1[j] = p[j];
+    }
+
+    std::vector<uint8_t> prev(m, 255);
+    std::vector<double> s0((size_t)nch * D), s1((size_t)nch * D);
+    std::vector<int64_t> n0(nch), n1(nch);
+    for (int32_t it = 0; it < max_iter; ++it) {
+        std::vector<double> w(D);
+        double q0 = 0, q1 = 0;
+        for (int32_t j = 0; j < D; ++j) {
+            w[j] = c0[j] - c1[j];
+            q0 += c0[j] * c0[j];
+            q1 += c1[j] * c1[j];
+        }
+        double bias = 0.5 * (q0 - q1);
+        std::atomic<int> changed{0};
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+        for (int64_t c = 0; c < nch; ++c) {
+            int64_t hi = std::min((c + 1) * CHUNK, m);
+            int ch = 0;
+            for (int64_t i = c * CHUNK; i < hi; ++i) {
+                const float* x = X + idx[i] * (int64_t)D;
+                double dot = 0;
+                for (int32_t j = 0; j < D; ++j) dot += (double)x[j] * w[j];
+                uint8_t a = dot < bias ? 1 : 0;
+                ch |= (a != prev[i]);
+                assign[i] = a;
+            }
+            if (ch) changed.store(1, std::memory_order_relaxed);
+        }
+        if (!changed.load()) break;
+        memcpy(prev.data(), assign, (size_t)m);
+        // centroid update (chunk-serial deterministic sums)
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+        for (int64_t c = 0; c < nch; ++c) {
+            double* a0 = s0.data() + (size_t)c * D;
+            double* a1 = s1.data() + (size_t)c * D;
+            memset(a0, 0, sizeof(double) * D);
+            memset(a1, 0, sizeof(double) * D);
+            int64_t k0 = 0, k1 = 0;
+            int64_t hi = std::min((c + 1) * CHUNK, m);
+            for (int64_t i = c * CHUNK; i < hi; ++i) {
+                const float* x = X + idx[i] * (int64_t)D;
+                double* a = assign[i] ? a1 : a0;
+                if (assign[i]) ++k1; else ++k0;
+                for (int32_t j = 0; j < D; ++j) a[j] += x[j];
+            }
+            n0[c] = k0;
+            n1[c] = k1;
+        }
+        std::vector<double> t0(D, 0.0), t1(D, 0.0);
+        int64_t k0 = 0, k1 = 0;
+        for (int64_t c = 0; c < nch; ++c) {
+            for (int32_t j = 0; j < D; ++j) {
+                t0[j] += s0[(size_t)c * D + j];
+                t1[j] += s1[(size_t)c * D + j];
+            }
+            k0 += n0[c];
+            k1 += n1[c];
+        }
+        if (k0) for (int32_t j = 0; j < D; ++j) c0[j] = t0[j] / k0;
+        if (k1) for (int32_t j = 0; j < D; ++j) c1[j] = t1[j] / k1;
+    }
+
+    // per-side SSE about the side's own mean: sum ||x||^2 - k ||mean||^2
+    std::vector<double> cr0(nch), cr1(nch);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t c = 0; c < nch; ++c) {
+        double* a0 = s0.data() + (size_t)c * D;
+        double* a1 = s1.data() + (size_t)c * D;
+        memset(a0, 0, sizeof(double) * D);
+        memset(a1, 0, sizeof(double) * D);
+        int64_t k0 = 0, k1 = 0;
+        double r0 = 0, r1 = 0;
+        int64_t hi = std::min((c + 1) * CHUNK, m);
+        for (int64_t i = c * CHUNK; i < hi; ++i) {
+            const float* x = X + idx[i] * (int64_t)D;
+            double* a = assign[i] ? a1 : a0;
+            double rr = 0;
+            for (int32_t j = 0; j < D; ++j) {
+                a[j] += x[j];
+                rr += (double)x[j] * x[j];
+            }
+            if (assign[i]) { ++k1; r1 += rr; } else { ++k0; r0 += rr; }
+        }
+        n0[c] = k0;
+        n1[c] = k1;
+        cr0[c] = r0;
+        cr1[c] = r1;
+    }
+    std::vector<double> mean0(D, 0.0), mean1(D, 0.0);
+    int64_t k0 = 0, k1 = 0;
+    double r0 = 0, r1 = 0;
+    for (int64_t c = 0; c < nch; ++c) {
+        for (int32_t j = 0; j < D; ++j) {
+            mean0[j] += s0[(size_t)c * D + j];
+            mean1[j] += s1[(size_t)c * D + j];
+        }
+        k0 += n0[c];
+        k1 += n1[c];
+        r0 += cr0[c];
+        r1 += cr1[c];
+    }
+    double m0 = 0, m1 = 0;
+    for (int32_t j = 0; j < D; ++j) {
+        if (k0) { double v = mean0[j] / k0; m0 += v * v; }
+        if (k1) { double v = mean1[j] / k1; m1 += v * v; }
+    }
+    sse_out[0] = k0 ? r0 - k0 * m0 : 0.0;
+    sse_out[1] = k1 ? r1 - k1 * m1 : 0.0;
+}
+
+// pooled membership features: feature row s counts set s's colors falling
+// in each of D equal-width color blocks (the converters' clustering /
+// chain-order space; reference sketches instead — build_util.hpp:148-253).
+// Parallel over sets (rows are private). `out` (n*D u32) must be zeroed.
+extern "C" void fn_pooled_features(const uint32_t* cat, const int64_t* offs,
+                                   int64_t n, uint32_t num_colors, int32_t D,
+                                   uint32_t* out) {
+    uint32_t nc = num_colors ? num_colors : 1;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 1024)
+#endif
+    for (int64_t s = 0; s < n; ++s) {
+        uint32_t* row = out + (size_t)s * (size_t)D;
+        for (int64_t i = offs[s]; i < offs[s + 1]; ++i)
+            row[(uint64_t)cat[i] * (uint64_t)D / nc]++;
+    }
+}
+
+// per-segment symmetric difference of two families of sorted duplicate-free
+// u32 lists: out segment s = setxor1d(a_s, b_s), sorted. Two-pointer merges
+// parallel over segments — O(total) and cache-coherent, replacing the
+// converter's global combined-key sort (chain-diff coding's hot op at
+// ~10^8 elements; reference differential coding: differential.hpp:21-99).
+// out_offs: (n+1) caller-allocated; *out_cat: malloc'd, release w/ fn_free.
+extern "C" int fn_symdiff_segments(const uint32_t* a, const int64_t* oa,
+                                   const uint32_t* b, const int64_t* ob,
+                                   int64_t n, int64_t* out_offs,
+                                   uint32_t** out_cat) {
+    std::vector<int64_t> cnt((size_t)n);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 2048)
+#endif
+    for (int64_t s = 0; s < n; ++s) {
+        int64_t i = oa[s], ie = oa[s + 1], j = ob[s], je = ob[s + 1];
+        int64_t c = 0;
+        while (i < ie && j < je) {
+            uint32_t x = a[i], y = b[j];
+            i += (x <= y);
+            j += (y <= x);
+            c += (x != y);
+        }
+        cnt[(size_t)s] = c + (ie - i) + (je - j);
+    }
+    out_offs[0] = 0;
+    for (int64_t s = 0; s < n; ++s) out_offs[s + 1] = out_offs[s] + cnt[(size_t)s];
+    uint32_t* out = (uint32_t*)malloc(
+        sizeof(uint32_t) * (size_t)std::max<int64_t>(1, out_offs[n]));
+    if (!out) return 1;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 2048)
+#endif
+    for (int64_t s = 0; s < n; ++s) {
+        int64_t i = oa[s], ie = oa[s + 1], j = ob[s], je = ob[s + 1];
+        uint32_t* p = out + out_offs[s];
+        while (i < ie && j < je) {
+            uint32_t x = a[i], y = b[j];
+            if (x == y) {
+                ++i; ++j;
+            } else if (x < y) {
+                *p++ = x; ++i;
+            } else {
+                *p++ = y; ++j;
+            }
+        }
+        while (i < ie) *p++ = a[i++];
+        while (j < je) *p++ = b[j++];
+    }
+    *out_cat = out;
+    return 0;
 }

@@ -543,6 +543,7 @@ class QueryEngine:
         fmtr.has_bits = hasattr(inner, "write_batch_bits")
         num_reads = 0
         query_sec = 0.0
+        host_sec = 0.0  # host-side result reduction (dedup-intersect etc.)
         ovf_ids: list[int] = []  # reads needing the exact host redo (rare)
 
         runs_fetch = (self.use_runs_fetch and fmtr.has_bits
@@ -662,11 +663,12 @@ class QueryEngine:
             # FI via distinct run csids: normalize each read's <=R csids to a
             # sorted-unique key, intersect once per DISTINCT key on the host
             # dense rows, fan results back out as bitset rows
-            nonlocal num_reads, query_sec
+            nonlocal num_reads, query_sec, host_sec
             tq = time.perf_counter()
             runs = np.asarray(handle[0][:n])
             ovf = np.asarray(handle[1][:n])
-            query_sec += time.perf_counter() - tq
+            th = time.perf_counter()
+            query_sec += th - tq
             keep = (lens <= MAX_STREAM_WIDTH) & ~ovf
             if ovf.any():
                 ovf_ids.extend(
@@ -692,6 +694,7 @@ class QueryEngine:
                     self.idx.color_rows(flat), starts, axis=0
                 )
             fmtr.write_batch_bits((qid0 + kj).astype(np.uint32), res[inv])
+            host_sec += time.perf_counter() - th
 
         def consume_tubits(qid0, n, lens, _names, handle):
             nonlocal num_reads, query_sec
@@ -746,6 +749,7 @@ class QueryEngine:
             num_mapped=num_mapped,
             parse_sec=parse_sec,
             query_sec=query_sec,
+            host_sec=host_sec,
             write_sec=fmtr.busy_sec,
         )
         if verbose:
@@ -859,6 +863,7 @@ class QueryEngine:
         print(
             f"stage busy: parse {stats.get('parse_sec', 0.0):.3f}s "
             f"query {stats.get('query_sec', 0.0):.3f}s "
+            f"host {stats.get('host_sec', 0.0):.3f}s "
             f"write {stats.get('write_sec', 0.0):.3f}s"
         )
 
