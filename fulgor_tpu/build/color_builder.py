@@ -237,7 +237,25 @@ KIND_TARGET = {
 }
 
 
+def _mem_available() -> int:
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) * 1024
+    except OSError:
+        pass
+    return 8 << 30
+
+
 def convert(idx: Index, meta: bool, diff: bool) -> Index:
+    from ..native import lib as _native
+
+    # converters stream through ~12x the decoded color-set bytes in numpy
+    # temporaries; pre-fault that much reusable heap with all cores instead
+    # of paying serial demand faults mid-pipeline (slow on this host)
+    cat, _offs = idx.color_sets_decoded()
+    _native.warm_heap(min(12 * max(cat.nbytes, 1), int(0.4 * _mem_available())))
     if meta and diff:
         return meta_diff_color(idx)
     if meta:

@@ -142,6 +142,8 @@ def _load():
             ct.POINTER(ct.c_uint64),
         ]
         lib.fn_pack_patterns.restype = None
+        lib.fn_touch.argtypes = [ct.c_char_p, ct.c_int64]
+        lib.fn_touch.restype = None
         _lib = lib
         return lib
 
@@ -339,6 +341,25 @@ def sort_i64(arr: np.ndarray) -> np.ndarray:
     if len(arr):
         lib.fn_sort_i64(arr.ctypes.data_as(ct.POINTER(ct.c_int64)), len(arr))
     return arr
+
+
+_warmed_bytes = 0
+
+
+def warm_heap(nbytes: int):
+    """Pre-fault ~nbytes of reusable heap with all cores (one-time, ~4x the
+    serial demand-fault rate on this host). With the package's malloc tuning
+    the pages then stay mapped and every later large numpy allocation reuses
+    them instead of faulting mid-pipeline. No-op for already-warmed bytes."""
+    global _warmed_bytes
+    nbytes = int(nbytes)
+    if nbytes <= _warmed_bytes:
+        return
+    lib = _load()
+    buf = np.empty(nbytes, dtype=np.uint8)
+    lib.fn_touch(buf.ctypes.data_as(ct.c_char_p), nbytes)
+    _warmed_bytes = nbytes
+    del buf
 
 
 def pack_patterns(pats: np.ndarray, lens: np.ndarray, total_bits: int) -> np.ndarray:

@@ -1400,6 +1400,20 @@ extern "C" void fn_sort_i64(int64_t* data, int64_t n) {
     PAR_SORT(data, data + n);
 }
 
+// parallel first-touch of a buffer: demand faulting on virtualized hosts
+// runs ~170 MB/s per thread, so a one-shot parallel warm of the reusable
+// heap (see fulgor_tpu.__init__._tune_malloc) beats paying serial faults
+// scattered through a pipeline.
+extern "C" void fn_touch(char* p, int64_t nbytes) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t i = 0; i < nbytes; i += 1 << 21) {
+        int64_t len = std::min<int64_t>(1 << 21, nbytes - i);
+        memset(p + i, 0, (size_t)len);
+    }
+}
+
 // sequential LSB-first bit-stream pack of (pattern, length) pairs (the
 // BitWriter hot loop; np.bitwise_or.at runs ~5M items/s, this ~300M/s).
 // `words` must be zeroed with ONE word of slack past the stream end (the

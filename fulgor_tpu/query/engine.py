@@ -912,28 +912,20 @@ class QueryEngine:
             ovf_ids.extend(
                 (qid0 + np.flatnonzero(ovf_any & (lens <= MAX_STREAM_WIDTH))).tolist()
             )
-            valid = rc != INVALID_U32
-            nruns = valid.sum(axis=1)
-            sel_names, starts, lens_r, ids, run_offs = [], [], [], [], [0]
-            for j in range(n):
-                if not keep[j]:
-                    continue
-                v = valid[j]
-                sel_names.append(names[j])
-                starts.append(rs[j][v])
-                lens_r.append(rl[j][v])
-                ids.append(rc[j][v])
-                run_offs.append(run_offs[-1] + int(nruns[j]))
-            if sel_names:
-                f.write(
-                    native.format_kc(
-                        sel_names,
-                        np.concatenate(starts) if run_offs[-1] else np.empty(0, np.uint32),
-                        np.concatenate(lens_r) if run_offs[-1] else np.empty(0, np.uint32),
-                        np.concatenate(ids) if run_offs[-1] else np.empty(0, np.uint32),
-                        np.array(run_offs, dtype=np.int64),
-                    )
+            kj = np.flatnonzero(keep)
+            if not len(kj):
+                return
+            # row-major boolean flatten keeps per-read run order
+            v = rc[kj] != INVALID_U32
+            run_offs = np.zeros(len(kj) + 1, dtype=np.int64)
+            np.cumsum(v.sum(axis=1), out=run_offs[1:])
+            f.write(
+                native.format_kc(
+                    [names[j] for j in kj],
+                    rs[kj][v], rl[kj][v], rc[kj][v],
+                    run_offs,
                 )
+            )
 
         total, long_ids, _psec = self._stream(query_path, dispatch, consume,
                                               need_names=True, progress=verbose)
