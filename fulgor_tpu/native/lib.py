@@ -10,7 +10,11 @@ import threading
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SO = os.path.join(_DIR, "libfulgor_native.so")
+# FULGOR_NATIVE_LIB: alternate build override (e.g. the ASan build — see
+# the Makefile's `asan` target for the full invocation)
+_SO = os.environ.get("FULGOR_NATIVE_LIB") or os.path.join(
+    _DIR, "libfulgor_native.so"
+)
 _SRC = os.path.join(_DIR, "src", "fulgor_native.cpp")
 
 _lock = threading.Lock()

@@ -166,3 +166,75 @@ def test_reads_select(tmp_path):
         np.testing.assert_array_equal(row, K.seq_to_codes(seqs[i]))
     rows, names = N.parse_reads_select(str(p), [])
     assert rows == [] and names == []
+
+
+def test_symdiff_segments_fuzz():
+    """fn_symdiff_segments == np.setxor1d per segment (incl. empty segs)."""
+    rng = np.random.default_rng(0)
+    for trial in range(50):
+        n = int(rng.integers(0, 30))
+        A, B, oa, ob = [], [], [0], [0]
+        for _ in range(n):
+            a = np.unique(rng.integers(0, 50, rng.integers(0, 12)))
+            b = np.unique(rng.integers(0, 50, rng.integers(0, 12)))
+            A.append(a)
+            B.append(b)
+            oa.append(oa[-1] + len(a))
+            ob.append(ob[-1] + len(b))
+        ca = np.concatenate(A).astype(np.uint32) if n else np.empty(0, np.uint32)
+        cb = np.concatenate(B).astype(np.uint32) if n else np.empty(0, np.uint32)
+        oc, oo = N.symdiff_segments(
+            ca, np.array(oa, np.int64), cb, np.array(ob, np.int64)
+        )
+        for s in range(n):
+            want = np.setxor1d(A[s], B[s]).astype(np.uint32)
+            np.testing.assert_array_equal(want, oc[oo[s] : oo[s + 1]])
+
+
+def test_pooled_features_matches_bincount():
+    rng = np.random.default_rng(1)
+    n, C, D = 200, 37, 8
+    sizes = rng.integers(0, C, n)
+    offs = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
+    cat = rng.integers(0, C, int(offs[-1])).astype(np.uint32)
+    got = N.pooled_features(cat, offs, C, D)
+    want = np.zeros((n, D), np.uint32)
+    for s in range(n):
+        for c in cat[offs[s] : offs[s + 1]]:
+            want[s, int(c) * D // C] += 1
+    np.testing.assert_array_equal(got, want)
+
+
+def test_bisect2_properties():
+    """Deterministic, valid 2-way split with exact child SSEs."""
+    rng = np.random.default_rng(2)
+    X = np.ascontiguousarray(
+        np.concatenate([rng.normal(0, 1, (300, 16)), rng.normal(8, 1, (200, 16))]),
+        dtype=np.float32,
+    )
+    idx = np.arange(len(X), dtype=np.int64)
+    a1, s0, s1 = N.bisect2(X, idx, 5, 10)
+    a2, t0, t1 = N.bisect2(X, idx, 5, 10)
+    np.testing.assert_array_equal(a1, a2)
+    assert (s0, s1) == (t0, t1)
+    # the two planted clusters must be separated
+    assert len(set(a1[:300])) == 1 and len(set(a1[300:])) == 1
+    assert a1[0] != a1[-1]
+    for side in (0, 1):
+        sub = X[idx[a1 == side]].astype(np.float64)
+        want = ((sub - sub.mean(axis=0)) ** 2).sum()
+        got = s0 if side == 0 else s1
+        assert abs(got - want) < 1e-6 * max(1.0, want)
+
+
+def test_pack_patterns_roundtrip():
+    from fulgor_tpu.core.bitsx import BitReader, BitWriter
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 1 << 40, 1000).astype(np.uint64)
+    w = BitWriter()
+    w.append_deltas(vals)
+    words = w.finalize()
+    r = BitReader(words, 0)
+    got = np.array([r.read_delta() for _ in range(len(vals))], dtype=np.uint64)
+    np.testing.assert_array_equal(got, vals)
