@@ -48,3 +48,26 @@ def _tune_malloc():
 
 
 _tune_malloc()
+
+
+def _honor_jax_platforms():
+    """Make JAX_PLATFORMS work under device plugins that ignore the env var
+    (e.g. tunneled TPU backends): the jax_platforms CONFIG knob does stick
+    when set before backend initialization, so apply it at package import —
+    before any submodule can trigger device discovery. Lets
+    `JAX_PLATFORMS=cpu fulgor ...` run host-only when the accelerator is
+    unreachable."""
+    import os
+
+    plat = os.environ.get("JAX_PLATFORMS")
+    if not plat:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+    except Exception:
+        pass
+
+
+_honor_jax_platforms()

@@ -120,11 +120,14 @@ def estimate_build_passes(filenames: list[str], ram_gib: float) -> int:
 
 def build_index(
     filenames: list[str], k: int = 31, m: int = 20, verbose: bool = False,
-    ram_gib: float = 8.0, dict_kind: str = "mini",
+    ram_gib: float = 8.0, dict_kind: str = "mini", spill_dir: str | None = None,
 ) -> Index:
     """Full build from a list of FASTA(.gz) reference files (color order =
     file order, as the reference's -l list). ram_gib bounds the pair-table
-    memory via multi-pass construction (reference -g flag semantics)."""
+    memory via multi-pass construction (reference -g flag semantics);
+    spill_dir switches the multi-pass partitioning from per-pass re-parsing
+    to a single parse spilling partition streams to temp files there
+    (reference -d temp-dir semantics, GGCAT.hpp:42-50)."""
     import time
 
     from ..native import lib as native
@@ -132,11 +135,12 @@ def build_index(
     passes = estimate_build_passes(filenames, ram_gib)
     t0 = time.perf_counter()
     if verbose:
+        mode = f"spill to {spill_dir}" if spill_dir and passes > 1 else "re-parse"
         print(
             f"step 1+2. building ccdBG over {len(filenames)} references "
-            f"(k={k}, passes={passes})..."
+            f"(k={k}, passes={passes}, {mode})..."
         )
-    g = native.build_ccdbg(filenames, k, num_passes=passes)
+    g = native.build_ccdbg(filenames, k, num_passes=passes, spill_dir=spill_dir)
     t1 = time.perf_counter()
     if verbose:
         print(

@@ -46,23 +46,21 @@ def color_features(idx: Index) -> np.ndarray:
     and one weighted bincount over the (set, color) incidences costs
     seconds where the register-row merge of 2^p-wide HLLs costs minutes at
     half a million sets."""
+    from ..native import lib as _native
+
     cat, offs = idx.color_sets_decoded()
     S = idx.num_color_sets
     w = np.sqrt(
         np.bincount(idx.u2c_csid.astype(np.int64), minlength=S).astype(np.float64)
     )
-    sizes = (offs[1:] - offs[:-1]).astype(np.int64)
-    from ..core.colorstores import seg_ids
-
-    sid = seg_ids(sizes)
-    hs = (SK._splitmix64(sid.astype(np.uint64)) % np.uint64(POOLED_DIMS)).astype(
-        np.int64
-    )
-    key = cat.astype(np.int64) * POOLED_DIMS + hs
-    feat = np.bincount(
-        key, weights=w[sid], minlength=idx.num_colors * POOLED_DIMS
-    ).astype(np.float32)
-    return feat.reshape(idx.num_colors, POOLED_DIMS)
+    # 20-bit fixed point keeps the accumulation integer: order-independent
+    # (thread-count-invariant) and exact to ~1e-6 relative
+    wq = np.round(w * float(1 << 20)).astype(np.uint64)
+    hs = (
+        SK._splitmix64(np.arange(S, dtype=np.uint64)) % np.uint64(POOLED_DIMS)
+    ).astype(np.uint16)
+    feat = _native.color_features_fp(cat, offs, wq, hs, POOLED_DIMS, idx.num_colors)
+    return (feat.astype(np.float64) / float(1 << 20)).astype(np.float32)
 
 
 def set_features(cat, offs, num_colors) -> np.ndarray:
@@ -99,18 +97,11 @@ def permute_colors(idx: Index, min_cluster_size: int | None = None):
 
 def _permuted_sets(idx: Index, perm: np.ndarray):
     cat, offs = idx.color_sets_decoded()
-    # re-sort within each set: one combined-key sort (sid * C + color) is
-    # several times faster than a 2-key lexsort at 10^8+ elements
-    from ..core.colorstores import seg_ids
-
-    C = np.int64(idx.num_colors)
-    sizes = (offs[1:] - offs[:-1]).astype(np.int64)
-    sid = seg_ids(sizes)
-    key = sid * C + perm[cat.astype(np.int64)]
+    # apply the permutation and re-sort within each set (native, parallel
+    # over segments — no global combined-key sort)
     from ..native import lib as _native
 
-    key = _native.sort_i64(key)
-    return (key % C).astype(np.uint32), offs
+    return _native.permute_sort_segments(cat, offs, perm.astype(np.uint32)), offs
 
 
 def cluster_color_sets(cat, offs, num_colors, feats=None) -> np.ndarray:
@@ -285,18 +276,19 @@ def check_conversion(base: Index, converted: Index) -> bool:
         s = int(np.flatnonzero(bs != cs)[0])
         print(f"CHECK FAILED: set {s} size mismatch")
         return False
-    # segmented sort both sides (combined-key sorts), then compare wholesale
-    from ..core.colorstores import seg_ids
-
-    C = np.int64(base.num_colors)
-    sid = seg_ids(bs)
+    # permute+sort the base side per segment (native, parallel), sort the
+    # converted side per segment, then compare wholesale
     from ..native import lib as _native
 
-    pb = _native.sort_i64(sid * C + perm[bcat.astype(np.int64)])
-    cc = _native.sort_i64(sid * C + ccat.astype(np.int64))
+    pb = _native.permute_sort_segments(bcat, boffs, perm.astype(np.uint32))
+    cc = _native.permute_sort_segments(
+        ccat, coffs, np.arange(converted.num_colors, dtype=np.uint32)
+    )
     bad = pb != cc
     if bad.any():
-        s = int(sid[np.flatnonzero(bad)[0]])
+        from ..core.colorstores import seg_ids
+
+        s = int(seg_ids(bs)[np.flatnonzero(bad)[0]])
         print(f"CHECK FAILED: set {s} mismatch")
         return False
     return True

@@ -25,6 +25,13 @@ def _enable_compile_cache():
     try:
         import jax
 
+        # honor JAX_PLATFORMS even with device plugins that ignore the env
+        # var (e.g. tunneled TPU backends): the config knob sticks when set
+        # before backend initialization, letting `JAX_PLATFORMS=cpu fulgor`
+        # run host-only when the accelerator is unreachable
+        plat = os.environ.get("JAX_PLATFORMS")
+        if plat:
+            jax.config.update("jax_platforms", plat)
         cache = os.path.join(os.path.expanduser("~"), ".cache", "fulgor_tpu_xla")
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
@@ -57,6 +64,7 @@ def cmd_build(args):
     idx = build_index(
         filenames, k=args.k, m=args.m, verbose=args.verbose, ram_gib=args.ram_gib,
         dict_kind=args.dict_kind,
+        spill_dir=(args.tmp_dir if args.tmp_dir != "." else None),
     )
     idx.save(out)
     if args.verbose:
@@ -232,7 +240,10 @@ def main(argv=None):
     b.add_argument("-o", dest="output", required=True, help="output index basename")
     b.add_argument("-k", dest="k", type=int, default=31)
     b.add_argument("-m", dest="m", type=int, default=20)
-    b.add_argument("-d", dest="tmp_dir", default=".", help="(accepted for parity)")
+    b.add_argument("-d", dest="tmp_dir", default=".",
+                   help="temp dir for external-memory (disk-spill) multi-pass "
+                        "construction; with the default '.', multi-pass "
+                        "re-parses the inputs instead")
     b.add_argument("-g", dest="ram_gib", type=float, default=8,
                    help="RAM budget (GiB) for the build pair table; larger "
                         "corpora use more re-parse passes")

@@ -279,46 +279,59 @@ def intern_partials(cat, offs, num_colors, partition_bounds):
       plists_cat, plists_offs  unique partial contents (relative colors),
                                ordered by (partition, local id)
     """
+    from ..native import lib as _native
+
     S = len(offs) - 1
     P = len(partition_bounds) - 1
+    L = len(cat)
     sizes = (offs[1:] - offs[:-1]).astype(np.int64)
-    sid = np.repeat(np.arange(S, dtype=np.int64), sizes)
+    sid = seg_ids(sizes)
     part_of_color = (
         np.searchsorted(partition_bounds, np.arange(num_colors), side="right") - 1
     )
     parts = part_of_color[cat.astype(np.int64)]
     rel = (cat.astype(np.int64) - np.asarray(partition_bounds)[parts]).astype(np.uint32)
 
-    prev_sid = np.concatenate([[-1], sid[:-1]])
-    prev_part = np.concatenate([[-1], parts[:-1]])
-    is_new = (sid != prev_sid) | (parts != prev_part)
-    occ_id = np.cumsum(is_new) - 1  # partial occurrence per element
+    is_new = np.empty(L, dtype=bool)
+    if L:
+        is_new[0] = True
+        np.not_equal(sid[1:], sid[:-1], out=is_new[1:])
+        is_new[1:] |= parts[1:] != parts[:-1]
     starts = np.flatnonzero(is_new)
     n_occ = len(starts)
-    occ_sizes = np.diff(np.concatenate([starts, [len(cat)]]))
+    occ_sizes = np.diff(np.concatenate([starts, [L]]))
     occ_set = sid[starts]
     occ_part = parts[starts]
     meta_counts = np.bincount(occ_set, minlength=S)
     meta_offs = np.concatenate([[0], np.cumsum(meta_counts)]).astype(np.int64)
 
-    # content hashes (position-mixed, summed per occurrence)
-    within = np.arange(len(cat), dtype=np.int64) - np.repeat(starts, occ_sizes)
-    e1 = _splitmix64_np(rel.astype(np.uint64) ^ (np.uint64(0x9E3779B1) * within.astype(np.uint64)))
-    e2 = _splitmix64_np((rel.astype(np.uint64) + np.uint64(1)) * np.uint64(0xC2B2AE3D)
-                        + within.astype(np.uint64))
-    h1 = np.add.reduceat(e1, starts) if n_occ else np.empty(0, np.uint64)
-    h2 = np.add.reduceat(e2, starts) if n_occ else np.empty(0, np.uint64)
+    # content hashes (position-mixed, summed per occurrence; native parallel)
+    h1, h2 = _native.hash_partials(rel, starts, L)
 
-    keys = np.stack([occ_part.astype(np.uint64), h1, h2], axis=1)
-    uniq, first_idx, inverse = np.unique(
-        keys, axis=0, return_index=True, return_inverse=True
+    # group identical (partition, h1, h2) triples: a 3-key lexsort + run
+    # detection replaces np.unique(axis=0) (void-compare sort, several times
+    # slower). The resulting ids are identical: ranks depend only on
+    # (partition, first-occurrence index), not on group enumeration order.
+    so = np.lexsort((h2, h1, occ_part))
+    kp, k1, k2 = occ_part[so], h1[so], h2[so]
+    new = np.empty(n_occ, dtype=bool)
+    if n_occ:
+        new[0] = True
+        new[1:] = (kp[1:] != kp[:-1]) | (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])
+    gstart = np.flatnonzero(new)
+    gid_sorted = np.cumsum(new) - 1 if n_occ else np.empty(0, np.int64)
+    first_idx = (
+        np.minimum.reduceat(so, gstart) if n_occ else np.empty(0, np.int64)
     )
+    grp_part = kp[gstart] if n_occ else np.empty(0, np.int64)
     # local ids: first-occurrence order within each partition
-    order = np.lexsort((first_idx, uniq[:, 0]))  # by (partition, first occurrence)
-    rank_of_uniq = np.empty(len(uniq), dtype=np.int64)
-    rank_of_uniq[order] = np.arange(len(uniq))
-    per_part = np.bincount(uniq[:, 0].astype(np.int64), minlength=P)
+    order = np.lexsort((first_idx, grp_part))  # by (partition, first occurrence)
+    rank_of_uniq = np.empty(len(gstart), dtype=np.int64)
+    rank_of_uniq[order] = np.arange(len(gstart))
+    per_part = np.bincount(grp_part.astype(np.int64), minlength=P)
     partial_base = np.concatenate([[0], np.cumsum(per_part)]).astype(np.int64)
+    inverse = np.empty(n_occ, dtype=np.int64)
+    inverse[so] = gid_sorted
     occ_global = rank_of_uniq[inverse]  # global partial id per occurrence
 
     # unique contents ordered by global id: representative = first occurrence
@@ -326,10 +339,7 @@ def intern_partials(cat, offs, num_colors, partition_bounds):
     rep_start = starts[rep]
     rep_size = occ_sizes[rep]
     plists_offs = np.concatenate([[0], np.cumsum(rep_size)]).astype(np.int64)
-    gather = np.repeat(rep_start, rep_size) + (
-        np.arange(int(rep_size.sum())) - np.repeat(plists_offs[:-1], rep_size)
-    )
-    plists_cat = rel[gather]
+    plists_cat = rel[seg_gather_idx(rep_start, rep_size)]
     return dict(
         occ_set=occ_set,
         occ_part=occ_part,

@@ -51,6 +51,11 @@ def _load():
             ct.c_char_p, ct.c_int, ct.c_int, ct.c_int, ct.POINTER(CcdbgOut)
         ]
         lib.fn_build_ccdbg_mp.restype = ct.c_int
+        lib.fn_build_ccdbg_spill.argtypes = [
+            ct.c_char_p, ct.c_int, ct.c_int, ct.c_int, ct.c_char_p,
+            ct.POINTER(CcdbgOut),
+        ]
+        lib.fn_build_ccdbg_spill.restype = ct.c_int
         lib.fn_cuckoo_build.argtypes = [
             ct.POINTER(ct.c_uint64),
             ct.POINTER(ct.c_uint32),
@@ -148,6 +153,23 @@ def _load():
         lib.fn_pack_patterns.restype = None
         lib.fn_touch.argtypes = [ct.c_char_p, ct.c_int64]
         lib.fn_touch.restype = None
+        lib.fn_hash_partials.argtypes = [
+            ct.POINTER(ct.c_uint32), ct.POINTER(ct.c_int64),
+            ct.c_int64, ct.c_int64,
+            ct.POINTER(ct.c_uint64), ct.POINTER(ct.c_uint64),
+        ]
+        lib.fn_hash_partials.restype = None
+        lib.fn_color_features_fp.argtypes = [
+            ct.POINTER(ct.c_uint32), ct.POINTER(ct.c_int64), ct.c_int64,
+            ct.POINTER(ct.c_uint64), ct.POINTER(ct.c_uint16),
+            ct.c_int32, ct.c_int64, ct.POINTER(ct.c_uint64),
+        ]
+        lib.fn_color_features_fp.restype = None
+        lib.fn_permute_sort_segments.argtypes = [
+            ct.POINTER(ct.c_uint32), ct.POINTER(ct.c_int64), ct.c_int64,
+            ct.POINTER(ct.c_uint32),
+        ]
+        lib.fn_permute_sort_segments.restype = None
         _lib = lib
         return lib
 
@@ -163,16 +185,26 @@ def _take(ptr, n, dtype):
     return arr
 
 
-def build_ccdbg(paths: list[str], k: int, num_passes: int = 1):
+def build_ccdbg(paths: list[str], k: int, num_passes: int = 1,
+                spill_dir: str | None = None):
     """Native ccdBG build -> dict of arrays (same contract as build_ccdbg_py).
 
-    num_passes > 1 bounds peak (k-mer, color) pair memory by re-parsing the
-    inputs per key-range partition — the scale knob for corpora whose pair
-    table exceeds RAM (output is pass-count invariant)."""
+    num_passes > 1 bounds peak (k-mer, color) pair memory by processing key
+    partitions one at a time (the scale knob for corpora whose pair table
+    exceeds RAM; output is pass-count invariant). The partition streams
+    come from re-parsing the inputs per pass, or — with spill_dir set —
+    from ONE parse that spills each partition to a temp file there
+    (external-memory mode for slow-to-parse corpora; reference GGCAT temp
+    dirs, GGCAT.hpp:42-50)."""
     lib = _load()
     blob = b"\0".join(p.encode() for p in paths) + b"\0"
     out = CcdbgOut()
-    rc = lib.fn_build_ccdbg_mp(blob, len(paths), k, num_passes, ct.byref(out))
+    if spill_dir is not None and num_passes > 1:
+        rc = lib.fn_build_ccdbg_spill(
+            blob, len(paths), k, num_passes, spill_dir.encode(), ct.byref(out)
+        )
+    else:
+        rc = lib.fn_build_ccdbg_mp(blob, len(paths), k, num_passes, ct.byref(out))
     if rc != 0:
         raise RuntimeError(f"fn_build_ccdbg failed rc={rc} (bad path or invalid k={k}?)")
     return dict(
@@ -400,6 +432,68 @@ def bisect2(X: np.ndarray, idx: np.ndarray, i0: int, max_iter: int):
         sse.ctypes.data_as(ct.POINTER(ct.c_double)),
     )
     return assign, float(sse[0]), float(sse[1])
+
+
+def color_features_fp(cat, offs, wq, hs, dims: int, num_colors: int):
+    """Fixed-point pooled co-occurrence features per color (parallel,
+    thread-count-invariant): out[c, hs[s]] += wq[s] for c in set s.
+    -> u64 (num_colors, dims)."""
+    lib = _load()
+    cat = np.ascontiguousarray(cat, dtype=np.uint32)
+    offs = np.ascontiguousarray(offs, dtype=np.int64)
+    wq = np.ascontiguousarray(wq, dtype=np.uint64)
+    hs = np.ascontiguousarray(hs, dtype=np.uint16)
+    out = np.zeros((num_colors, dims), dtype=np.uint64)
+    S = len(offs) - 1
+    if S:
+        lib.fn_color_features_fp(
+            cat.ctypes.data_as(ct.POINTER(ct.c_uint32)),
+            offs.ctypes.data_as(ct.POINTER(ct.c_int64)),
+            S,
+            wq.ctypes.data_as(ct.POINTER(ct.c_uint64)),
+            hs.ctypes.data_as(ct.POINTER(ct.c_uint16)),
+            dims, num_colors,
+            out.ctypes.data_as(ct.POINTER(ct.c_uint64)),
+        )
+    return out
+
+
+def permute_sort_segments(cat, offs, perm):
+    """Apply a color permutation within every segment and re-sort each
+    segment (parallel). Returns a new u32 array; `cat` is not modified."""
+    lib = _load()
+    out = np.array(cat, dtype=np.uint32, copy=True, order="C")
+    offs = np.ascontiguousarray(offs, dtype=np.int64)
+    perm = np.ascontiguousarray(perm, dtype=np.uint32)
+    n = len(offs) - 1
+    if n:
+        lib.fn_permute_sort_segments(
+            out.ctypes.data_as(ct.POINTER(ct.c_uint32)),
+            offs.ctypes.data_as(ct.POINTER(ct.c_int64)),
+            n,
+            perm.ctypes.data_as(ct.POINTER(ct.c_uint32)),
+        )
+    return out
+
+
+def hash_partials(rel: np.ndarray, starts: np.ndarray, total: int):
+    """Two position-mixed 64-bit content hashes per occurrence range
+    [starts[o], starts[o+1]) of `rel` (parallel). -> (h1, h2) u64."""
+    lib = _load()
+    rel = np.ascontiguousarray(rel, dtype=np.uint32)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    n = len(starts)
+    h1 = np.empty(n, dtype=np.uint64)
+    h2 = np.empty(n, dtype=np.uint64)
+    if n:
+        lib.fn_hash_partials(
+            rel.ctypes.data_as(ct.POINTER(ct.c_uint32)),
+            starts.ctypes.data_as(ct.POINTER(ct.c_int64)),
+            n, total,
+            h1.ctypes.data_as(ct.POINTER(ct.c_uint64)),
+            h2.ctypes.data_as(ct.POINTER(ct.c_uint64)),
+        )
+    return h1, h2
 
 
 def pooled_features(cat: np.ndarray, offs: np.ndarray, num_colors: int,

@@ -23,12 +23,15 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <cstdio>
 #include <memory>
+#include <mutex>
 #include <string>
 #include <thread>
 #include <unordered_map>
 #include <vector>
 
+#include <unistd.h>
 #include <zlib.h>
 
 #ifdef _OPENMP
@@ -284,8 +287,27 @@ extern "C" int fn_build_ccdbg(const char* paths, int num_files, int k, CcdbgOut*
     return fn_build_ccdbg_mp(paths, num_files, k, 1, out);
 }
 
+// disk-spill single-parse variant: parse every input ONCE, spilling each
+// key partition's (kmer, color) stream to a temp file under `tmpdir`, then
+// process partitions in ascending key order from disk (GGCAT's
+// external-memory discipline, include/GGCAT.hpp:42-50 — for corpora where
+// re-parsing is slower than the spill IO, e.g. 10^5 gz inputs).
+static int build_ccdbg_core(const char* paths, int num_files, int k,
+                            int num_passes, const char* tmpdir, CcdbgOut* out);
+
+extern "C" int fn_build_ccdbg_spill(const char* paths, int num_files, int k,
+                                    int num_passes, const char* tmpdir,
+                                    CcdbgOut* out) {
+    return build_ccdbg_core(paths, num_files, k, num_passes, tmpdir, out);
+}
+
 extern "C" int fn_build_ccdbg_mp(const char* paths, int num_files, int k, int num_passes,
                                  CcdbgOut* out) {
+    return build_ccdbg_core(paths, num_files, k, num_passes, nullptr, out);
+}
+
+static int build_ccdbg_core(const char* paths, int num_files, int k, int num_passes,
+                            const char* tmpdir, CcdbgOut* out) {
     if (k < 1 || k > 31 || (k % 2) == 0) return 2;
     if (num_passes < 1) num_passes = 1;
     // partition by the kmer's high bits: ceil-split of the 2k-bit keyspace
@@ -307,15 +329,110 @@ extern "C" int fn_build_ccdbg_mp(const char* paths, int num_files, int k, int nu
         }
     }
 
+    if (num_passes == 1) tmpdir = nullptr;  // spill == in-memory at 1 pass
+    std::vector<FILE*> spill;
+    std::vector<std::string> spill_paths;
+    if (tmpdir) {
+        // single parse: spill each partition's per-genome sorted k-mer
+        // slices as [color u32][n u64][n x kmer u64] records
+        uint64_t span = ((1ULL << key_space_bits) + num_passes - 1) / num_passes;
+        spill.assign(num_passes, nullptr);
+        spill_paths.resize(num_passes);
+        for (int p = 0; p < num_passes; ++p) {
+            char buf[4096];
+            snprintf(buf, sizeof buf, "%s/fulgor_spill_%d_%d.bin", tmpdir,
+                     (int)getpid(), p);
+            spill_paths[p] = buf;
+            spill[p] = fopen(buf, "wb+");
+            if (!spill[p]) {
+                for (int q = 0; q < p; ++q) {
+                    fclose(spill[q]);
+                    remove(spill_paths[q].c_str());
+                }
+                return 3;
+            }
+        }
+        std::vector<std::mutex> fmx(num_passes);
+        std::atomic<int> next{0};
+        std::atomic<bool> failed{false};
+        int nthreads = (int)std::min<size_t>(
+            {(size_t)num_files, std::max(1u, std::thread::hardware_concurrency()), 16});
+        auto work = [&]() {
+            for (;;) {
+                int color = next.fetch_add(1);
+                if (color >= num_files || failed.load()) return;
+                std::vector<uint64_t> all;
+                RollingKmers rk(k, &all);
+                bool ok = stream_fastx(
+                    files[color], [&](uint8_t c) { rk.push(c); }, [&]() { rk.reset(); });
+                if (!ok) {
+                    failed.store(true);
+                    return;
+                }
+                std::sort(all.begin(), all.end());
+                all.erase(std::unique(all.begin(), all.end()), all.end());
+                size_t a = 0;
+                for (int p = 0; p < num_passes && a < all.size(); ++p) {
+                    uint64_t hi_key = std::min<uint64_t>(
+                        (uint64_t)(p + 1) * span, 1ULL << key_space_bits);
+                    size_t b = (size_t)(std::lower_bound(all.begin() + a, all.end(),
+                                                         hi_key) -
+                                        all.begin());
+                    if (b > a) {
+                        uint64_t n = (uint64_t)(b - a);
+                        uint32_t col = (uint32_t)color;
+                        std::lock_guard<std::mutex> lk(fmx[p]);
+                        bool w = fwrite(&col, 4, 1, spill[p]) == 1 &&
+                                 fwrite(&n, 8, 1, spill[p]) == 1 &&
+                                 fwrite(all.data() + a, 8, n, spill[p]) == n;
+                        if (!w) failed.store(true);
+                    }
+                    a = b;
+                }
+            }
+        };
+        std::vector<std::thread> ths;
+        for (int t = 0; t < nthreads; ++t) ths.emplace_back(work);
+        for (auto& t : ths) t.join();
+        if (failed.load()) {
+            for (int p = 0; p < num_passes; ++p) {
+                fclose(spill[p]);
+                remove(spill_paths[p].c_str());
+            }
+            return 1;
+        }
+    }
+
     for (int pass = 0; pass < num_passes; ++pass) {
         // key range [lo, hi) for this pass
         uint64_t span = ((1ULL << key_space_bits) + num_passes - 1) / num_passes;
         uint64_t lo_key = (uint64_t)pass * span;
         uint64_t hi_key = std::min<uint64_t>((uint64_t)(pass + 1) * span, 1ULL << key_space_bits);
-        if (lo_key >= hi_key) continue;
 
         std::vector<KC> pairs;
-        {
+        if (tmpdir) {
+            // drain this partition's spill file (records already per-genome
+            // sorted; the global PAR_SORT below restores canonical order)
+            FILE* f = spill[pass];
+            fflush(f);
+            rewind(f);
+            uint32_t col;
+            uint64_t n;
+            std::vector<uint64_t> tmp;
+            while (fread(&col, 4, 1, f) == 1) {
+                if (fread(&n, 8, 1, f) != 1) break;
+                tmp.resize(n);
+                if (fread(tmp.data(), 8, n, f) != n) break;
+                size_t base = pairs.size();
+                pairs.resize(base + n);
+                for (uint64_t i = 0; i < n; ++i) pairs[base + i] = {tmp[i], col};
+            }
+            fclose(f);
+            remove(spill_paths[pass].c_str());
+            spill[pass] = nullptr;
+        } else if (lo_key >= hi_key) {
+            continue;
+        } else {
             std::vector<std::vector<uint64_t>> per_genome(num_files);
             std::atomic<int> next{0};
             std::atomic<bool> failed{false};
@@ -1398,6 +1515,85 @@ extern "C" int fn_format_psa_ascii_bits(const uint32_t* qids, const uint32_t* bi
 // 10^8-element combined-key arrays; gnu parallel sort uses all cores)
 extern "C" void fn_sort_i64(int64_t* data, int64_t n) {
     PAR_SORT(data, data + n);
+}
+
+// pooled co-occurrence features per COLOR in fixed-point: for every set s
+// and color c in s, out[c*D + hs[s]] += wq[s] (u64 accumulation is
+// order-independent, so per-thread partials keep the result exact and
+// thread-count-invariant; the f64 bincount this replaces was the
+// permuter's hot pass). Caller zeroes `out` (C*D).
+extern "C" void fn_color_features_fp(const uint32_t* cat, const int64_t* offs,
+                                     int64_t S, const uint64_t* wq,
+                                     const uint16_t* hs, int32_t D,
+                                     int64_t C, uint64_t* out) {
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+    {
+        std::vector<uint64_t> local((size_t)C * D, 0);
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 2048)
+#endif
+        for (int64_t s = 0; s < S; ++s) {
+            uint64_t w = wq[s];
+            int32_t h = hs[s];
+            for (int64_t i = offs[s]; i < offs[s + 1]; ++i)
+                local[(size_t)cat[i] * D + h] += w;
+        }
+#ifdef _OPENMP
+#pragma omp critical
+#endif
+        {
+            for (size_t i = 0; i < (size_t)C * D; ++i) out[i] += local[i];
+        }
+    }
+}
+
+// apply a color permutation inside every segment and re-sort the segment
+// (parallel over segments; replaces a global combined-key sort of
+// sid*C+perm[cat] at ~10^8 elements). In-place on `cat`.
+extern "C" void fn_permute_sort_segments(uint32_t* cat, const int64_t* offs,
+                                         int64_t n, const uint32_t* perm) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 2048)
+#endif
+    for (int64_t s = 0; s < n; ++s) {
+        for (int64_t i = offs[s]; i < offs[s + 1]; ++i) cat[i] = perm[cat[i]];
+        std::sort(cat + offs[s], cat + offs[s + 1]);
+    }
+}
+
+// position-mixed content hashes per partial-set occurrence (the meta
+// interner's dedup keys; reference hashes partials with CityHash128,
+// meta_builder.hpp:171-217). Two independent 64-bit sums; must match the
+// numpy formulas in colorstores.intern_partials exactly.
+static inline uint64_t splitmix64_mix(uint64_t x) {
+    x += 0x9E3779B97F4A7C15ULL;
+    uint64_t z = x;
+    z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
+    z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
+    return z ^ (z >> 31);
+}
+
+extern "C" void fn_hash_partials(const uint32_t* rel, const int64_t* starts,
+                                 int64_t n_occ, int64_t total,
+                                 uint64_t* h1, uint64_t* h2) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 4096)
+#endif
+    for (int64_t o = 0; o < n_occ; ++o) {
+        int64_t lo = starts[o];
+        int64_t hi = (o + 1 < n_occ) ? starts[o + 1] : total;
+        uint64_t a = 0, b = 0;
+        for (int64_t i = lo; i < hi; ++i) {
+            uint64_t w = (uint64_t)(i - lo);
+            uint64_t r = rel[i];
+            a += splitmix64_mix(r ^ (0x9E3779B1ULL * w));
+            b += splitmix64_mix((r + 1ULL) * 0xC2B2AE3DULL + w);
+        }
+        h1[o] = a;
+        h2[o] = b;
+    }
 }
 
 // parallel first-touch of a buffer: demand faulting on virtualized hosts

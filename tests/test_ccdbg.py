@@ -165,3 +165,27 @@ def test_ccdbg_fuzz_native_vs_python(tmp_path):
         naive = naive_kmer_colors(genomes, k)
         got_map = unitig_kmer_map(ref)
         assert set(got_map.keys()) == set(naive.keys()), f"t{trial}"
+
+
+def test_ccdbg_spill_equals_reparse(tmp_path):
+    """Disk-spill (single-parse) multi-pass build output is byte-identical
+    to the re-parse mode and to a single-pass build."""
+    from fulgor_tpu.native import lib as N
+    from tests.test_native import write_fasta
+
+    rng = np.random.default_rng(77)
+    k = 15
+    genomes = random_genomes(rng, num_colors=6, length=700, mut=0.05, k=k)
+    paths = []
+    for i, seqs in enumerate(genomes):
+        p = str(tmp_path / f"s{i}.fa")
+        write_fasta(p, seqs)
+        paths.append(p)
+    base = N.build_ccdbg(paths, k, num_passes=1)
+    for passes in (2, 5):
+        got = N.build_ccdbg(paths, k, num_passes=passes, spill_dir=str(tmp_path))
+        for key in ("unitig_codes", "unitig_offs", "unitig_cs", "cs_colors", "cs_offs"):
+            np.testing.assert_array_equal(got[key], base[key], err_msg=f"p{passes}:{key}")
+        assert got["num_kmers"] == base["num_kmers"]
+    # no temp files left behind
+    assert not [f for f in tmp_path.iterdir() if "fulgor_spill" in f.name]
