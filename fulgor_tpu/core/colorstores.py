@@ -28,7 +28,8 @@ import numpy as np
 
 from ..constants import KIND_DIFF, KIND_HYBRID, KIND_META, KIND_META_DIFF
 from . import hybrid as H
-from .bitsx import BitReader, BitWriter, EliasFano, delta_patterns
+from .bitsx import (BitReader, BitWriter, EliasFano, delta_patterns,
+                    seg_gather_idx, seg_ids)
 
 
 # --------------------------------------------------------------------------
@@ -81,8 +82,13 @@ def encode_delta_lists(lists_cat: np.ndarray, offs: np.ndarray, headers: np.ndar
         nz = starts[sizes > 0]
         vals[nz] = lists_cat[nz]
         p, l = delta_patterns(vals)
-        within = np.arange(len(lists_cat)) - np.repeat(starts, sizes)
-        dest = np.repeat(item_offs[:-1], sizes) + h + 1 + within
+        sid = seg_ids(sizes)
+        dest = (
+            item_offs[:-1][sid]
+            + h
+            + 1
+            + (np.arange(len(lists_cat), dtype=np.int64) - starts[sid])
+        )
         pats[dest] = p
         lens[dest] = l
     w.append_patterns(pats, lens)
@@ -226,35 +232,6 @@ class HybridStore:
 # --------------------------------------------------------------------------
 # meta
 # --------------------------------------------------------------------------
-
-
-def seg_ids(lens: np.ndarray) -> np.ndarray:
-    """np.repeat(arange(len(lens)), lens) via one cumsum — np.repeat with
-    ragged counts runs at ~15M elems/s; this runs at memory speed."""
-    lens = np.asarray(lens, dtype=np.int64)
-    total = int(lens.sum())
-    out = np.zeros(total, dtype=np.int64)
-    ends = np.cumsum(lens)[:-1]
-    np.add.at(out, ends[ends < total], 1)  # duplicates handle 0-length segs
-    return np.cumsum(out)
-
-
-def seg_gather_idx(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
-    """Flat gather indices covering [starts[i], starts[i]+lens[i]) segment
-    by segment (== np.repeat(starts, lens) + within-segment arange), via
-    one cumsum."""
-    lens = np.asarray(lens, dtype=np.int64)
-    nz = lens > 0
-    s = np.asarray(starts, dtype=np.int64)[nz]
-    l = lens[nz]
-    total = int(l.sum())
-    if total == 0:
-        return np.empty(0, dtype=np.int64)
-    d = np.ones(total, dtype=np.int64)
-    d[0] = s[0]
-    if len(s) > 1:
-        d[np.cumsum(l)[:-1]] = s[1:] - (s[:-1] + l[:-1] - 1)
-    return np.cumsum(d)
 
 
 def _splitmix64_np(x):
@@ -447,10 +424,7 @@ class MetaStore:
         ids = self._meta_ids()
         id_sizes = sizes[ids] if len(ids) else np.empty(0, np.int64)
         # expand: for each meta element, copy its partial's colors
-        reps = np.repeat(goffs[ids], id_sizes) if len(ids) else np.empty(0, np.int64)
-        within_start = np.concatenate([[0], np.cumsum(id_sizes)])[:-1]
-        within = np.arange(int(id_sizes.sum())) - np.repeat(within_start, id_sizes)
-        cat = gcat[reps + within].astype(np.uint32)
+        cat = gcat[seg_gather_idx(goffs[ids], id_sizes)].astype(np.uint32)
         # set offsets: sum partial sizes per set
         set_sizes = np.add.reduceat(
             id_sizes, self.meta_offs[:-1]
@@ -691,12 +665,7 @@ class DiffStore:
             return src[seg_gather_idx(seg_starts, seg_lens)]
 
         def write_sets(sel, flat):
-            tgt = np.repeat(offs[:-1][sel], sizes[sel]) + (
-                np.arange(int(sizes[sel].sum()))
-                - np.repeat(np.concatenate([[0], np.cumsum(sizes[sel])])[:-1],
-                            sizes[sel])
-            )
-            out[tgt] = flat
+            out[seg_gather_idx(offs[:-1][sel], sizes[sel])] = flat
 
         done = parent == np.arange(n)
         sel = np.flatnonzero(done)
@@ -869,10 +838,7 @@ class MetaDiffStore:
         ids = idcat.astype(np.int64)
         n = len(idoffs) - 1
         id_sizes = sizes[ids] if len(ids) else np.empty(0, np.int64)
-        reps = np.repeat(goffs[ids], id_sizes) if len(ids) else np.empty(0, np.int64)
-        within_start = np.concatenate([[0], np.cumsum(id_sizes)])[:-1]
-        within = np.arange(int(id_sizes.sum())) - np.repeat(within_start, id_sizes)
-        cat2 = gcat[reps + within].astype(np.uint32)
+        cat2 = gcat[seg_gather_idx(goffs[ids], id_sizes)].astype(np.uint32)
         set_sizes = np.add.reduceat(
             id_sizes, np.minimum(idoffs[:-1], max(0, len(ids) - 1))
         ) if n and len(ids) else np.zeros(max(0, n), np.int64)

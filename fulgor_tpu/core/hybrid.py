@@ -105,16 +105,19 @@ class HybridEncoder:
         pats[item_offs[:-1]] = p
         lens[item_offs[:-1]] = l
 
+        from .bitsx import seg_gather_idx, seg_ids
+
+        sid = seg_ids(sizes)
+
         # --- sparse payloads ---
         if sparse.any():
-            sel = np.repeat(sparse, sizes)
+            sel = sparse[sid]
             scolors = colors[sel]
             ssizes = sizes[sparse]
             sstarts = np.concatenate([[0], np.cumsum(ssizes)])[:-1]
             vals = _gap_values(scolors, sstarts, ssizes)
             p, l = delta_patterns(vals)
-            within = np.arange(len(scolors)) - np.repeat(sstarts, ssizes)
-            dest = np.repeat(item_offs[:-1][sparse], ssizes) + 1 + within
+            dest = seg_gather_idx(item_offs[:-1][sparse] + 1, ssizes)
             pats[dest] = p
             lens[dest] = l
 
@@ -124,8 +127,8 @@ class HybridEncoder:
             bidx = np.flatnonzero(bitmap)
             remap = np.full(n, -1, dtype=np.int64)
             remap[bidx] = np.arange(nb)
-            sel = np.repeat(bitmap, sizes)
-            rows = remap[np.repeat(np.arange(n), sizes)[sel]]
+            sel = bitmap[sid]
+            rows = remap[sid[sel]]
             cols = colors[sel].astype(np.int64)
             mat = np.zeros((nb, wpr * 64), dtype=bool)
             mat[rows, cols] = True
@@ -144,8 +147,8 @@ class HybridEncoder:
             cidx = np.flatnonzero(comp)
             remap = np.full(n, -1, dtype=np.int64)
             remap[cidx] = np.arange(nc)
-            sel = np.repeat(comp, sizes)
-            rows = remap[np.repeat(np.arange(n), sizes)[sel]]
+            sel = comp[sid]
+            rows = remap[sid[sel]]
             cols = colors[sel].astype(np.int64)
             member = np.zeros((nc, N), dtype=bool)
             member[rows, cols] = True
@@ -155,8 +158,7 @@ class HybridEncoder:
             vals = _gap_values(ccols.astype(np.uint32), cstarts, csizes)
             if len(vals):
                 p, l = delta_patterns(vals)
-                within = np.arange(len(ccols)) - np.repeat(cstarts, csizes)
-                dest = np.repeat(item_offs[:-1][comp], csizes) + 1 + within
+                dest = seg_gather_idx(item_offs[:-1][comp] + 1, csizes)
                 pats[dest] = p
                 lens[dest] = l
 
