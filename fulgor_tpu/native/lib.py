@@ -126,6 +126,13 @@ def _load():
             ct.POINTER(ct.c_int64),
         ]
         lib.fn_format_psa_ascii_bits.restype = ct.c_int
+        lib.fn_format_psa_ascii_bits_grouped.argtypes = [
+            ct.POINTER(ct.c_uint32), ct.POINTER(ct.c_uint32),
+            ct.POINTER(ct.c_int32), ct.c_int64, ct.c_int64, ct.c_int32,
+            ct.POINTER(ct.POINTER(ct.c_char)), ct.POINTER(ct.c_int64),
+            ct.POINTER(ct.c_int64),
+        ]
+        lib.fn_format_psa_ascii_bits_grouped.restype = ct.c_int
         lib.fn_sort_i64.argtypes = [ct.POINTER(ct.c_int64), ct.c_int64]
         lib.fn_sort_i64.restype = None
         lib.fn_symdiff_segments.argtypes = [
@@ -560,6 +567,32 @@ def format_psa_ascii_bits(qids: np.ndarray, bits: np.ndarray):
     )
     if rc != 0:
         raise RuntimeError("format_psa_ascii_bits failed")
+    out = ct.string_at(buf, blen.value)
+    lib.fn_free(buf)
+    return out, int(mapped.value)
+
+
+def format_psa_ascii_bits_grouped(qids, rows, inv):
+    """ascii pseudoalignment block where read i's result is DISTINCT row
+    inv[i] of `rows` (G, c32): each distinct body is formatted once and
+    memcpy'd per read. -> (bytes, num_mapped)."""
+    lib = _load()
+    qids = np.ascontiguousarray(qids, dtype=np.uint32)
+    rows = np.ascontiguousarray(rows, dtype=np.uint32)
+    inv = np.ascontiguousarray(inv, dtype=np.int32)
+    G, c32 = rows.shape
+    buf = ct.POINTER(ct.c_char)()
+    blen = ct.c_int64()
+    mapped = ct.c_int64()
+    rc = lib.fn_format_psa_ascii_bits_grouped(
+        qids.ctypes.data_as(ct.POINTER(ct.c_uint32)),
+        rows.ctypes.data_as(ct.POINTER(ct.c_uint32)),
+        inv.ctypes.data_as(ct.POINTER(ct.c_int32)),
+        len(qids), G, c32,
+        ct.byref(buf), ct.byref(blen), ct.byref(mapped),
+    )
+    if rc != 0:
+        raise RuntimeError("format_psa_ascii_bits_grouped failed")
     out = ct.string_at(buf, blen.value)
     lib.fn_free(buf)
     return out, int(mapped.value)

@@ -1511,6 +1511,83 @@ extern "C" int fn_format_psa_ascii_bits(const uint32_t* qids, const uint32_t* bi
     return 0;
 }
 
+// grouped variant: the runs-fetch pipeline hands each read an index into a
+// small set of DISTINCT result rows (many reads share one full-intersection
+// result); format each distinct row's "\tcount\tc1\tc2..." body ONCE and
+// memcpy it per read. inv: (n,) distinct-row index per read.
+extern "C" int fn_format_psa_ascii_bits_grouped(
+    const uint32_t* qids, const uint32_t* rows, const int32_t* inv, int64_t n,
+    int64_t G, int32_t c32, char** out_buf, int64_t* out_len,
+    int64_t* out_mapped) {
+    // per-group formatted bodies
+    std::vector<char> arena;
+    std::vector<int64_t> boff(G + 1, 0);
+    std::vector<uint32_t> bcnt(G);
+    {
+        int64_t total_bits = 0;
+        for (int64_t i = 0; i < G * (int64_t)c32; ++i)
+            total_bits += __builtin_popcount(rows[i]);
+        arena.reserve((size_t)(G * 12 + total_bits * 11 + 64));
+    }
+    char tmp[16];
+    auto put_arena_u32 = [&](uint32_t v) {
+        int len = 0;
+        do {
+            tmp[len++] = (char)('0' + v % 10);
+            v /= 10;
+        } while (v);
+        while (len) arena.push_back(tmp[--len]);
+    };
+    for (int64_t g = 0; g < G; ++g) {
+        const uint32_t* row = rows + g * c32;
+        uint32_t cnt = 0;
+        for (int32_t w = 0; w < c32; ++w) cnt += (uint32_t)__builtin_popcount(row[w]);
+        bcnt[g] = cnt;
+        arena.push_back('\t');
+        put_arena_u32(cnt);
+        for (int32_t w = 0; w < c32; ++w) {
+            uint32_t x = row[w];
+            while (x) {
+                int b = __builtin_ctz(x);
+                x &= x - 1;
+                arena.push_back('\t');
+                put_arena_u32((uint32_t)(w * 32 + b));
+            }
+        }
+        arena.push_back('\n');
+        boff[g + 1] = (int64_t)arena.size();
+    }
+    // assemble lines: qid digits + body memcpy
+    size_t cap = 1024;
+    for (int64_t i = 0; i < n; ++i)
+        cap += 11 + (size_t)(boff[inv[i] + 1] - boff[inv[i]]);
+    char* buf = (char*)malloc(cap);
+    if (!buf) return 1;
+    char* p = buf;
+    auto put_u32 = [&](uint32_t v) {
+        int len = 0;
+        do {
+            tmp[len++] = (char)('0' + v % 10);
+            v /= 10;
+        } while (v);
+        while (len) *p++ = tmp[--len];
+    };
+    int64_t mapped = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        int32_t g = inv[i];
+        put_u32(qids[i]);
+        int64_t blen = boff[g + 1] - boff[g];
+        memcpy(p, arena.data() + boff[g], (size_t)blen);
+        p += blen;
+        mapped += bcnt[g] > 0;
+    }
+    assert((size_t)(p - buf) <= cap);
+    *out_buf = buf;
+    *out_len = (int64_t)(p - buf);
+    *out_mapped = mapped;
+    return 0;
+}
+
 // in-place parallel sort of an int64 array (conversion hot paths sort
 // 10^8-element combined-key arrays; gnu parallel sort uses all cores)
 extern "C" void fn_sort_i64(int64_t* data, int64_t n) {

@@ -67,9 +67,11 @@ class AsyncWriter:
                 return
             try:
                 t0 = time.perf_counter()
-                kind, a, b = item
+                kind, a, b, c = item
                 if kind == "bits":
                     self.mapped += self.fmtr.write_batch_bits(a, b)
+                elif kind == "grouped":
+                    self.mapped += self.fmtr.write_batch_bits_grouped(a, b, c)
                 else:
                     self.fmtr.write_batch(a, b)
                     self.mapped += sum(1 for s in b if len(s))
@@ -83,10 +85,13 @@ class AsyncWriter:
         self.q.put(item)
 
     def write_batch_bits(self, ids, rows):
-        self._put(("bits", ids, rows))
+        self._put(("bits", ids, rows, None))
+
+    def write_batch_bits_grouped(self, ids, rows, inv):
+        self._put(("grouped", ids, rows, inv))
 
     def write_batch(self, ids, lists):
-        self._put(("lists", list(ids), list(lists)))
+        self._put(("lists", list(ids), list(lists), None))
 
     def close(self):
         self.q.put(None)
@@ -98,6 +103,8 @@ class AsyncWriter:
 
 WIDTH_LADDER = (64, 96, 128, 160, 192, 256, 384, 512, 768, 1024)
 MAX_STREAM_WIDTH = WIDTH_LADDER[-1]
+
+import os as _os
 
 # Device-side result compaction kicks in when the dense (B, C32) result
 # fetch would dominate the device->host link: ship <=T_LIST color ids per
@@ -111,7 +118,9 @@ TU_BITS_MIN_WORDS = 8
 # kicks in only past LISTS_MIN_WORDS colors: adjacent-run compaction keeps
 # ~2x the unitig crossings per read, so the budget must be generous
 # (RUNS_FI_BUDGET) — below ~2048 colors the dense row is already smaller.
-RUNS_FI_BUDGET = 48
+# Both knobs are env-overridable for on-hardware A/B tuning.
+RUNS_FI_BUDGET = int(_os.environ.get("FULGOR_RUNS_FI_BUDGET", "48"))
+RUNS_MIN_WORDS = int(_os.environ.get("FULGOR_RUNS_MIN_WORDS", str(LISTS_MIN_WORDS)))
 
 
 def _runs_budget(W: int) -> int:
@@ -180,7 +189,7 @@ class QueryEngine:
         # (the reference's --deduplicate flow, made the default fetch).
         # TU always gets the device-thresholded bitmap fetch past 256 colors.
         self.use_runs_fetch = (
-            self.mesh is None and index.words_per_set > LISTS_MIN_WORDS
+            self.mesh is None and index.words_per_set > RUNS_MIN_WORDS
         )
         self.use_tu_bits = (
             self.mesh is None and index.words_per_set >= TU_BITS_MIN_WORDS
@@ -541,6 +550,7 @@ class QueryEngine:
         inner = make_formatter(fmt, out_path, C)
         fmtr = AsyncWriter(inner)
         fmtr.has_bits = hasattr(inner, "write_batch_bits")
+        fmtr.has_grouped = hasattr(inner, "write_batch_bits_grouped")
         num_reads = 0
         query_sec = 0.0
         host_sec = 0.0  # host-side result reduction (dedup-intersect etc.)
@@ -693,7 +703,14 @@ class QueryEngine:
                 res[nz] = np.bitwise_and.reduceat(
                     self.idx.color_rows(flat), starts, axis=0
                 )
-            fmtr.write_batch_bits((qid0 + kj).astype(np.uint32), res[inv])
+            if getattr(fmtr, "has_grouped", False):
+                # each DISTINCT result body formats once (reads in a batch
+                # heavily share full-intersection results)
+                fmtr.write_batch_bits_grouped(
+                    (qid0 + kj).astype(np.uint32), res, inv.astype(np.int32)
+                )
+            else:
+                fmtr.write_batch_bits((qid0 + kj).astype(np.uint32), res[inv])
             host_sec += time.perf_counter() - th
 
         def consume_tubits(qid0, n, lens, _names, handle):

@@ -48,6 +48,16 @@ class AsciiFormatter:
         self.f.write(out)
         return mapped
 
+    def write_batch_bits_grouped(self, qids, rows, inv) -> int:
+        """Like write_batch_bits, but read i's result is DISTINCT row
+        inv[i] of `rows`: each distinct body formats once (the runs-fetch
+        pipeline's dedup structure, reference tools/pseudoalign.cpp:91-226)."""
+        from ..native import lib as native
+
+        out, mapped = native.format_psa_ascii_bits_grouped(qids, rows, inv)
+        self.f.write(out)
+        return mapped
+
     def close(self):
         self.f.close()
 

@@ -14,7 +14,11 @@ if not os.environ.get("FULGOR_TPU_TEST_REAL"):
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
     # The axon TPU plugin ignores the JAX_PLATFORMS env var; the config
-    # knob does stick if set before backend initialization.
+    # knob does stick if set before backend initialization. Set BOTH: the
+    # fulgor_tpu package re-asserts the env var's value onto the config at
+    # import (so `JAX_PLATFORMS=cpu fulgor ...` works), which would stomp
+    # a config-only override here with the harness's ambient value.
+    os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
     jax.config.update("jax_platforms", "cpu")

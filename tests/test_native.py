@@ -238,3 +238,15 @@ def test_pack_patterns_roundtrip():
     r = BitReader(words, 0)
     got = np.array([r.read_delta() for _ in range(len(vals))], dtype=np.uint64)
     np.testing.assert_array_equal(got, vals)
+
+
+def test_format_psa_grouped_equals_plain():
+    rng = np.random.default_rng(4)
+    G, c32, n = 7, 3, 500
+    rows = rng.integers(0, 1 << 32, (G, c32), dtype=np.uint64).astype(np.uint32)
+    rows[0] = 0  # an unmapped body
+    inv = rng.integers(0, G, n).astype(np.int32)
+    qids = rng.permutation(n).astype(np.uint32)
+    a, ma = N.format_psa_ascii_bits_grouped(qids, rows, inv)
+    b, mb = N.format_psa_ascii_bits(qids, rows[inv])
+    assert a == b and ma == mb
