@@ -39,6 +39,14 @@ PAN_GENOMES = 1024
 PAN_LEN = 300_000
 PAN_MUT = 300  # SNPs per tree branch (0.1%)
 
+# BENCH_XL=1 adds a corpus at the FULL baseline composition (reference
+# README.md:310-317: 4,546 colors, 43.8M kmers, 972k distinct sets): 4,546
+# genomes x 1 Mb. Building its artifacts takes hours of host time; it is
+# opt-in and reported alongside (never instead of) the pan1k primary.
+XL_GENOMES = 4546
+XL_LEN = 1_000_000
+XL_MUT = 1000
+
 
 def _build_index(genome_paths, index_path, m):
     from fulgor_tpu.build.builder import build_index
@@ -97,6 +105,38 @@ def ensure_artifacts():
         codes, names = simulate_reads(pan_paths[::16], NUM_READS, READ_LEN, seed=1)
         write_fastq(pan_reads, codes, names)
     out["pan"] = (pan_index, pan_reads)
+
+    # --- corpus 3 (opt-in): pan4546, the baseline's full composition ---
+    if os.environ.get("BENCH_XL"):
+        xl_dir = os.path.join(CACHE, "pan4546")
+        xl_index = os.path.join(CACHE, "pan4546.mini.tfur")
+        xl_reads = os.path.join(CACHE, f"pan4546_reads_{NUM_READS}.fastq.gz")
+        if not os.path.exists(xl_index):
+            from fulgor_tpu.io.simulate import simulate_pangenome
+
+            print(
+                f"[bench] generating pan4546 corpus ({XL_GENOMES} genomes x "
+                f"{XL_LEN} bp)...",
+                file=sys.stderr,
+            )
+            paths = simulate_pangenome(xl_dir, XL_GENOMES, XL_LEN, XL_MUT, seed=7)
+            print("[bench] building pan4546 index (hours)...", file=sys.stderr)
+            from fulgor_tpu.build.builder import build_index
+
+            idx = build_index(paths, k=K, m=19, ram_gib=48.0, verbose=True)
+            idx.save(xl_index)
+        if not os.path.exists(xl_reads):
+            from fulgor_tpu.io.simulate import simulate_reads, write_fastq
+
+            xl_paths = sorted(
+                os.path.join(xl_dir, f)
+                for f in os.listdir(xl_dir)
+                if f.endswith(".fa.gz")
+            )
+            print(f"[bench] simulating {NUM_READS} pan4546 reads...", file=sys.stderr)
+            codes, names = simulate_reads(xl_paths[::64], NUM_READS, READ_LEN, seed=2)
+            write_fastq(xl_reads, codes, names)
+        out["xl"] = (xl_index, xl_reads)
     return out
 
 
@@ -160,6 +200,19 @@ def main():
         "unit": "reads/s",
         "vs_baseline": round(pan_rps / BASELINE_READS_PER_SEC, 3),
     }
+
+    # OPT-IN: pan4546 at the baseline's full composition (BENCH_XL=1)
+    if "xl" in art:
+        xl_index, xl_reads = art["xl"]
+        idx = Index.load(xl_index)
+        print(
+            f"[bench] pan4546 index: {idx.num_kmers:,} kmers, {idx.num_colors} "
+            f"colors, {idx.num_color_sets:,} distinct sets",
+            file=sys.stderr,
+        )
+        eng = QueryEngine(idx, batch_size=32768)
+        timed_pseudoalign(eng, xl_reads, out_path, "pan4546 full-intersection")
+        del eng, idx
 
     # SECONDARY: salmonella_10 (continuity with round-1 numbers) + tools
     if not os.environ.get("BENCH_PRIMARY_ONLY"):
