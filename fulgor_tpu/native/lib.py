@@ -119,6 +119,14 @@ def _load():
             ct.POINTER(ct.POINTER(ct.c_char)), ct.POINTER(ct.c_int64),
         ]
         lib.fn_format_km.restype = ct.c_int
+        lib.fn_format_km_u16.argtypes = [
+            ct.c_char_p, ct.POINTER(ct.c_int64),
+            ct.POINTER(ct.c_uint32), ct.c_int64,
+            ct.POINTER(ct.c_int32), ct.POINTER(ct.c_uint16),
+            ct.c_int64, ct.c_int64,
+            ct.POINTER(ct.POINTER(ct.c_char)), ct.POINTER(ct.c_int64),
+        ]
+        lib.fn_format_km_u16.restype = ct.c_int
         lib.fn_format_psa_ascii_bits.argtypes = [
             ct.POINTER(ct.c_uint32), ct.POINTER(ct.c_uint32),
             ct.c_int64, ct.c_int32,
@@ -739,16 +747,23 @@ def format_km(names, hit_words, widths, counts) -> bytes:
     blob, noffs = _names_blob(names)
     hit_words = np.ascontiguousarray(hit_words, dtype=np.uint32)
     widths = np.ascontiguousarray(widths, dtype=np.int32)
-    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    # format straight from the device's u16 count buffer when possible (a
+    # (batch, num_colors) int64 conversion costs ~0.25 GB/batch at 1k colors)
+    if counts.dtype == np.uint16:
+        counts = np.ascontiguousarray(counts)
+        fn, cptr = lib.fn_format_km_u16, ct.POINTER(ct.c_uint16)
+    else:
+        counts = np.ascontiguousarray(counts, dtype=np.int64)
+        fn, cptr = lib.fn_format_km, ct.POINTER(ct.c_int64)
     n, wpr = hit_words.shape
     C = counts.shape[1]
     buf = ct.POINTER(ct.c_char)()
     blen = ct.c_int64()
-    rc = lib.fn_format_km(
+    rc = fn(
         blob, noffs.ctypes.data_as(ct.POINTER(ct.c_int64)),
         hit_words.ctypes.data_as(ct.POINTER(ct.c_uint32)), wpr,
         widths.ctypes.data_as(ct.POINTER(ct.c_int32)),
-        counts.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        counts.ctypes.data_as(cptr),
         C, n, ct.byref(buf), ct.byref(blen),
     )
     if rc != 0:

@@ -1421,11 +1421,12 @@ extern "C" int fn_format_kc(const char* names, const int64_t* name_offs,
 
 // kmer-matches lines: "name\tW\tb1..bW\tc1..cC" (reference
 // tools/kmer_matches.cpp:29-35); hit bits packed little-endian in u32 words.
-extern "C" int fn_format_km(const char* names, const int64_t* name_offs,
-                            const uint32_t* hit_words, int64_t words_per_row,
-                            const int32_t* widths, const int64_t* counts,
-                            int64_t num_colors, int64_t n, char** out_buf,
-                            int64_t* out_len) {
+template <typename CntT>
+static int format_km_impl(const char* names, const int64_t* name_offs,
+                          const uint32_t* hit_words, int64_t words_per_row,
+                          const int32_t* widths, const CntT* counts,
+                          int64_t num_colors, int64_t n, char** out_buf,
+                          int64_t* out_len) {
     int64_t maxw = 0;
     for (int64_t i = 0; i < n; ++i) maxw = std::max<int64_t>(maxw, widths[i]);
     size_t cap = (size_t)(name_offs[n] + n * (8 + 2 * maxw + 12 * num_colors) + 1024);
@@ -1449,7 +1450,7 @@ extern "C" int fn_format_km(const char* names, const int64_t* name_offs,
             *p++ = '\t';
             *p++ = (char)('0' + ((row[b >> 5] >> (b & 31)) & 1));
         }
-        const int64_t* cnts = counts + i * num_colors;
+        const CntT* cnts = counts + i * num_colors;
         for (int64_t c = 0; c < num_colors; ++c) {
             *p++ = '\t';
             put_u64((uint64_t)cnts[c]);
@@ -1459,6 +1460,27 @@ extern "C" int fn_format_km(const char* names, const int64_t* name_offs,
     *out_buf = buf;
     *out_len = (int64_t)(p - buf);
     return 0;
+}
+
+extern "C" int fn_format_km(const char* names, const int64_t* name_offs,
+                            const uint32_t* hit_words, int64_t words_per_row,
+                            const int32_t* widths, const int64_t* counts,
+                            int64_t num_colors, int64_t n, char** out_buf,
+                            int64_t* out_len) {
+    return format_km_impl(names, name_offs, hit_words, words_per_row, widths,
+                          counts, num_colors, n, out_buf, out_len);
+}
+
+// u16 variant: the device ships per-color match counts as u16 (widths are
+// capped well under 65535 on the device path); formatting straight from
+// that buffer skips a (batch x num_colors) int64 conversion on the host.
+extern "C" int fn_format_km_u16(const char* names, const int64_t* name_offs,
+                                const uint32_t* hit_words, int64_t words_per_row,
+                                const int32_t* widths, const uint16_t* counts,
+                                int64_t num_colors, int64_t n, char** out_buf,
+                                int64_t* out_len) {
+    return format_km_impl(names, name_offs, hit_words, words_per_row, widths,
+                          counts, num_colors, n, out_buf, out_len);
 }
 
 // ascii pseudoalignment lines straight from the device bitset rows:

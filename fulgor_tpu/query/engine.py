@@ -1002,7 +1002,9 @@ class QueryEngine:
 
         def consume(qid0, n, lens, names, handle):
             hitw = np.ascontiguousarray(np.asarray(handle[0][:n]))
-            counts = np.asarray(handle[1][:n]).astype(np.int64)
+            # keep the device's count dtype (u16): format_km has a direct
+            # u16 path, skipping a (batch, C) int64 conversion
+            counts = np.asarray(handle[1][:n])
             ovf_any = np.asarray(handle[2][:n])
             widths = np.maximum(0, lens.astype(np.int64) - self.k + 1)
             Wcap = hitw.shape[1] * 32
