@@ -167,7 +167,35 @@ def timed_pseudoalign(eng, reads_path, out_path, label, runs=3, threshold=None):
     return rps, stats
 
 
+def _device_reachable(timeout_sec: int = 900) -> bool:
+    """Probe device init in a SUBPROCESS: a dead accelerator tunnel hangs
+    jax.devices() in an uninterruptible retry loop, which would hang the
+    whole bench. A child process can be timed out."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_sec, capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _device_reachable():
+        print("[bench] device init did not complete; accelerator unreachable",
+              file=sys.stderr)
+        print(json.dumps({
+            "metric": "pseudoalign_reads_per_sec",
+            "value": 0,
+            "unit": "reads/s",
+            "vs_baseline": 0,
+            "error": "accelerator unreachable (device init timed out)",
+        }))
+        return
+
     import jax
 
     cache_dir = os.path.join(CACHE, "jax_cache")

@@ -45,6 +45,15 @@ def _load_index(path: str) -> Index:
     return Index.load(path)
 
 
+def _apply_thread_cap(threads):
+    """-t flag (reference build_configuration.num_threads): cap the native
+    std::thread pools (FULGOR_THREADS) and OpenMP regions. Must run before
+    the native lib spawns its first parallel region."""
+    if threads and threads > 0:
+        os.environ["FULGOR_THREADS"] = str(threads)
+        os.environ["OMP_NUM_THREADS"] = str(threads)
+
+
 def cmd_build(args):
     from .build.builder import build_index, check_index
 
@@ -247,7 +256,9 @@ def main(argv=None):
     b.add_argument("-g", dest="ram_gib", type=float, default=8,
                    help="RAM budget (GiB) for the build pair table; larger "
                         "corpora use more re-parse passes")
-    b.add_argument("-t", dest="threads", type=int, default=1, help="(accepted for parity)")
+    b.add_argument("-t", dest="threads", type=int, default=0,
+                   help="cap build threads (0 = all cores; reference "
+                        "build_configuration.num_threads)")
     b.add_argument("--verbose", action="store_true")
     b.add_argument("--check", action="store_true")
     b.add_argument("--dict", dest="dict_kind", default="mini",
@@ -266,7 +277,9 @@ def main(argv=None):
         q.add_argument("-i", dest="index_filename", required=True)
         q.add_argument("-q", dest="query_filename", required=True)
         q.add_argument("-o", dest="output_filename", required=True)
-        q.add_argument("-t", dest="threads", type=int, default=1, help="(accepted for parity)")
+        q.add_argument("-t", dest="threads", type=int, default=0,
+                       help="cap host threads (0 = all cores; device batches "
+                            "are unaffected)")
         q.add_argument("--batch-size", dest="batch_size", type=int, default=2048)
         q.add_argument("--verbose", action="store_true")
 
@@ -341,6 +354,7 @@ def main(argv=None):
     args = p.parse_args(argv)
     if getattr(args, "threshold", None) is not None and not (0.0 < args.threshold <= 1.0):
         p.error("threshold must be a float in (0.0, 1.0]")
+    _apply_thread_cap(getattr(args, "threads", 0))
     return args.fn(args)
 
 

@@ -43,6 +43,18 @@
 
 extern "C" void fn_free(void* p) { free(p); }
 
+// host thread budget: FULGOR_THREADS (the CLI's -t flag, reference
+// build_configuration.num_threads) caps every std::thread pool here; the
+// OpenMP regions honor OMP_NUM_THREADS which the CLI sets alongside it.
+static unsigned host_threads() {
+    const char* e = getenv("FULGOR_THREADS");
+    if (e) {
+        long v = atol(e);
+        if (v >= 1) return (unsigned)v;
+    }
+    return std::max(1u, std::thread::hardware_concurrency());
+}
+
 // ---------------------------------------------------------------- utilities
 
 static inline uint64_t rev2bits(uint64_t v) {
@@ -356,7 +368,7 @@ static int build_ccdbg_core(const char* paths, int num_files, int k, int num_pas
         std::atomic<int> next{0};
         std::atomic<bool> failed{false};
         int nthreads = (int)std::min<size_t>(
-            {(size_t)num_files, std::max(1u, std::thread::hardware_concurrency()), 16});
+            {(size_t)num_files, host_threads(), 16});
         auto work = [&]() {
             for (;;) {
                 int color = next.fetch_add(1);
@@ -437,7 +449,7 @@ static int build_ccdbg_core(const char* paths, int num_files, int k, int num_pas
             std::atomic<int> next{0};
             std::atomic<bool> failed{false};
             int nthreads = (int)std::min<size_t>(
-                {(size_t)num_files, std::max(1u, std::thread::hardware_concurrency()), 16});
+                {(size_t)num_files, host_threads(), 16});
             auto work = [&]() {
                 for (;;) {
                     int color = next.fetch_add(1);
@@ -490,7 +502,7 @@ static int build_ccdbg_core(const char* paths, int num_files, int k, int num_pas
         {
             size_t n = pairs.size();
             int nthreads = (int)std::min<unsigned>(
-                std::max(1u, std::thread::hardware_concurrency()), 16);
+                host_threads(), 16);
             std::vector<size_t> bounds(nthreads + 1, n);
             bounds[0] = 0;
             for (int t = 1; t < nthreads; ++t) {
@@ -560,7 +572,7 @@ static int build_ccdbg_core(const char* paths, int num_files, int k, int num_pas
     std::vector<uint8_t> start_orient(nk, 0);  // bit0 = fwd start, bit1 = rc start
     {
         int nthreads = (int)std::min<unsigned>(
-            std::max(1u, std::thread::hardware_concurrency()), 16);
+            host_threads(), 16);
         std::vector<std::thread> ths;
         int64_t step = (nk + nthreads - 1) / nthreads;
         for (int t = 0; t < nthreads; ++t) {
