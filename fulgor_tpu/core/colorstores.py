@@ -548,16 +548,6 @@ class DiffStore:
         self.n_clusters = int(n_clusters)  # informational (stats only)
 
     @staticmethod
-    def _symdiff_segments(cat_a, offs_a, cat_b, offs_b, num_colors, n):
-        """Per-segment symmetric difference of two sorted-per-segment lists:
-        segment s -> setxor1d(a_s, b_s). Native parallel two-pointer merges
-        (O(total), no global sort — the converter's hot op at ~10^8 elems).
-        -> (cat u32 sorted within segment, offs (n+1,) i64)."""
-        from ..native import lib as _native
-
-        return _native.symdiff_segments(cat_a, offs_a, cat_b, offs_b)
-
-    @staticmethod
     def _pack_fixed(vals: np.ndarray, width: int) -> np.ndarray:
         w = BitWriter()
         w.append_fixed(np.asarray(vals, dtype=np.uint64), width)
@@ -609,10 +599,7 @@ class DiffStore:
         nw = (B + 7) // 8
         padded = np.zeros((n, nw * 8), dtype=np.uint8)
         padded[:, :B] = fq
-        words = padded.reshape(n, nw, 8).astype(np.uint64)
-        packed = np.zeros((n, nw), dtype=np.uint64)
-        for j in range(8):
-            packed = (packed << np.uint64(8)) | words[:, :, j]
+        packed = padded.view(np.uint64).reshape(n, nw).byteswap()
         order = np.lexsort(
             tuple(packed[:, i] for i in range(nw - 1, -1, -1)) + (labels,)
         )
@@ -628,15 +615,19 @@ class DiffStore:
         parent = np.empty(n, dtype=np.int64)
         parent[order] = parent_sorted
 
-        # per-set diff = setxor1d(set, parent set); heads diff vs empty
+        # per-set diff = setxor1d(set, parent set); heads diff vs empty.
+        # Parent segments are read IN PLACE out of `cat` by the indirect
+        # native merge — no gather-index / parent-copy materialization
+        # (those were ~2/3 of build time at 232M ints).
+        from ..native import lib as _native
+
         is_head = np.zeros(n, dtype=bool)
         is_head[order[head]] = True
-        par_sz = np.where(is_head, 0, sizes[parent])
-        eo = np.concatenate([[0], np.cumsum(par_sz)]).astype(np.int64)
-        gather = seg_gather_idx(offs[:-1][parent], par_sz)
-        d_cat, d_offs = cls._symdiff_segments(
-            cat.astype(np.uint32), offs, cat[gather].astype(np.uint32), eo,
-            num_colors, n,
+        par_starts = offs[:-1][parent]
+        par_ends = par_starts + np.where(is_head, 0, sizes[parent])
+        cat32 = np.ascontiguousarray(cat, dtype=np.uint32)
+        d_cat, d_offs = _native.symdiff_segments_ind(
+            cat32, offs[:-1], offs[1:], cat32, par_starts, par_ends,
         )
         diff_stream, diff_bits = encode_delta_lists(d_cat, d_offs, headers=sizes[:, None])
         pw = max(1, int(max(0, n - 1)).bit_length())
@@ -653,6 +644,8 @@ class DiffStore:
         return self._unpack_fixed(self.parents, self.n_sets, self.parent_width)
 
     def decode_all(self):
+        from ..native import lib as _native
+
         headers, d_cat, d_offs = decode_delta_lists(self.diff_stream, self.diff_offs, 1)
         n = self.num_color_sets
         parent = self.chain_parents()
@@ -678,11 +671,12 @@ class DiffStore:
             if not len(sel):
                 break
             p = parent[sel]
-            pc = seg_gather(out, offs[:-1][p], sizes[p])
-            po = np.concatenate([[0], np.cumsum(sizes[p])]).astype(np.int64)
-            dc = seg_gather(d_cat, d_offs[:-1][sel], d_sz[sel])
-            do = np.concatenate([[0], np.cumsum(d_sz[sel])]).astype(np.int64)
-            rc, ro = self._symdiff_segments(dc, do, pc, po, self.num_colors, len(sel))
+            # both sides read in place: diffs out of d_cat, parent sets out
+            # of the (already-written) out buffer
+            rc, ro = _native.symdiff_segments_ind(
+                d_cat, d_offs[:-1][sel], d_offs[1:][sel],
+                out, offs[:-1][p], offs[:-1][p] + sizes[p],
+            )
             assert np.array_equal(ro[1:] - ro[:-1], sizes[sel]), "chain decode size mismatch"
             write_sets(sel, rc)
             done[sel] = True

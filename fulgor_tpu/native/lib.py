@@ -150,6 +150,15 @@ def _load():
             ct.POINTER(ct.POINTER(ct.c_uint32)),
         ]
         lib.fn_symdiff_segments.restype = ct.c_int
+        lib.fn_symdiff_segments_ind.argtypes = [
+            ct.POINTER(ct.c_uint32), ct.POINTER(ct.c_int64),
+            ct.POINTER(ct.c_int64),
+            ct.POINTER(ct.c_uint32), ct.POINTER(ct.c_int64),
+            ct.POINTER(ct.c_int64),
+            ct.c_int64, ct.POINTER(ct.c_int64),
+            ct.POINTER(ct.POINTER(ct.c_uint32)),
+        ]
+        lib.fn_symdiff_segments_ind.restype = ct.c_int
         lib.fn_pooled_features.argtypes = [
             ct.POINTER(ct.c_uint32), ct.POINTER(ct.c_int64),
             ct.c_int64, ct.c_uint32, ct.c_int32, ct.POINTER(ct.c_uint32),
@@ -554,6 +563,37 @@ def symdiff_segments(cat_a, offs_a, cat_b, offs_b):
     )
     if rc != 0:
         raise MemoryError("symdiff_segments allocation failed")
+    return _take(out_ptr, int(out_offs[n]), np.uint32), out_offs
+
+
+def symdiff_segments_ind(cat_a, starts_a, ends_a, cat_b, starts_b, ends_b):
+    """symdiff_segments with per-side arbitrary [start, end) slices: segment
+    s = setxor1d(a[starts_a[s]:ends_a[s]], b[starts_b[s]:ends_b[s]]). Reads
+    both sides in place — no gather-index materialization for chain-parent
+    segments. -> (out_cat u32, out_offs i64 (n+1,))."""
+    lib = _load()
+    n = len(starts_a)
+    cat_a = np.ascontiguousarray(cat_a, dtype=np.uint32)
+    cat_b = np.ascontiguousarray(cat_b, dtype=np.uint32)
+    starts_a = np.ascontiguousarray(starts_a, dtype=np.int64)
+    ends_a = np.ascontiguousarray(ends_a, dtype=np.int64)
+    starts_b = np.ascontiguousarray(starts_b, dtype=np.int64)
+    ends_b = np.ascontiguousarray(ends_b, dtype=np.int64)
+    out_offs = np.zeros(n + 1, dtype=np.int64)
+    out_ptr = ct.POINTER(ct.c_uint32)()
+    rc = lib.fn_symdiff_segments_ind(
+        cat_a.ctypes.data_as(ct.POINTER(ct.c_uint32)),
+        starts_a.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        ends_a.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        cat_b.ctypes.data_as(ct.POINTER(ct.c_uint32)),
+        starts_b.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        ends_b.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        n,
+        out_offs.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        ct.byref(out_ptr),
+    )
+    if rc != 0:
+        raise MemoryError("symdiff_segments_ind allocation failed")
     return _take(out_ptr, int(out_offs[n]), np.uint32), out_offs
 
 

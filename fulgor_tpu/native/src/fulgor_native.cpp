@@ -1924,16 +1924,20 @@ extern "C" void fn_pooled_features(const uint32_t* cat, const int64_t* offs,
 // converter's global combined-key sort (chain-diff coding's hot op at
 // ~10^8 elements; reference differential coding: differential.hpp:21-99).
 // out_offs: (n+1) caller-allocated; *out_cat: malloc'd, release w/ fn_free.
-extern "C" int fn_symdiff_segments(const uint32_t* a, const int64_t* oa,
-                                   const uint32_t* b, const int64_t* ob,
-                                   int64_t n, int64_t* out_offs,
-                                   uint32_t** out_cat) {
+// Indirect variant: each side's segment s is an arbitrary [starts[s],
+// ends[s]) slice of its buffer. Lets the chain-diff converter and decoder
+// read PARENT segments in place (starts = offs[parent]) instead of
+// materializing a ~10^8-element gather index + copy of the parent ints.
+extern "C" int fn_symdiff_segments_ind(
+    const uint32_t* a, const int64_t* sa, const int64_t* ea,
+    const uint32_t* b, const int64_t* sb, const int64_t* eb,
+    int64_t n, int64_t* out_offs, uint32_t** out_cat) {
     std::vector<int64_t> cnt((size_t)n);
 #ifdef _OPENMP
 #pragma omp parallel for schedule(dynamic, 2048)
 #endif
     for (int64_t s = 0; s < n; ++s) {
-        int64_t i = oa[s], ie = oa[s + 1], j = ob[s], je = ob[s + 1];
+        int64_t i = sa[s], ie = ea[s], j = sb[s], je = eb[s];
         int64_t c = 0;
         while (i < ie && j < je) {
             uint32_t x = a[i], y = b[j];
@@ -1952,7 +1956,7 @@ extern "C" int fn_symdiff_segments(const uint32_t* a, const int64_t* oa,
 #pragma omp parallel for schedule(dynamic, 2048)
 #endif
     for (int64_t s = 0; s < n; ++s) {
-        int64_t i = oa[s], ie = oa[s + 1], j = ob[s], je = ob[s + 1];
+        int64_t i = sa[s], ie = ea[s], j = sb[s], je = eb[s];
         uint32_t* p = out + out_offs[s];
         while (i < ie && j < je) {
             uint32_t x = a[i], y = b[j];
@@ -1969,4 +1973,13 @@ extern "C" int fn_symdiff_segments(const uint32_t* a, const int64_t* oa,
     }
     *out_cat = out;
     return 0;
+}
+
+extern "C" int fn_symdiff_segments(const uint32_t* a, const int64_t* oa,
+                                   const uint32_t* b, const int64_t* ob,
+                                   int64_t n, int64_t* out_offs,
+                                   uint32_t** out_cat) {
+    // contiguous offsets are the special case starts=offs[s], ends=offs[s+1]
+    return fn_symdiff_segments_ind(a, oa, oa + 1, b, ob, ob + 1, n, out_offs,
+                                   out_cat);
 }

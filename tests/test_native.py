@@ -191,6 +191,37 @@ def test_symdiff_segments_fuzz():
             np.testing.assert_array_equal(want, oc[oo[s] : oo[s + 1]])
 
 
+def test_symdiff_segments_ind_fuzz():
+    """fn_symdiff_segments_ind == np.setxor1d over arbitrary [start, end)
+    slices of a shared buffer (the chain-diff parent-in-place path)."""
+    rng = np.random.default_rng(3)
+    for trial in range(50):
+        n = int(rng.integers(0, 30))
+        # one shared buffer of sorted runs; segments pick arbitrary slices
+        runs = []
+        bounds = [0]
+        for _ in range(max(1, 2 * n)):
+            r = np.unique(rng.integers(0, 50, rng.integers(0, 12)))
+            runs.append(r)
+            bounds.append(bounds[-1] + len(r))
+        buf = (
+            np.concatenate(runs).astype(np.uint32)
+            if runs
+            else np.empty(0, np.uint32)
+        )
+        pick = lambda: int(rng.integers(0, len(runs)))
+        ia = [pick() for _ in range(n)]
+        ib = [pick() for _ in range(n)]
+        sa = np.array([bounds[i] for i in ia], np.int64)
+        ea = np.array([bounds[i + 1] for i in ia], np.int64)
+        sb = np.array([bounds[i] for i in ib], np.int64)
+        eb = np.array([bounds[i + 1] for i in ib], np.int64)
+        oc, oo = N.symdiff_segments_ind(buf, sa, ea, buf, sb, eb)
+        for s in range(n):
+            want = np.setxor1d(runs[ia[s]], runs[ib[s]]).astype(np.uint32)
+            np.testing.assert_array_equal(want, oc[oo[s] : oo[s + 1]])
+
+
 def test_pooled_features_matches_bincount():
     rng = np.random.default_rng(1)
     n, C, D = 200, 37, 8
