@@ -107,10 +107,14 @@ def ensure_artifacts():
     out["pan"] = (pan_index, pan_reads)
 
     # --- corpus 3 (opt-in): pan4546, the baseline's full composition ---
-    if os.environ.get("BENCH_XL"):
-        xl_dir = os.path.join(CACHE, "pan4546")
-        xl_index = os.path.join(CACHE, "pan4546.mini.tfur")
-        xl_reads = os.path.join(CACHE, f"pan4546_reads_{NUM_READS}.fastq.gz")
+    # BENCH_XL=1 builds its artifacts (hours of host time). Once they exist
+    # they are always measured — the timed phase itself is minutes.
+    xl_dir = os.path.join(CACHE, "pan4546")
+    xl_index = os.path.join(CACHE, "pan4546.mini.tfur")
+    xl_reads = os.path.join(CACHE, f"pan4546_reads_{NUM_READS}.fastq.gz")
+    if os.environ.get("BENCH_XL") or (
+        os.path.exists(xl_index) and os.path.exists(xl_reads)
+    ):
         if not os.path.exists(xl_index):
             from fulgor_tpu.io.simulate import simulate_pangenome
 
