@@ -77,7 +77,6 @@ def kmeans_divisive(
     if n == 0:
         return np.zeros(0, dtype=np.uint32)
     X = np.ascontiguousarray(points, dtype=np.float32)
-    rng = np.random.default_rng(seed)
     labels = np.zeros(n, dtype=np.uint32)
     next_label = 1
 
@@ -90,34 +89,49 @@ def kmeans_divisive(
         m = sub.mean(axis=0)
         return float((sub**2).sum() - len(idx) * (m @ m))
 
-    # queue of clusters to consider splitting, largest first (heap: the
-    # repeated full sort was the dominant cost at 10^5+ sets). Each entry
-    # carries its SSE so only the root pays a separate sse() pass; the
-    # bisection itself (seeding, assignment rounds, child SSEs) is one
-    # native call with thread-count-invariant reductions.
-    import heapq
-
-    tick = 0
-    work: list = [(-n, 0, np.arange(n), sse(np.arange(n)))]
-    while work:
-        _, _, idx, base = heapq.heappop(work)
-        if len(idx) <= min_cluster_size:
-            continue
-        if base <= 0:
-            continue
-        i0 = int(rng.integers(len(idx)))
-        assign, sse0, sse1 = native.bisect2(X, idx, i0, max_iter)
-        part0 = idx[assign == 0]
-        part1 = idx[assign == 1]
-        if len(part0) == 0 or len(part1) == 0:
-            continue
-        if base - (sse0 + sse1) <= min_delta * base:
-            continue
-        labels[part1] = next_label
-        next_label += 1
-        for part, s in ((part0, sse0), (part1, sse1)):
-            tick += 1
-            heapq.heappush(work, (-len(part), tick, part, s))
+    # wave-batched divisive bisection: every pending cluster of a wave is
+    # bisected in ONE native call (parallel across clusters, within the big
+    # ones — per-cluster results are identical either way thanks to the
+    # chunk-serial reductions). The bisection seed point is a deterministic
+    # hash of the cluster's identity (first member, size, global seed), so
+    # the outcome is independent of processing order; split acceptance
+    # (relative SSE reduction > min_delta) is per cluster and thus
+    # order-free too.
+    wave: list = [(np.arange(n, dtype=np.int64), sse(np.arange(n)))]
+    while wave:
+        todo = [
+            (idx, base)
+            for idx, base in wave
+            if len(idx) > min_cluster_size and base > 0
+        ]
+        if not todo:
+            break
+        lens = np.array([len(idx) for idx, _ in todo], dtype=np.uint64)
+        offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        cat = np.concatenate([idx for idx, _ in todo])
+        firsts = np.array([idx[0] for idx, _ in todo], dtype=np.uint64)
+        h = _splitmix64(
+            firsts * np.uint64(0x9E3779B1)
+            + lens
+            + np.uint64(seed) * np.uint64(0xC2B2AE3D)
+        )
+        i0s = (h % lens).astype(np.int64)
+        assign, sse2 = native.bisect2_batch(X, cat, offs, i0s, max_iter)
+        new_wave = []
+        for t, (idx, base) in enumerate(todo):
+            a = assign[offs[t] : offs[t + 1]]
+            part0 = idx[a == 0]
+            part1 = idx[a == 1]
+            if len(part0) == 0 or len(part1) == 0:
+                continue
+            sse0, sse1 = float(sse2[t, 0]), float(sse2[t, 1])
+            if base - (sse0 + sse1) <= min_delta * base:
+                continue
+            labels[part1] = next_label
+            next_label += 1
+            new_wave.append((part0, sse0))
+            new_wave.append((part1, sse1))
+        wave = new_wave
 
     # compact labels to 0..k-1 in first-appearance order
     uniq, first = np.unique(labels, return_index=True)

@@ -170,6 +170,12 @@ def _load():
             ct.POINTER(ct.c_uint8), ct.POINTER(ct.c_double),
         ]
         lib.fn_bisect2.restype = None
+        lib.fn_bisect2_batch.argtypes = [
+            ct.POINTER(ct.c_float), ct.c_int32, ct.POINTER(ct.c_int64),
+            ct.POINTER(ct.c_int64), ct.c_int64, ct.POINTER(ct.c_int64),
+            ct.c_int32, ct.POINTER(ct.c_uint8), ct.POINTER(ct.c_double),
+        ]
+        lib.fn_bisect2_batch.restype = None
         lib.fn_pack_patterns.argtypes = [
             ct.POINTER(ct.c_uint64), ct.POINTER(ct.c_uint64), ct.c_int64,
             ct.POINTER(ct.c_uint64),
@@ -456,6 +462,35 @@ def bisect2(X: np.ndarray, idx: np.ndarray, i0: int, max_iter: int):
         sse.ctypes.data_as(ct.POINTER(ct.c_double)),
     )
     return assign, float(sse[0]), float(sse[1])
+
+
+def bisect2_batch(X: np.ndarray, idx_cat: np.ndarray, idx_offs: np.ndarray,
+                  i0s: np.ndarray, max_iter: int):
+    """Bisect every cluster of a wave in one call (parallel across the
+    small clusters, within the big ones; per-cluster results identical to
+    bisect2). idx_cat/idx_offs: concatenated per-cluster index lists;
+    i0s: cluster-local seed positions.
+    -> (assign u8 (len(idx_cat),), sse f64 (ncl, 2))."""
+    lib = _load()
+    assert X.dtype == np.float32 and X.flags.c_contiguous
+    idx_cat = np.ascontiguousarray(idx_cat, dtype=np.int64)
+    idx_offs = np.ascontiguousarray(idx_offs, dtype=np.int64)
+    i0s = np.ascontiguousarray(i0s, dtype=np.int64)
+    ncl = len(idx_offs) - 1
+    assign = np.empty(len(idx_cat), dtype=np.uint8)
+    sse = np.zeros((ncl, 2), dtype=np.float64)
+    if ncl:
+        lib.fn_bisect2_batch(
+            X.ctypes.data_as(ct.POINTER(ct.c_float)), X.shape[1],
+            idx_cat.ctypes.data_as(ct.POINTER(ct.c_int64)),
+            idx_offs.ctypes.data_as(ct.POINTER(ct.c_int64)),
+            ncl,
+            i0s.ctypes.data_as(ct.POINTER(ct.c_int64)),
+            max_iter,
+            assign.ctypes.data_as(ct.POINTER(ct.c_uint8)),
+            sse.ctypes.data_as(ct.POINTER(ct.c_double)),
+        )
+    return assign, sse
 
 
 def color_features_fp(cat, offs, wq, hs, dims: int, num_colors: int):

@@ -1744,9 +1744,14 @@ extern "C" void fn_pack_patterns(const uint64_t* pats, const uint64_t* lens,
 // own mean). All reductions are fixed-chunk-serial so the result is
 // independent of the OpenMP thread count (determinism contract, see
 // docs/DESIGN-NOTES.md §5).
-extern "C" void fn_bisect2(const float* X, int32_t D, const int64_t* idx,
-                           int64_t m, int64_t i0, int32_t max_iter,
-                           uint8_t* assign, double* sse_out) {
+// One 2-means bisection. Chunk-serial reductions make the result identical
+// whether the chunk loops run parallel (par=true, big clusters) or serial
+// (par=false, called from the batch driver with parallelism ACROSS
+// clusters) — so the wave-batched k-means below is thread-count- and
+// batching-invariant.
+static void bisect2_core(const float* X, int32_t D, const int64_t* idx,
+                         int64_t m, int64_t i0, int32_t max_iter,
+                         uint8_t* assign, double* sse_out, bool par) {
     const int64_t CHUNK = 8192;
     const int64_t nch = (m + CHUNK - 1) / CHUNK;
     std::vector<double> c0(D), c1(D);
@@ -1758,7 +1763,7 @@ extern "C" void fn_bisect2(const float* X, int32_t D, const int64_t* idx,
     std::vector<double> cb(nch);
     std::vector<int64_t> ca(nch);
 #ifdef _OPENMP
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if (par)
 #endif
     for (int64_t c = 0; c < nch; ++c) {
         double best = -1.0;
@@ -1799,7 +1804,7 @@ extern "C" void fn_bisect2(const float* X, int32_t D, const int64_t* idx,
         double bias = 0.5 * (q0 - q1);
         std::atomic<int> changed{0};
 #ifdef _OPENMP
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if (par)
 #endif
         for (int64_t c = 0; c < nch; ++c) {
             int64_t hi = std::min((c + 1) * CHUNK, m);
@@ -1818,7 +1823,7 @@ extern "C" void fn_bisect2(const float* X, int32_t D, const int64_t* idx,
         memcpy(prev.data(), assign, (size_t)m);
         // centroid update (chunk-serial deterministic sums)
 #ifdef _OPENMP
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if (par)
 #endif
         for (int64_t c = 0; c < nch; ++c) {
             double* a0 = s0.data() + (size_t)c * D;
@@ -1853,7 +1858,7 @@ extern "C" void fn_bisect2(const float* X, int32_t D, const int64_t* idx,
     // per-side SSE about the side's own mean: sum ||x||^2 - k ||mean||^2
     std::vector<double> cr0(nch), cr1(nch);
 #ifdef _OPENMP
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if (par)
 #endif
     for (int64_t c = 0; c < nch; ++c) {
         double* a0 = s0.data() + (size_t)c * D;
@@ -1898,6 +1903,41 @@ extern "C" void fn_bisect2(const float* X, int32_t D, const int64_t* idx,
     }
     sse_out[0] = k0 ? r0 - k0 * m0 : 0.0;
     sse_out[1] = k1 ? r1 - k1 * m1 : 0.0;
+}
+
+extern "C" void fn_bisect2(const float* X, int32_t D, const int64_t* idx,
+                           int64_t m, int64_t i0, int32_t max_iter,
+                           uint8_t* assign, double* sse_out) {
+    bisect2_core(X, D, idx, m, i0, max_iter, assign, sse_out, true);
+}
+
+// Wave-batched bisections: one call bisects every cluster of a divisive
+// k-means wave. Parallelism is across clusters for the (many) small ones
+// and within the cluster for the few big ones; per-cluster results are
+// identical either way (chunk-serial reductions). idx_cat/idx_offs: the
+// concatenated per-cluster point-index lists; i0s: per-cluster seed point
+// (cluster-local); assign/sse laid out like idx_cat / (ncl, 2).
+extern "C" void fn_bisect2_batch(const float* X, int32_t D,
+                                 const int64_t* idx_cat, const int64_t* idx_offs,
+                                 int64_t ncl, const int64_t* i0s,
+                                 int32_t max_iter, uint8_t* assign,
+                                 double* sse_out) {
+    const int64_t BIG = 65536;  // within-cluster parallelism above this
+    for (int64_t c = 0; c < ncl; ++c) {
+        int64_t m = idx_offs[c + 1] - idx_offs[c];
+        if (m > BIG)
+            bisect2_core(X, D, idx_cat + idx_offs[c], m, i0s[c], max_iter,
+                         assign + idx_offs[c], sse_out + 2 * c, true);
+    }
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 16)
+#endif
+    for (int64_t c = 0; c < ncl; ++c) {
+        int64_t m = idx_offs[c + 1] - idx_offs[c];
+        if (m <= BIG)
+            bisect2_core(X, D, idx_cat + idx_offs[c], m, i0s[c], max_iter,
+                         assign + idx_offs[c], sse_out + 2 * c, false);
+    }
 }
 
 // pooled membership features: feature row s counts set s's colors falling
