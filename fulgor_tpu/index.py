@@ -185,17 +185,12 @@ class Index:
         diff codecs with on-device decode take over (later rounds).
         """
         if self._dense_bits is None:
+            from .native import lib as _native
+
             cat, offs = self.color_sets_decoded()
-            S, W = self.num_color_sets, self.words_per_set
-            bits = np.zeros((S, W), dtype=np.uint32)
-            rows = np.repeat(
-                np.arange(S, dtype=np.int64), (offs[1:] - offs[:-1]).astype(np.int64)
+            self._dense_bits = _native.dense_bits(
+                cat, offs[:-1], offs[1:], self.num_colors
             )
-            cols = cat.astype(np.int64)
-            np.bitwise_or.at(
-                bits, (rows, cols >> 5), (np.uint32(1) << (cols & 31).astype(np.uint32))
-            )
-            self._dense_bits = bits
         return self._dense_bits
 
     def color_rows(self, csids: np.ndarray) -> np.ndarray:
@@ -214,19 +209,10 @@ class Index:
         W = self.words_per_set
         new = np.unique(csids[~self._row_known[csids]])
         if len(new):
+            from .native import lib as _native
+
             cat, offs = self.color_sets_decoded()
-            sizes = (offs[new + 1] - offs[new]).astype(np.int64)
-            rows = np.zeros((len(new), W), dtype=np.uint32)
-            r_of = np.repeat(np.arange(len(new), dtype=np.int64), sizes)
-            gather = np.repeat(offs[new], sizes) + (
-                np.arange(int(sizes.sum()))
-                - np.repeat(np.concatenate([[0], np.cumsum(sizes)])[:-1], sizes)
-            )
-            cols = cat[gather].astype(np.int64)
-            np.bitwise_or.at(
-                rows, (r_of, cols >> 5),
-                (np.uint32(1) << (cols & 31).astype(np.uint32)),
-            )
+            rows = _native.dense_bits(cat, offs[new], offs[new + 1], self.num_colors)
             for i, s in enumerate(new.tolist()):
                 memo[s] = rows[i]
             self._row_known[new] = True

@@ -176,6 +176,12 @@ def _load():
             ct.c_int32, ct.POINTER(ct.c_uint8), ct.POINTER(ct.c_double),
         ]
         lib.fn_bisect2_batch.restype = None
+        lib.fn_dense_bits.argtypes = [
+            ct.POINTER(ct.c_uint32), ct.POINTER(ct.c_int64),
+            ct.POINTER(ct.c_int64),
+            ct.c_int64, ct.c_int64, ct.POINTER(ct.c_uint32),
+        ]
+        lib.fn_dense_bits.restype = None
         lib.fn_pack_patterns.argtypes = [
             ct.POINTER(ct.c_uint64), ct.POINTER(ct.c_uint64), ct.c_int64,
             ct.POINTER(ct.c_uint64),
@@ -599,6 +605,29 @@ def symdiff_segments(cat_a, offs_a, cat_b, offs_b):
     if rc != 0:
         raise MemoryError("symdiff_segments allocation failed")
     return _take(out_ptr, int(out_offs[n]), np.uint32), out_offs
+
+
+def dense_bits(cat: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+               num_colors: int) -> np.ndarray:
+    """(len(starts), ceil(num_colors/32)) u32 bitset matrix: row s covers
+    cat[starts[s]:ends[s]] (parallel over rows). Pass offs[:-1]/offs[1:]
+    for the all-sets case."""
+    lib = _load()
+    cat = np.ascontiguousarray(cat, dtype=np.uint32)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
+    S = len(starts)
+    W = (num_colors + 31) // 32
+    out = np.zeros((S, W), dtype=np.uint32)
+    if S:
+        lib.fn_dense_bits(
+            cat.ctypes.data_as(ct.POINTER(ct.c_uint32)),
+            starts.ctypes.data_as(ct.POINTER(ct.c_int64)),
+            ends.ctypes.data_as(ct.POINTER(ct.c_int64)),
+            S, W,
+            out.ctypes.data_as(ct.POINTER(ct.c_uint32)),
+        )
+    return out
 
 
 def symdiff_segments_ind(cat_a, starts_a, ends_a, cat_b, starts_b, ends_b):

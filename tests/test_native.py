@@ -222,6 +222,27 @@ def test_symdiff_segments_ind_fuzz():
             np.testing.assert_array_equal(want, oc[oo[s] : oo[s + 1]])
 
 
+def test_dense_bits_fuzz():
+    """fn_dense_bits == per-set bit raster, full and arbitrary-subset rows."""
+    rng = np.random.default_rng(2)
+    for _ in range(30):
+        S, C = int(rng.integers(0, 40)), int(rng.integers(1, 100))
+        sizes = rng.integers(0, C, S)
+        offs = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
+        cat = rng.integers(0, C, int(offs[-1])).astype(np.uint32)
+        got = N.dense_bits(cat, offs[:-1], offs[1:], C)
+        W = (C + 31) // 32
+        want = np.zeros((S, W), np.uint32)
+        for s in range(S):
+            for c in cat[offs[s] : offs[s + 1]]:
+                want[s, c >> 5] |= np.uint32(1) << np.uint32(c & 31)
+        np.testing.assert_array_equal(got, want)
+        if S:
+            sel = rng.integers(0, S, max(1, S // 2))
+            got2 = N.dense_bits(cat, offs[sel], offs[sel + 1], C)
+            np.testing.assert_array_equal(got2, want[sel])
+
+
 def test_pooled_features_matches_bincount():
     rng = np.random.default_rng(1)
     n, C, D = 200, 37, 8
