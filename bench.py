@@ -41,11 +41,15 @@ PAN_MUT = 300  # SNPs per tree branch (0.1%)
 
 # BENCH_XL=1 adds a corpus at the FULL baseline composition (reference
 # README.md:310-317: 4,546 colors, 43.8M kmers, 972k distinct sets): 4,546
-# genomes x 1 Mb. Building its artifacts takes hours of host time; it is
-# opt-in and reported alongside (never instead of) the pan1k primary.
+# genomes x 500 kb with ~195 SNPs per tree branch — calibrated against the
+# measured pan1k point (2046 edges x 300 SNPs x 31 x 0.80 kept = 15.6M
+# kmers, 596k sets) to land at ~44M kmers / ~10^6 distinct sets. (The
+# first cut, 1 Mb x 1000 SNPs, overshot to 152M kmers / 8.9M sets.)
+# Building its artifacts takes ~1-2 h of host time; it is opt-in and
+# reported alongside (never instead of) the pan1k primary.
 XL_GENOMES = 4546
-XL_LEN = 1_000_000
-XL_MUT = 1000
+XL_LEN = 500_000
+XL_MUT = 195
 
 
 def _build_index(genome_paths, index_path, m):
