@@ -691,7 +691,14 @@ class QueryEngine:
             s[dup] = np.uint32(INVALID_U32)
             s.sort(axis=1)
             kj = np.flatnonzero(keep)
-            keys, inv = np.unique(s[kj], axis=0, return_inverse=True)
+            # void-view row dedup: same (keys, inv) contract as
+            # np.unique(axis=0) minus its per-column lexsort (~7x faster at
+            # (32k, 48); key ORDER is byte-lex, which nothing downstream
+            # depends on)
+            sk = np.ascontiguousarray(s[kj])
+            v = sk.view([("", sk.dtype, sk.shape[1])]).ravel()
+            _, kidx, inv = np.unique(v, return_index=True, return_inverse=True)
+            keys = sk[kidx]
             ksz = (keys != np.uint32(INVALID_U32)).sum(axis=1).astype(np.int64)
             res = np.zeros((len(keys), self.idx.words_per_set), dtype=np.uint32)
             nz = np.flatnonzero(ksz > 0)
