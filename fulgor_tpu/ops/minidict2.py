@@ -709,13 +709,42 @@ def probe_windows_host(d: MiniDict2, codes: np.ndarray):
 # --------------------------------------------------------------------------
 
 
+# --------------------------------------------------------------------------
+# device (JAX) probe — must mirror lookup_host_device_sem exactly
+# --------------------------------------------------------------------------
+
+
+def _make_extract33(text32):
+    """33-base text extractor: q (base position) -> (lo, hi) u32 pair of
+    LSB-first 2-bit codes starting at q (enough for k <= 33)."""
+    import jax.numpy as jnp
+
+    def extract33(q):
+        row = jnp.take(text32, jnp.clip(q >> 5, 0, text32.shape[0] - 1), axis=0)
+        sh = (2 * (q & 31)).astype(jnp.uint32)
+        big = sh >= 32
+        s2 = jnp.where(big, sh - 32, sh)
+        a0 = jnp.where(big, row[..., 1], row[..., 0])
+        a1 = jnp.where(big, row[..., 2], row[..., 1])
+        a2 = jnp.where(big, row[..., 3], row[..., 2])
+        nz = s2 > 0
+        inv = jnp.where(nz, jnp.uint32(32) - s2, jnp.uint32(1))
+        lo = jnp.where(nz, (a0 >> s2) | (a1 << inv), a0)
+        hi = jnp.where(nz, (a1 >> s2) | (a2 << inv), a1)
+        return lo, hi
+
+    return extract33
+
+
 def skew_probe_device(skew, flat_slots, flo, fhi, rlo, rhi, iL, iR, gate,
                       hit, val, *, k: int, m: int, lo_mask, hi_mask,
-                      extract33):
+                      extract33, entry=None):
     """Device skew route (mirror of the SKEW_CAND-capped host semantics):
     select the first SKEW_CAND fp8-matching pointers in probe order, gather
     their primary entries, text-verify the in-span orientations.
-    -> (hit, val, skew_cnt). Non-gated lanes gather row/slot 0."""
+    -> (hit, val, skew_cnt, entry). Non-gated lanes gather row/slot 0.
+    entry: optional (q, rc, wlo, sp) winning-candidate tracking arrays,
+    updated where this route lands a NEW hit (run-anchored probing)."""
     import jax.numpy as jnp
 
     from .lookup import mix32, mulhi32
@@ -749,25 +778,33 @@ def skew_probe_device(skew, flat_slots, flo, fhi, rlo, rhi, iL, iR, gate,
         sp = ((ms >> 8) & jnp.uint32(0x7F)).astype(jnp.int32)
         mo = (ms & jnp.uint32(0xFF)).astype(jnp.int32)
         mpos = wlo + mo
-        for q, wl, wh in (
-            (mpos - iL, flo, fhi),
-            (mpos - (k - m) + iR, rlo, rhi),
+        for rc, (q, wl, wh) in (
+            (False, (mpos - iL, flo, fhi)),
+            (True, (mpos - (k - m) + iR, rlo, rhi)),
         ):
             cand = has & (sp > 0) & (q >= wlo) & (q < wlo + sp) & ~hit
             tlo, thi = extract33(jnp.where(cand, q, 0))
             okv = cand & ((tlo & lo_mask) == wl) & ((thi & hi_mask) == wh)
-            val = jnp.where(okv & ~hit, cs, val)
+            new = okv & ~hit
+            val = jnp.where(new, cs, val)
+            if entry is not None:
+                e_q, e_rc, e_wlo, e_sp = entry
+                entry = (
+                    jnp.where(new, q, e_q),
+                    jnp.where(new, rc, e_rc),
+                    jnp.where(new, wlo, e_wlo),
+                    jnp.where(new, sp, e_sp),
+                )
             hit = hit | okv
-    return hit, val, cnt2
+    return hit, val, cnt2, entry
 
 
-def lookup_minidict2_batch(slots, text32, sec_table, codes, *, k: int, m: int,
-                           num_slots: int):
-    """Batched bucketless-minidict lookup (device).
+def _window_prep(codes, k: int, m: int):
+    """Per-window minimizer + packing preamble shared by the probe variants.
 
-    codes: (B, L) int codes (0..3 valid, >=4 pad). -> (hit (B,Wk) bool,
-    csid (B,Wk) u32, ovf (B,Wk) bool). Semantics == lookup_host_device_sem.
-    """
+    -> (minval, iL, iR, pLabs, pRabs, flo, fhi, rlo, rhi, usable), all
+    (B, Wk); pLabs/pRabs are the ABSOLUTE read positions of the leftmost /
+    rightmost minimal m-mer in each window (run anchoring keys off them)."""
     import jax
     import jax.numpy as jnp
 
@@ -801,8 +838,10 @@ def lookup_minidict2_batch(slots, text32, sec_table, codes, *, k: int, m: int,
         span += step
     minval = vL[:, :Wk]
     kpos = jnp.broadcast_to(jax.lax.broadcasted_iota(jnp.int32, (1, Wk), 1), (B, Wk))
-    iL = pL[:, :Wk] - kpos
-    iR = pR[:, :Wk] - kpos
+    pLabs = pL[:, :Wk]
+    pRabs = pR[:, :Wk]
+    iL = pLabs - kpos
+    iR = pRabs - kpos
 
     # ---- LSB-first fwd/rc window packings ----
     c = codes.astype(jnp.uint32)
@@ -823,19 +862,39 @@ def lookup_minidict2_batch(slots, text32, sec_table, codes, *, k: int, m: int,
             rhi = rhi | (cj << (2 * i - 32))
 
     usable = okw & (minval != jnp.uint32(0xFFFFFFFF))
+    return minval, iL, iR, pLabs, pRabs, flo, fhi, rlo, rhi, usable
+
+
+def _probe_entries(slots, text32, sec_table, minval, iL, iR, flo, fhi, rlo,
+                   rhi, usable, *, k: int, m: int, num_slots: int, gate=None,
+                   want_entry: bool = False):
+    """Full per-lane probe: slot-window candidate screen, text verify, skew
+    route. Semantics == lookup_host_device_sem per lane.
+
+    gate: optional bool mask — lanes outside it coalesce every gather onto
+    row/slot 0 and report no hit/ovf (the run-anchored probe's stage gate).
+    want_entry: also return the WINNING candidate's (q, rc, wlo, sp) so run
+    anchoring can derive neighbor windows' candidate text positions.
+    -> (hit, val, ovf[, entry])."""
+    import jax.numpy as jnp
+
+    from .lookup import mix32, mulhi32
+
+    use = usable if gate is None else (usable & gate)
+    B, Wk = minval.shape
 
     # ---- probe key, bucket, fingerprint ----
     kk = mix32(minval)
-    # fastrange: floor(kk * M / 2^32) via 16-bit limbs
-    from .lookup import mulhi32
-
     b = mulhi32(kk, num_slots).astype(jnp.int32)
     fp = kk & jnp.uint32(0xFFFF)
     rsh = ROWW.bit_length() - 1
     baseR = (b >> rsh)  # row of (b & ~(ROWW-1)); SCAN/ROWW row gathers
 
-    rows = [jnp.take(slots, jnp.clip(baseR + j, 0, slots.shape[0] - 1), axis=0)
-            for j in range(SCAN // ROWW)]
+    def _row_addr(j):
+        adr = jnp.clip(baseR + j, 0, slots.shape[0] - 1)
+        return adr if gate is None else jnp.where(gate, adr, 0)
+
+    rows = [jnp.take(slots, _row_addr(j), axis=0) for j in range(SCAN // ROWW)]
 
     lo_mask = jnp.uint32(0xFFFFFFFF) if 2 * k >= 32 else jnp.uint32((1 << (2 * k)) - 1)
     hi_mask = jnp.uint32((1 << (2 * k - 32)) - 1) if 2 * k > 32 else jnp.uint32(0)
@@ -851,6 +910,9 @@ def lookup_minidict2_batch(slots, text32, sec_table, codes, *, k: int, m: int,
     q_sel = [jnp.zeros((B, Wk), jnp.int32) for _ in range(VERIFY_BUDGET)]
     o_sel = [jnp.zeros((B, Wk), bool) for _ in range(VERIFY_BUDGET)]
     cs_sel = [jnp.zeros((B, Wk), jnp.uint32) for _ in range(VERIFY_BUDGET)]
+    if want_entry:
+        w_sel = [jnp.zeros((B, Wk), jnp.int32) for _ in range(VERIFY_BUDGET)]
+        s_sel = [jnp.zeros((B, Wk), jnp.int32) for _ in range(VERIFY_BUDGET)]
     for s in range(SCAN):
         row = rows[s // ROWW]
         off = 3 * (s % ROWW)
@@ -862,7 +924,7 @@ def lookup_minidict2_batch(slots, text32, sec_table, codes, *, k: int, m: int,
         efp = ms >> 16
         need_sec = need_sec | ((cov == 1) & (efp == fp))
         n_occ = n_occ + ((sp > 0) | (cov == 1)).astype(jnp.int32)
-        okc = usable & (sp > 0) & (efp == fp) & (cov == 0)
+        okc = use & (sp > 0) & (efp == fp) & (cov == 0)
         mo = (ms & jnp.uint32(0xFF)).astype(jnp.int32)
         mpos = wlo + mo
         for orient, q in ((False, mpos - iL), (True, mpos - (k - m) + iR)):
@@ -872,26 +934,25 @@ def lookup_minidict2_batch(slots, text32, sec_table, codes, *, k: int, m: int,
                 q_sel[j] = jnp.where(upd, q, q_sel[j])
                 o_sel[j] = jnp.where(upd, orient, o_sel[j])
                 cs_sel[j] = jnp.where(upd, cs, cs_sel[j])
+                if want_entry:
+                    w_sel[j] = jnp.where(upd, wlo, w_sel[j])
+                    s_sel[j] = jnp.where(upd, sp, s_sel[j])
             cnt = cnt + cand.astype(jnp.int32)
     need_sec = need_sec | (n_occ >= SCAN)
 
     # ---- verification ----
-    def extract33(q):
-        row = jnp.take(text32, jnp.clip(q >> 5, 0, text32.shape[0] - 1), axis=0)
-        sh = (2 * (q & 31)).astype(jnp.uint32)
-        big = sh >= 32
-        s2 = jnp.where(big, sh - 32, sh)
-        a0 = jnp.where(big, row[..., 1], row[..., 0])
-        a1 = jnp.where(big, row[..., 2], row[..., 1])
-        a2 = jnp.where(big, row[..., 3], row[..., 2])
-        nz = s2 > 0
-        inv = jnp.where(nz, jnp.uint32(32) - s2, jnp.uint32(1))
-        lo = jnp.where(nz, (a0 >> s2) | (a1 << inv), a0)
-        hi = jnp.where(nz, (a1 >> s2) | (a2 << inv), a1)
-        return lo, hi
+    extract33 = _make_extract33(text32)
 
     hit = jnp.zeros((B, Wk), bool)
     val = jnp.full((B, Wk), INVALID_U32, dtype=jnp.uint32)
+    entry = None
+    if want_entry:
+        entry = (
+            jnp.zeros((B, Wk), jnp.int32),   # q (window start in text)
+            jnp.zeros((B, Wk), bool),        # rc orientation
+            jnp.zeros((B, Wk), jnp.int32),   # entry wlo
+            jnp.zeros((B, Wk), jnp.int32),   # entry span
+        )
     for j in range(VERIFY_BUDGET):
         has = cnt > j
         tlo, thi = extract33(jnp.where(has, q_sel[j], 0))
@@ -902,19 +963,128 @@ def lookup_minidict2_batch(slots, text32, sec_table, codes, *, k: int, m: int,
         okv = has & (tlo == want_lo) & (thi == want_hi)
         new = okv & ~hit
         val = jnp.where(new, cs_sel[j], val)
+        if want_entry:
+            e_q, e_rc, e_wlo, e_sp = entry
+            entry = (
+                jnp.where(new, q_sel[j], e_q),
+                jnp.where(new, o_sel[j], e_rc),
+                jnp.where(new, w_sel[j], e_wlo),
+                jnp.where(new, s_sel[j], e_sp),
+            )
         hit = hit | okv
 
     # ---- skew route (covered/heavy-minimizer k-mers), gathered only where
     # gated — everyone else coalesces onto row/slot 0 ----
-    gate = usable & ~hit & need_sec
+    gate2 = use & ~hit & need_sec
     flat_slots = slots.reshape(-1, 3)
-    hit, val, cnt2 = skew_probe_device(
-        sec_table, flat_slots, flo, fhi, rlo, rhi, iL, iR, gate, hit, val,
+    hit, val, cnt2, entry = skew_probe_device(
+        sec_table, flat_slots, flo, fhi, rlo, rhi, iL, iR, gate2, hit, val,
         k=k, m=m, lo_mask=lo_mask, hi_mask=hi_mask, extract33=extract33,
+        entry=entry,
     )
 
-    ovf = (usable & ~hit & (cnt > VERIFY_BUDGET)) | (
-        gate & ~hit & (cnt2 > SKEW_CAND)
+    ovf = (use & ~hit & (cnt > VERIFY_BUDGET)) | (
+        gate2 & ~hit & (cnt2 > SKEW_CAND)
     )
     val = jnp.where(hit, val, jnp.uint32(INVALID_U32))
+    if want_entry:
+        return hit, val, ovf, entry
     return hit, val, ovf
+
+
+def lookup_minidict2_batch(slots, text32, sec_table, codes, *, k: int, m: int,
+                           num_slots: int):
+    """Batched bucketless-minidict lookup (device).
+
+    codes: (B, L) int codes (0..3 valid, >=4 pad). -> (hit (B,Wk) bool,
+    csid (B,Wk) u32, ovf (B,Wk) bool). Semantics == lookup_host_device_sem.
+    """
+    (minval, iL, iR, _pL, _pR, flo, fhi, rlo, rhi, usable) = _window_prep(
+        codes, k, m
+    )
+    return _probe_entries(
+        slots, text32, sec_table, minval, iL, iR, flo, fhi, rlo, rhi, usable,
+        k=k, m=m, num_slots=num_slots,
+    )
+
+
+def lookup_minidict2_batch_anchored(slots, text32, sec_table, codes, *,
+                                    k: int, m: int, num_slots: int):
+    """Run-anchored batched lookup: one FULL probe per minimizer run, then
+    per-window verification at the KNOWN text position, with the full
+    per-window probe kept as a gated reprobe for the windows extension
+    cannot decide (docs/DESIGN-NOTES.md §9b).
+
+    A minimizer run = maximal window stretch where both the leftmost and
+    rightmost minimal-m-mer positions are constant; within it the candidate
+    text position advances by +1/step forward and -1/step for rc (the
+    per-window probe's own q formula, ops/minidict2.py _probe_entries), so
+    the anchor's winning entry predicts every member window's candidate —
+    one coalesced text extract replaces the whole gather stack. Windows
+    whose prediction fails (unitig boundary crossings, anchor misses) are
+    exactly re-probed with all gathers gated (inactive lanes coalesce to
+    row 0 — measured nearly free).
+
+    Result contract vs the per-window path: hit is a superset (extension
+    can decide windows the budgeted probe would mark ovf), csid agrees
+    everywhere both hit (k-mer -> unitig is unique), ovf is a subset.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    (minval, iL, iR, pLabs, pRabs, flo, fhi, rlo, rhi, usable) = _window_prep(
+        codes, k, m
+    )
+    B, Wk = minval.shape
+    pos = jnp.broadcast_to(jax.lax.broadcasted_iota(jnp.int32, (1, Wk), 1), (B, Wk))
+
+    prev_ok = jnp.concatenate([jnp.zeros((B, 1), bool), usable[:, :-1]], axis=1)
+    sameL = jnp.concatenate(
+        [jnp.zeros((B, 1), bool), pLabs[:, 1:] == pLabs[:, :-1]], axis=1
+    )
+    sameR = jnp.concatenate(
+        [jnp.zeros((B, 1), bool), pRabs[:, 1:] == pRabs[:, :-1]], axis=1
+    )
+    anch = usable & ~(prev_ok & sameL & sameR)
+
+    hitA, valA, _ovfA, (qA, rcA, wloA, spA) = _probe_entries(
+        slots, text32, sec_table, minval, iL, iR, flo, fhi, rlo, rhi, usable,
+        k=k, m=m, num_slots=num_slots, gate=anch, want_entry=True,
+    )
+
+    # rightmost-anchor segmented fill along the window axis (log-depth VPU)
+    payload = (
+        anch,
+        jnp.where(anch, pos, 0),
+        hitA & anch,
+        qA, rcA, wloA, spA, valA,
+    )
+
+    def comb(a, t):
+        sel = t[0]
+        return tuple(jnp.where(sel, tf, af) for af, tf in zip(a, t))
+
+    isaP, aposP, ahitP, qP, rcP, wloP, spP, valP = jax.lax.associative_scan(
+        comb, payload, axis=1
+    )
+
+    delta = pos - aposP
+    qw = jnp.where(rcP, qP - delta, qP + delta)
+    ext = usable & isaP & ahitP & (qw >= wloP) & (qw < wloP + spP)
+    extract33 = _make_extract33(text32)
+    lo_mask = jnp.uint32(0xFFFFFFFF) if 2 * k >= 32 else jnp.uint32((1 << (2 * k)) - 1)
+    hi_mask = jnp.uint32((1 << (2 * k - 32)) - 1) if 2 * k > 32 else jnp.uint32(0)
+    tlo, thi = extract33(jnp.where(ext, qw, 0))
+    want_lo = jnp.where(rcP, rlo, flo)
+    want_hi = jnp.where(rcP, rhi, fhi)
+    hit0 = ext & ((tlo & lo_mask) == want_lo) & ((thi & hi_mask) == want_hi)
+
+    undec = usable & ~hit0
+    hit2, val2, ovf2 = _probe_entries(
+        slots, text32, sec_table, minval, iL, iR, flo, fhi, rlo, rhi, usable,
+        k=k, m=m, num_slots=num_slots, gate=undec,
+    )
+    hit = hit0 | hit2
+    val = jnp.where(hit0, valP, val2)
+    val = jnp.where(hit, val, jnp.uint32(INVALID_U32))
+    return hit, val, ovf2

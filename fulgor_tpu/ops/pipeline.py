@@ -48,10 +48,20 @@ def dict_probe(table, codes, k: int, dparams):
     if dparams is None:
         hit, csid = lookup_batch(table, codes, k)
         return hit, csid, jnp.zeros_like(hit)
-    from .minidict2 import lookup_minidict2_batch
+    import os
+
+    from .minidict2 import lookup_minidict2_batch, lookup_minidict2_batch_anchored
 
     m, num_slots = dparams
     slots, text32, sec = table
+    # run-anchored probing (DESIGN-NOTES §9b): one full probe per minimizer
+    # run + known-position per-window verify + gated reprobe. Same hits or
+    # better (ovf shrinks to the genuinely undecidable windows); opt-out
+    # knob kept for A/B and regression triage.
+    if os.environ.get("FULGOR_ANCHORED_PROBE", "1") != "0":
+        return lookup_minidict2_batch_anchored(
+            slots, text32, sec, codes, k=k, m=m, num_slots=num_slots
+        )
     return lookup_minidict2_batch(
         slots, text32, sec, codes, k=k, m=m, num_slots=num_slots
     )

@@ -99,6 +99,40 @@ def test_probe_windows_host_matches_exact(built):
         np.testing.assert_array_equal(ce[he], cv[he])
 
 
+def test_anchored_probe_contract(built):
+    """Run-anchored device probe vs the per-window device probe: hits are a
+    superset (extension can decide budget-ovf windows), csids agree wherever
+    both hit, ovf is a subset, and every extra hit matches the exact host
+    probe (the unique k-mer -> csid answer)."""
+    import jax.numpy as jnp
+
+    idx, d, genomes, rng, _paths = built
+    L = 73
+    reads = _reads(rng, genomes, 50, L)
+    batch = np.stack(reads)
+    args = (
+        jnp.asarray(d.slots), jnp.asarray(d.text32), jnp.asarray(d.sec_table),
+        jnp.asarray(batch.astype(np.int32)),
+    )
+    kw = dict(k=K_LEN, m=M_LEN, num_slots=d.num_slots)
+    hit, cs, ovf = map(np.asarray, M2.lookup_minidict2_batch(*args, **kw))
+    hitA, csA, ovfA = map(
+        np.asarray, M2.lookup_minidict2_batch_anchored(*args, **kw)
+    )
+    assert (hit <= hitA).all(), "anchored probe lost hits"
+    both = hit & hitA
+    np.testing.assert_array_equal(csA[both], cs[both])
+    assert (ovfA <= ovf).all(), "anchored probe added overflows"
+    assert not (hitA & ovfA).any()
+    extra = hitA & ~hit
+    if extra.any():
+        assert ovf[extra].all(), "extra hits must come from budget-ovf windows"
+    for i, row in enumerate(reads):
+        he, ce = M2.lookup_host_exact(d, row)
+        np.testing.assert_array_equal(he[hitA[i]], True)
+        np.testing.assert_array_equal(csA[i][hitA[i]], ce[hitA[i]])
+
+
 def test_mini_index_end_to_end(built, tmp_path):
     """mini-backend Index: build, check, save/load roundtrip, and engine
     results equal to the cuckoo backend on the same reads."""
