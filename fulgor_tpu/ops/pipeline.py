@@ -11,10 +11,16 @@ the number of distinct color sets S:
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+# Read ONCE at import: jit caches are keyed by shapes/static args, not env
+# vars, so a mid-process toggle would silently keep the first-traced kernel
+# (ADVICE round 2). Set FULGOR_ANCHORED_PROBE=1 before importing to A/B.
+ANCHORED_PROBE = os.environ.get("FULGOR_ANCHORED_PROBE", "0") == "1"
 
 from .intersect import (
     ONEHOT_MAX_SETS,
@@ -48,17 +54,16 @@ def dict_probe(table, codes, k: int, dparams):
     if dparams is None:
         hit, csid = lookup_batch(table, codes, k)
         return hit, csid, jnp.zeros_like(hit)
-    import os
-
     from .minidict2 import lookup_minidict2_batch, lookup_minidict2_batch_anchored
 
     m, num_slots = dparams
     slots, text32, sec = table
-    # run-anchored probing (DESIGN-NOTES §9b): one full probe per minimizer
-    # run + known-position per-window verify + gated reprobe. Same hits or
-    # better (ovf shrinks to the genuinely undecidable windows); opt-out
-    # knob kept for A/B and regression triage.
-    if os.environ.get("FULGOR_ANCHORED_PROBE", "1") != "0":
+    # Run-anchored probing (DESIGN-NOTES §9b) is OPT-IN: the round-2 gated
+    # variant re-runs the full probe stack on all window lanes and measured
+    # 2x SLOWER end-to-end on chip (17.3k vs 31.5k reads/s on pan1k,
+    # BENCH_r02 vs the round-3 A/B). ANCHORED_PROBE is read once at import
+    # so the traced kernel cannot silently diverge from the knob.
+    if ANCHORED_PROBE:
         return lookup_minidict2_batch_anchored(
             slots, text32, sec, codes, k=k, m=m, num_slots=num_slots
         )
