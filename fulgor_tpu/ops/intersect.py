@@ -149,32 +149,58 @@ def threshold_union_scores_windows(
 # ---------------------------------------------------------------------------
 
 
-def compact_runs(hit: jax.Array, csid: jax.Array, max_runs: int):
-    """Collapse ADJACENT runs of equal csid (no sort): the streaming
-    structure of reads means consecutive windows share unitigs (the
-    reference exploits the same locality, src/ps_full_intersection.cpp:346).
+def mask_positions(mask: jax.Array, R: int):
+    """Window positions of the first R set lanes of each row — the scatter-
+    free compaction primitive (device scatters run at ~35M elems/s on this
+    chip, DESIGN-NOTES §1; popcount rank + tiny take_along gathers replace
+    them everywhere on the hot path).
 
-    -> run_csid (B, R) uint32 INVALID-padded, run_cnt (B, R) int32,
-       overflow (B,) bool. A csid may appear in multiple runs; downstream
-       consumers must be duplicate-tolerant (AND is; score-sum is).
-    """
+    mask: (B, W) bool -> (total (B,) i32, pos (B, R) i32; slots past total
+    hold 0)."""
+    B, W = mask.shape
+    pad = (-W) % 32
+    if pad:
+        mask = jnp.pad(mask, ((0, 0), (0, pad)))
+    bits = pack_bool_bits(mask)
+    return first_set_bits(bits, R)
+
+
+def _run_bounds(hit: jax.Array, csid: jax.Array, max_runs: int):
+    """Start/end window positions of the first max_runs (hit, equal-csid)
+    runs per read. -> (total, spos, epos, valid)."""
     B, W = csid.shape
     prev = jnp.concatenate(
         [jnp.full((B, 1), INVALID_U32, dtype=jnp.uint32), csid[:, :-1]], axis=1
     )
     prev_hit = jnp.concatenate([jnp.zeros((B, 1), dtype=bool), hit[:, :-1]], axis=1)
     is_new = hit & ((csid != prev) | ~prev_hit)
-    run = jnp.cumsum(is_new.astype(jnp.int32), axis=1) - 1
-    nruns = jnp.sum(is_new.astype(jnp.int32), axis=1)
-    overflow = nruns > max_runs
-    rows = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, W))
-    slot = jnp.where(is_new & (run < max_runs), run, max_runs)
-    out = jnp.full((B, max_runs + 1), INVALID_U32, dtype=jnp.uint32)
-    out = out.at[rows, slot].set(csid, mode="drop")
-    cslot = jnp.where(hit & (run < max_runs), run, max_runs)
-    cnt = jnp.zeros((B, max_runs + 1), dtype=jnp.int32)
-    cnt = cnt.at[rows, cslot].add(hit.astype(jnp.int32), mode="drop")
-    return out[:, :max_runs], cnt[:, :max_runs], overflow
+    nxt = jnp.concatenate(
+        [csid[:, 1:], jnp.full((B, 1), INVALID_U32, dtype=jnp.uint32)], axis=1
+    )
+    nxt_hit = jnp.concatenate([hit[:, 1:], jnp.zeros((B, 1), dtype=bool)], axis=1)
+    is_end = hit & ((csid != nxt) | ~nxt_hit)
+    total, spos = mask_positions(is_new, max_runs)
+    _, epos = mask_positions(is_end, max_runs)
+    valid = jnp.arange(max_runs, dtype=jnp.int32)[None, :] < total[:, None]
+    return total, spos, epos, valid
+
+
+def compact_runs(hit: jax.Array, csid: jax.Array, max_runs: int):
+    """Collapse ADJACENT runs of equal csid (no sort, no scatter): the
+    streaming structure of reads means consecutive windows share unitigs
+    (the reference exploits the same locality,
+    src/ps_full_intersection.cpp:346). Runs are ranked with popcount math
+    (mask_positions) and their csids gathered back.
+
+    -> run_csid (B, R) uint32 INVALID-padded, run_cnt (B, R) int32,
+       overflow (B,) bool. A csid may appear in multiple runs; downstream
+       consumers must be duplicate-tolerant (AND is; score-sum is).
+    """
+    total, spos, epos, valid = _run_bounds(hit, csid, max_runs)
+    rc = jnp.take_along_axis(csid, spos, axis=1)
+    rc = jnp.where(valid, rc, jnp.uint32(INVALID_U32))
+    cnt = jnp.where(valid, epos - spos + 1, 0)
+    return rc, cnt, total > max_runs
 
 
 def compact_runs_starts(hit: jax.Array, csid: jax.Array, max_runs: int):
@@ -184,26 +210,11 @@ def compact_runs_starts(hit: jax.Array, csid: jax.Array, max_runs: int):
 
     -> (run_csid (B,R) u32 INVALID-padded, run_start (B,R) i32,
         run_len (B,R) i32, overflow (B,) bool)."""
-    B, W = csid.shape
-    prev = jnp.concatenate(
-        [jnp.full((B, 1), INVALID_U32, dtype=jnp.uint32), csid[:, :-1]], axis=1
-    )
-    prev_hit = jnp.concatenate([jnp.zeros((B, 1), dtype=bool), hit[:, :-1]], axis=1)
-    is_new = hit & ((csid != prev) | ~prev_hit)
-    run = jnp.cumsum(is_new.astype(jnp.int32), axis=1) - 1
-    nruns = jnp.sum(is_new.astype(jnp.int32), axis=1)
-    overflow = nruns > max_runs
-    rows = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, W))
-    col = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None, :], (B, W))
-    slot = jnp.where(is_new & (run < max_runs), run, max_runs)
-    out = jnp.full((B, max_runs + 1), INVALID_U32, dtype=jnp.uint32)
-    out = out.at[rows, slot].set(csid, mode="drop")
-    starts = jnp.zeros((B, max_runs + 1), dtype=jnp.int32)
-    starts = starts.at[rows, slot].set(col, mode="drop")
-    cslot = jnp.where(hit & (run < max_runs), run, max_runs)
-    cnt = jnp.zeros((B, max_runs + 1), dtype=jnp.int32)
-    cnt = cnt.at[rows, cslot].add(hit.astype(jnp.int32), mode="drop")
-    return out[:, :max_runs], starts[:, :max_runs], cnt[:, :max_runs], overflow
+    total, spos, epos, valid = _run_bounds(hit, csid, max_runs)
+    rc = jnp.take_along_axis(csid, spos, axis=1)
+    rc = jnp.where(valid, rc, jnp.uint32(INVALID_U32))
+    ln = jnp.where(valid, epos - spos + 1, 0)
+    return rc, jnp.where(valid, spos, 0), ln, total > max_runs
 
 
 def first_set_bits(bits: jax.Array, T: int):

@@ -1008,34 +1008,71 @@ def lookup_minidict2_batch(slots, text32, sec_table, codes, *, k: int, m: int,
     )
 
 
+def anchor_budget(Wk: int, k: int, m: int) -> int:
+    """Anchor lanes per side for a Wk-window read: expected minimizer-run
+    count is ~2*Wk/(w+1) for w = k-m+1 random-minimizer windows (SSHash's
+    density argument, SURVEY §2.2); budget = 1.6x expected + slack so only
+    tail reads overflow (they redo via the per-window kernel)."""
+    w = k - m + 1
+    return min(Wk, max(8, (16 * Wk) // (5 * (w + 1)) + 8))
+
+
+def reprobe_budget(Wk: int, k: int, m: int) -> int:
+    """Undecided-window reprobe lanes: on corpus-matching reads undecided
+    windows cluster at unitig-boundary crossings (~run-remainder sized);
+    read errors shatter the local run structure, so give the same head
+    room as the anchor side — heavier reads redo via the per-window
+    kernel."""
+    w = k - m + 1
+    return min(Wk, max(8, (16 * Wk) // (5 * (w + 1)) + 8))
+
+
 def lookup_minidict2_batch_anchored(slots, text32, sec_table, codes, *,
-                                    k: int, m: int, num_slots: int):
-    """Run-anchored batched lookup: one FULL probe per minimizer run, then
-    per-window verification at the KNOWN text position, with the full
-    per-window probe kept as a gated reprobe for the windows extension
-    cannot decide (docs/DESIGN-NOTES.md §9b).
+                                    k: int, m: int, num_slots: int,
+                                    RA: int | None = None,
+                                    RU: int | None = None):
+    """Run-anchored batched lookup v2, on COMPACTED lanes.
 
-    A minimizer run = maximal window stretch where both the leftmost and
-    rightmost minimal-m-mer positions are constant; within it the candidate
-    text position advances by +1/step forward and -1/step for rc (the
-    per-window probe's own q formula, ops/minidict2.py _probe_entries), so
-    the anchor's winning entry predicts every member window's candidate —
-    one coalesced text extract replaces the whole gather stack. Windows
-    whose prediction fails (unitig boundary crossings, anchor misses) are
-    exactly re-probed with all gathers gated (inactive lanes coalesce to
-    row 0 — measured nearly free).
+    The round-2 variant gated two full probe passes on all (B, Wk) window
+    lanes; gather ops cost by LANE COUNT even when lanes are inactive, so
+    it measured 2x slower end-to-end. v2 spends full probes only on
+    compacted anchor lanes:
 
-    Result contract vs the per-window path: hit is a superset (extension
-    can decide windows the budgeted probe would mark ovf), csid agrees
-    everywhere both hit (k-mer -> unitig is unique), ovf is a subset.
+      1. runs = maximal window stretches with constant (leftmost,
+         rightmost) minimal m-mer position; within one, the candidate text
+         position advances +1/window forward and -1/window for rc (the
+         per-window probe's own q formula in _probe_entries).
+      2. Rank run STARTS and ENDS with popcount math (mask_positions) and
+         gather their probe inputs into (B, 2*RA) lanes; one full probe
+         decides every anchor window and yields its winning entry.
+      3. Every window verifies ONE predicted text position from its run's
+         start anchor (one coalesced extract), and — where that fails —
+         one from its end anchor (second extract, gated). Start+end cover
+         both sides of mid-run unitig-boundary crossings.
+      4. Windows still undecided (anchor missed + prediction failed:
+         read errors, boundary stragglers) are compacted into (B, RU)
+         lanes and re-probed exactly. Merges back are rank-gathers — no
+         scatters anywhere.
+
+    Reads that overflow RA or RU (or hit probe-lane ovf) report ovf on
+    their windows; the caller redoes them (device per-window kernel or
+    exact host probe). Result contract vs lookup_minidict2_batch: hit is
+    a superset where both decide, csid agrees everywhere both hit, and
+    ovf covers every window the per-window kernel would leave undecided.
     """
     import jax
     import jax.numpy as jnp
+
+    from .intersect import mask_positions
 
     (minval, iL, iR, pLabs, pRabs, flo, fhi, rlo, rhi, usable) = _window_prep(
         codes, k, m
     )
     B, Wk = minval.shape
+    if RA is None:
+        RA = anchor_budget(Wk, k, m)
+    if RU is None:
+        RU = reprobe_budget(Wk, k, m)
     pos = jnp.broadcast_to(jax.lax.broadcasted_iota(jnp.int32, (1, Wk), 1), (B, Wk))
 
     prev_ok = jnp.concatenate([jnp.zeros((B, 1), bool), usable[:, :-1]], axis=1)
@@ -1045,46 +1082,110 @@ def lookup_minidict2_batch_anchored(slots, text32, sec_table, codes, *,
     sameR = jnp.concatenate(
         [jnp.zeros((B, 1), bool), pRabs[:, 1:] == pRabs[:, :-1]], axis=1
     )
-    anch = usable & ~(prev_ok & sameL & sameR)
+    is_start = usable & ~(prev_ok & sameL & sameR)
+    next_ok = jnp.concatenate([usable[:, 1:], jnp.zeros((B, 1), bool)], axis=1)
+    is_end = usable & ~(next_ok & jnp.concatenate(
+        [sameL[:, 1:], jnp.zeros((B, 1), bool)], axis=1
+    ) & jnp.concatenate([sameR[:, 1:], jnp.zeros((B, 1), bool)], axis=1))
 
-    hitA, valA, _ovfA, (qA, rcA, wloA, spA) = _probe_entries(
-        slots, text32, sec_table, minval, iL, iR, flo, fhi, rlo, rhi, usable,
-        k=k, m=m, num_slots=num_slots, gate=anch, want_entry=True,
+    totS, posS = mask_positions(is_start, RA)
+    _totE, posE = mask_positions(is_end, RA)
+    lane = jnp.broadcast_to(
+        jax.lax.broadcasted_iota(jnp.int32, (1, RA), 1), (B, RA)
+    )
+    validS = lane < totS[:, None]
+    # runs of length 1 have posE == posS: the start probe already decides
+    # them, so their end lanes stay gated (coalesced to row 0)
+    probeE = validS & (posE > posS)
+
+    # gather per-anchor probe inputs; stack start|end halves into one probe
+    posA = jnp.concatenate([posS, posE], axis=1)
+
+    def gA(a):
+        return jnp.take_along_axis(a, posA, axis=1)
+
+    laneok = jnp.concatenate([validS, probeE], axis=1)
+    hitA, valA, ovfA, (qA, rcA, wloA, spA) = _probe_entries(
+        slots, text32, sec_table, gA(minval), gA(iL), gA(iR), gA(flo),
+        gA(fhi), gA(rlo), gA(rhi), laneok,
+        k=k, m=m, num_slots=num_slots, gate=laneok, want_entry=True,
     )
 
-    # rightmost-anchor segmented fill along the window axis (log-depth VPU)
-    payload = (
-        anch,
-        jnp.where(anch, pos, 0),
-        hitA & anch,
-        qA, rcA, wloA, spA, valA,
-    )
+    # broadcast each run's anchor results back to its windows: window ->
+    # run rank via cumsum, then a tiny take_along gather from the lanes
+    runid = jnp.cumsum(is_start.astype(jnp.int32), axis=1) - 1
+    in_run = usable & (runid >= 0) & (runid < RA)
+    rid = jnp.clip(runid, 0, RA - 1)
 
-    def comb(a, t):
-        sel = t[0]
-        return tuple(jnp.where(sel, tf, af) for af, tf in zip(a, t))
+    def bS(a):
+        return jnp.take_along_axis(a[:, :RA], rid, axis=1)
 
-    isaP, aposP, ahitP, qP, rcP, wloP, spP, valP = jax.lax.associative_scan(
-        comb, payload, axis=1
-    )
+    def bE(a):
+        return jnp.take_along_axis(a[:, RA:], rid, axis=1)
 
-    delta = pos - aposP
-    qw = jnp.where(rcP, qP - delta, qP + delta)
-    ext = usable & isaP & ahitP & (qw >= wloP) & (qw < wloP + spP)
     extract33 = _make_extract33(text32)
     lo_mask = jnp.uint32(0xFFFFFFFF) if 2 * k >= 32 else jnp.uint32((1 << (2 * k)) - 1)
     hi_mask = jnp.uint32((1 << (2 * k - 32)) - 1) if 2 * k > 32 else jnp.uint32(0)
-    tlo, thi = extract33(jnp.where(ext, qw, 0))
-    want_lo = jnp.where(rcP, rlo, flo)
-    want_hi = jnp.where(rcP, rhi, fhi)
-    hit0 = ext & ((tlo & lo_mask) == want_lo) & ((thi & hi_mask) == want_hi)
 
-    undec = usable & ~hit0
-    hit2, val2, ovf2 = _probe_entries(
-        slots, text32, sec_table, minval, iL, iR, flo, fhi, rlo, rhi, usable,
-        k=k, m=m, num_slots=num_slots, gate=undec,
+    # --- extension round 1: start-anchor prediction ---
+    hS, vS, qS, rcS, wS, sS, ovfS = (
+        bS(hitA), bS(valA), bS(qA), bS(rcA), bS(wloA), bS(spA), bS(ovfA))
+    dS = pos - bS(jnp.where(validS, posS, 0))
+    qwS = jnp.where(rcS, qS - dS, qS + dS)
+    extS = in_run & hS & (qwS >= wS) & (qwS < wS + sS)
+    tlo, thi = extract33(jnp.where(extS, qwS, 0))
+    ok1 = extS & ((tlo & lo_mask) == jnp.where(rcS, rlo, flo)) & (
+        (thi & hi_mask) == jnp.where(rcS, rhi, fhi))
+
+    # --- extension round 2: end-anchor prediction, gated on round-1 miss ---
+    hE, vE, qE, rcE, wE, sE, ovfE = (
+        bE(hitA), bE(valA), bE(qA), bE(rcA), bE(wloA), bE(spA), bE(ovfA))
+    dE = jnp.take_along_axis(jnp.where(probeE, posE, 0), rid, axis=1) - pos
+    qwE = jnp.where(rcE, qE + dE, qE - dE)
+    extE = in_run & ~ok1 & hE & (dE >= 0) & (qwE >= wE) & (qwE < wE + sE)
+    tlo, thi = extract33(jnp.where(extE, qwE, 0))
+    ok2 = extE & ((tlo & lo_mask) == jnp.where(rcE, rlo, flo)) & (
+        (thi & hi_mask) == jnp.where(rcE, rhi, fhi))
+
+    hit0 = ok1 | ok2
+    val0 = jnp.where(ok1, vS, vE)
+
+    # anchor windows the probe decided as definitive MISSES (no hit, no
+    # lane ovf) must not reach the reprobe
+    eprb = jnp.take_along_axis(probeE, rid, axis=1)
+    dec_miss = (is_start & in_run & ~ovfS & ~hS) | (
+        is_end & in_run & eprb & ~ovfE & ~hE)
+    # anchor windows whose own probe lane overflowed: reprobing runs the
+    # same algorithm — flag the read for redo instead
+    anch_ovf = ((is_start & in_run & ovfS)
+                | (is_end & in_run & eprb & ovfE)) & ~hit0
+
+    # --- compacted exact reprobe for the undecided remainder ---
+    undec = usable & in_run & ~hit0 & ~dec_miss & ~anch_ovf
+    totU, posU = mask_positions(undec, RU)
+    laneU = jnp.broadcast_to(
+        jax.lax.broadcasted_iota(jnp.int32, (1, RU), 1), (B, RU)
     )
-    hit = hit0 | hit2
-    val = jnp.where(hit0, valP, val2)
-    val = jnp.where(hit, val, jnp.uint32(INVALID_U32))
-    return hit, val, ovf2
+    validU = laneU < totU[:, None]
+
+    def gU(a):
+        return jnp.take_along_axis(a, posU, axis=1)
+
+    hitU, valU, ovfU = _probe_entries(
+        slots, text32, sec_table, gU(minval), gU(iL), gU(iR), gU(flo),
+        gU(fhi), gU(rlo), gU(rhi), validU,
+        k=k, m=m, num_slots=num_slots, gate=validU,
+    )
+    urank = jnp.cumsum(undec.astype(jnp.int32), axis=1) - 1
+    in_ru = undec & (urank < RU)
+    ur = jnp.clip(urank, 0, RU - 1)
+    hitU_w = jnp.take_along_axis(hitU, ur, axis=1) & in_ru
+    valU_w = jnp.take_along_axis(valU, ur, axis=1)
+    ovfU_w = (jnp.take_along_axis(ovfU, ur, axis=1) & in_ru) | (
+        undec & (urank >= RU))
+
+    hit = hit0 | hitU_w
+    val = jnp.where(hit0, val0, jnp.where(hitU_w, valU_w,
+                                          jnp.uint32(INVALID_U32)))
+    ovf = ovfU_w | anch_ovf | (usable & ~in_run)
+    return hit, val, ovf

@@ -37,10 +37,14 @@ from .intersect import (
 )
 from .lookup import lookup_batch, unpack_reads
 
-# With wide color rows (C32 > RUNS_MIN_WORDS) gathering one row per WINDOW
-# is wasteful: collapse adjacent equal-csid windows into runs first (exact
-# with max_runs = #windows) so a typical read gathers ~3 wide rows, not ~130.
-RUNS_MIN_WORDS = 64
+# Color-stage run budget: adjacent equal-csid windows collapse into runs
+# (scatter-free popcount compaction) and the color rows are gathered per
+# RUN — at every C. On-chip (pan1k, B=32k, Wk=130): runs/read mean ~7,
+# p99 ~14; per-window gathers cost 90-450 ms/batch vs ~30-60 for runs
+# (scripts/profile_r3.py). Reads whose run count exceeds the budget set
+# their ovf flag and take the engine's exact host redo.
+def color_runs_budget(Wk: int) -> int:
+    return max(16, -(-Wk // 5))
 
 
 def dict_probe(table, codes, k: int, dparams):
@@ -73,23 +77,27 @@ def dict_probe(table, codes, k: int, dparams):
 
 
 def _fi_dispatch(dense_bits, hit, csid):
+    """-> (result bits (B, C32) u32, run-budget ovf (B,) bool)."""
     S, C32 = dense_bits.shape
+    B, W = hit.shape
     if S <= ONEHOT_MAX_SETS:
-        return full_intersection_onehot(dense_bits, hit, csid)
-    if C32 > RUNS_MIN_WORDS:
-        run_csid, _cnt, _ovf = compact_runs(hit, csid, hit.shape[1])
-        return full_intersection_runs(dense_bits, run_csid, jnp.any(hit, axis=1))
-    return full_intersection_windows(dense_bits, hit, csid)
+        return (full_intersection_onehot(dense_bits, hit, csid),
+                jnp.zeros((B,), bool))
+    run_csid, _cnt, rovf = compact_runs(hit, csid, color_runs_budget(W))
+    return (full_intersection_runs(dense_bits, run_csid, jnp.any(hit, axis=1)),
+            rovf)
 
 
 def _tu_dispatch(dense_bits, hit, csid, num_colors):
+    """-> (scores (B, C) f32, run-budget ovf (B,) bool)."""
     S, C32 = dense_bits.shape
+    B, W = hit.shape
     if S <= ONEHOT_MAX_SETS:
-        return threshold_union_scores_onehot(dense_bits, hit, csid, num_colors)
-    if C32 > RUNS_MIN_WORDS:
-        run_csid, run_cnt, _ovf = compact_runs(hit, csid, hit.shape[1])
-        return threshold_union_scores_runs(dense_bits, run_csid, run_cnt, num_colors)
-    return threshold_union_scores_windows(dense_bits, hit, csid, num_colors)
+        return (threshold_union_scores_onehot(dense_bits, hit, csid, num_colors),
+                jnp.zeros((B,), bool))
+    run_csid, run_cnt, rovf = compact_runs(hit, csid, color_runs_budget(W))
+    return (threshold_union_scores_runs(dense_bits, run_csid, run_cnt,
+                                        num_colors), rovf)
 
 
 @partial(jax.jit, static_argnames=("k", "dparams"))
@@ -98,7 +106,8 @@ def query_full_intersection(table, dense_bits, codes, *, k: int, dparams=None):
     read maps iff its result is non-empty (reference counts mapped reads the
     same way, tools/pseudoalign.cpp:42); ovf reads need the host fallback."""
     hit, csid, ovf = dict_probe(table, codes, k, dparams)
-    return _fi_dispatch(dense_bits, hit, csid), jnp.any(ovf, axis=1)
+    bits, rovf = _fi_dispatch(dense_bits, hit, csid)
+    return bits, jnp.any(ovf, axis=1) | rovf
 
 
 @partial(jax.jit, static_argnames=("k", "num_colors", "dparams"))
@@ -106,9 +115,9 @@ def query_threshold_union(table, dense_bits, codes, *, k: int, num_colors: int,
                           dparams=None):
     """-> (scores (B, C) f32, num_positive (B,) i32, ovf (B,) bool)."""
     hit, csid, ovf = dict_probe(table, codes, k, dparams)
-    scores = _tu_dispatch(dense_bits, hit, csid, num_colors)
+    scores, rovf = _tu_dispatch(dense_bits, hit, csid, num_colors)
     npos = jnp.sum(hit.astype(jnp.int32), axis=1)
-    return scores, npos, jnp.any(ovf, axis=1)
+    return scores, npos, jnp.any(ovf, axis=1) | rovf
 
 
 @partial(jax.jit, static_argnames=("k", "dparams"))
@@ -123,7 +132,8 @@ def query_full_intersection_packed(table, dense_bits, codes2, bad, *, k: int,
                                    width: int, dparams=None):
     codes = unpack_reads(codes2, bad, width)
     hit, csid, ovf = dict_probe(table, codes, k, dparams)
-    return _fi_dispatch(dense_bits, hit, csid), jnp.any(ovf, axis=1)
+    bits, rovf = _fi_dispatch(dense_bits, hit, csid)
+    return bits, jnp.any(ovf, axis=1) | rovf
 
 
 @partial(jax.jit, static_argnames=("k", "width", "num_colors", "dparams"))
@@ -133,11 +143,12 @@ def query_threshold_union_packed(
 ):
     codes = unpack_reads(codes2, bad, width)
     hit, csid, ovf = dict_probe(table, codes, k, dparams)
-    scores = _tu_dispatch(dense_bits, hit, csid, num_colors)
+    scores, rovf = _tu_dispatch(dense_bits, hit, csid, num_colors)
     npos = jnp.sum(hit.astype(jnp.int32), axis=1)
     # scores are exact window counts < 2^16 (stream reads are <= 1024 bases;
     # longer reads take the host path) — narrow the fetch
-    return scores.astype(jnp.uint16), npos.astype(jnp.int32), jnp.any(ovf, axis=1)
+    return (scores.astype(jnp.uint16), npos.astype(jnp.int32),
+            jnp.any(ovf, axis=1) | rovf)
 
 
 @partial(jax.jit, static_argnames=("k", "width", "dparams"))
@@ -166,9 +177,9 @@ def query_fi_lists_packed(table, dense_bits, codes2, bad, *, k: int, width: int,
        fetch rows only for reads with count > T, ovf (B,) bool)."""
     codes = unpack_reads(codes2, bad, width)
     hit, csid, ovf = dict_probe(table, codes, k, dparams)
-    bits = _fi_dispatch(dense_bits, hit, csid)
+    bits, rovf = _fi_dispatch(dense_bits, hit, csid)
     count, lists = first_set_bits(bits, T)
-    return count, lists, bits, jnp.any(ovf, axis=1)
+    return count, lists, bits, jnp.any(ovf, axis=1) | rovf
 
 
 @partial(jax.jit, static_argnames=("k", "width", "num_colors", "T", "dparams"))
@@ -183,7 +194,7 @@ def query_tu_lists_packed(table, dense_bits, codes2, bad, minscore_tab, *,
     -> (count (B,) i32, lists (B, T) i32, maskbits (B, C32) u32, ovf)."""
     codes = unpack_reads(codes2, bad, width)
     hit, csid, ovf = dict_probe(table, codes, k, dparams)
-    scores = _tu_dispatch(dense_bits, hit, csid, num_colors)
+    scores, rovf = _tu_dispatch(dense_bits, hit, csid, num_colors)
     npos = jnp.sum(hit.astype(jnp.int32), axis=1)
     ms = jnp.take(minscore_tab, npos, axis=0)
     mask = (scores >= ms[:, None].astype(scores.dtype)) & (npos > 0)[:, None]
@@ -192,7 +203,7 @@ def query_tu_lists_packed(table, dense_bits, codes2, bad, minscore_tab, *,
         mask = jnp.pad(mask, ((0, 0), (0, pad)))
     maskbits = pack_bool_bits(mask)
     count, lists = first_set_bits(maskbits, T)
-    return count, lists, maskbits, jnp.any(ovf, axis=1)
+    return count, lists, maskbits, jnp.any(ovf, axis=1) | rovf
 
 
 @partial(jax.jit, static_argnames=("k", "width", "R", "dparams"))
@@ -256,5 +267,6 @@ def query_kmer_matches_packed2(table, dense_bits, codes2, bad, *, k, width,
     """kmer-matches with bit-packed positivity (fetch-size optimized)."""
     codes = unpack_reads(codes2, bad, width)
     hit, csid, ovf = dict_probe(table, codes, k, dparams)
-    scores = _tu_dispatch(dense_bits, hit, csid, num_colors)
-    return _pack_hits(hit), scores.astype(jnp.uint16), jnp.any(ovf, axis=1)
+    scores, rovf = _tu_dispatch(dense_bits, hit, csid, num_colors)
+    return (_pack_hits(hit), scores.astype(jnp.uint16),
+            jnp.any(ovf, axis=1) | rovf)

@@ -1,0 +1,245 @@
+#!/usr/bin/env python
+"""Round-3 probe/color stage decomposition on the real chip (pan1k).
+
+Times each pipeline stage in isolation to validate the gather cost model
+(docs/DESIGN-NOTES.md §1, §9b) before rebuilding the anchored probe around
+compacted run lanes. Timing rule on axon: force a scalar device->host fetch
+per rep (block_until_ready returns early on this platform).
+
+Usage: python scripts/profile_r3.py [stage ...]
+Stages: prep probe color compact micro anchored
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "bench_cache")
+
+B = 32768
+L = 160  # padded read length used by the streaming engine width ladder
+K = 31
+
+
+def timeit(label, fn, reps=5):
+    # warm (compile)
+    r = fn()
+    _force(r)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        r = fn()
+        _force(r)
+        best = min(best, time.perf_counter() - t0)
+    print(f"  {label:55s} {best * 1e3:9.1f} ms")
+    return best
+
+
+def _force(r):
+    import jax.numpy as jnp
+
+    if isinstance(r, (tuple, list)):
+        for x in r:
+            _force(x)
+    else:
+        float(jnp.sum(r.astype(jnp.float32) if r.dtype == jnp.uint32 else r)
+              .astype(jnp.float32))
+
+
+def main():
+    stages = set(sys.argv[1:]) or {"prep", "probe", "color", "compact"}
+
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = os.path.join(CACHE, "jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from fulgor_tpu.index import Index
+    from fulgor_tpu.ops import minidict2 as md2
+    from fulgor_tpu.ops import intersect as its
+
+    idx = Index.load(os.path.join(CACHE, "pan1k.mini.tfur"))
+    print(f"index: {idx.num_kmers:,} kmers {idx.num_color_sets:,} sets "
+          f"{idx.num_colors} colors")
+
+    # synthetic batch of reads drawn from the index text (realistic hit rates)
+    rng = np.random.default_rng(0)
+    md = idx.minidict()
+    text32 = np.asarray(md.text32)
+    nbases = text32.shape[0] * 32
+    starts = rng.integers(0, nbases - L - 64, B)
+    # unpack codes from text32 rows on host
+    codes = np.zeros((B, L), dtype=np.int32)
+    for j in range(L):
+        p = starts + j
+        w = text32[p >> 5, 0]
+        w2 = text32[p >> 5, 1]
+        sh = 2 * (p & 31)
+        big = sh >= 32
+        v = np.where(big, (w2 >> np.minimum(sh - 32, 31)) & 3, (w >> np.minimum(sh, 31)) & 3)
+        codes[:, j] = v
+    codes_j = jnp.asarray(codes)
+
+    (slots_np, text32_np, sec_np), (m, num_slots) = idx.device_dict()
+    slots = jnp.asarray(slots_np)
+    dtext32 = jnp.asarray(text32_np)
+    sec = jnp.asarray(sec_np)
+    dense_bits = jnp.asarray(idx.dense_color_bits())
+    print(f"B={B} L={L} Wk={L - K + 1} slots={slots.shape} dense={dense_bits.shape}")
+
+    if "prep" in stages:
+        print("[prep]")
+        prep = jax.jit(lambda c: md2._window_prep(c, K, m))
+        timeit("window_prep (minimizers + packings)", lambda: prep(codes_j))
+
+    if "probe" in stages:
+        print("[probe]")
+        full = jax.jit(
+            lambda c: md2.lookup_minidict2_batch(
+                slots, dtext32, sec, c, k=K, m=m, num_slots=num_slots)
+        )
+        timeit("per-window probe (default)", lambda: full(codes_j))
+
+        # probe minus skew: monkeypatchless variant — measure by gating skew off
+        def probe_no_skew(c):
+            (minval, iL, iR, _pL, _pR, flo, fhi, rlo, rhi, usable) = (
+                md2._window_prep(c, K, m))
+            import jax.numpy as jnp2
+            # selection + verify only: call _probe_entries with a zero sec
+            return md2._probe_entries(
+                slots, dtext32, jnp.zeros((1, md2.SKEW_ROWW), jnp.uint32),
+                minval, iL, iR, flo, fhi, rlo, rhi, usable,
+                k=K, m=m, num_slots=num_slots)
+
+        timeit("probe w/ empty skew table", lambda: jax.jit(probe_no_skew)(codes_j))
+
+        hit, csid, ovf = full(codes_j)
+        hitf = float(jnp.mean(hit.astype(jnp.float32)))
+        print(f"  hit rate {hitf:.3f} ovf {float(jnp.mean(ovf.astype(jnp.float32))):.5f}")
+
+    if "color" in stages:
+        print("[color]")
+        hit, csid, ovf = jax.jit(
+            lambda c: md2.lookup_minidict2_batch(
+                slots, dtext32, sec, c, k=K, m=m, num_slots=num_slots)
+        )(codes_j)
+        hit = jax.block_until_ready(hit)
+
+        timeit("FI windows (gather every window row)",
+               lambda: its.full_intersection_windows(dense_bits, hit, csid))
+        for R in (16, 24, 32, 48):
+            def fi_runs(R=R):
+                rc, _cnt, _ovf = its.compact_runs(hit, csid, R)
+                return its.full_intersection_runs(dense_bits, rc, jnp.any(hit, axis=1))
+            timeit(f"FI runs (scatter compact R={R})", jax.jit(fi_runs))
+        def cnt_runs():
+            rc, cnt, ovf = its.compact_runs(hit, csid, 24)
+            return rc, cnt, ovf
+        timeit("compact_runs alone (scatter, R=24)", jax.jit(cnt_runs))
+        rc, cnt, rovf = jax.jit(cnt_runs)()
+        nr = jnp.sum((rc != jnp.uint32(0xFFFFFFFF)).astype(jnp.int32), axis=1)
+        print(f"  runs/read mean {float(jnp.mean(nr.astype(jnp.float32))):.1f} "
+              f"p99 {int(jnp.percentile(nr.astype(jnp.float32), 99))} "
+              f"ovf {float(jnp.mean(rovf.astype(jnp.float32))):.4f}")
+        timeit("TU windows (chunked matmul)",
+               lambda: its.threshold_union_scores_windows(dense_bits, hit, csid,
+                                                          idx.num_colors))
+
+    if "compact" in stages:
+        print("[compact] popcount-based mask compaction cost")
+        hit, csid, ovf = jax.jit(
+            lambda c: md2.lookup_minidict2_batch(
+                slots, dtext32, sec, c, k=K, m=m, num_slots=num_slots)
+        )(codes_j)
+        hit = jax.block_until_ready(hit)
+        Wk = L - K + 1
+
+        def popcount_compact(R=32):
+            # pack is_new mask to u32 words, first_set_bits -> positions
+            prev = jnp.concatenate(
+                [jnp.full((B, 1), 0xFFFFFFFF, dtype=jnp.uint32), csid[:, :-1]],
+                axis=1)
+            prev_hit = jnp.concatenate([jnp.zeros((B, 1), bool), hit[:, :-1]],
+                                       axis=1)
+            is_new = hit & ((csid != prev) | ~prev_hit)
+            pad = (-Wk) % 32
+            mask = jnp.pad(is_new, ((0, 0), (0, pad)))
+            bits = its.pack_bool_bits(mask)
+            total, pos = its.first_set_bits(bits, R)
+            rc = jnp.take_along_axis(csid, jnp.minimum(pos, Wk - 1), axis=1)
+            valid = jnp.arange(R)[None, :] < total[:, None]
+            rc = jnp.where(valid, rc, jnp.uint32(0xFFFFFFFF))
+            return rc, total > R
+
+        timeit("popcount compact runs (R=32)", jax.jit(popcount_compact))
+
+        def fi_runs_pop(R=32):
+            rc, ovfr = popcount_compact(R)
+            return its.full_intersection_runs(dense_bits, rc, jnp.any(hit, axis=1))
+        timeit("FI runs via popcount compact (R=32)", jax.jit(fi_runs_pop))
+
+        # equivalence check vs scatter compaction
+        rc1, _c1, _o1 = jax.jit(lambda: its.compact_runs(hit, csid, 32))()
+        rc2, _o2 = jax.jit(popcount_compact)()
+        ok = bool(jnp.all(rc1 == rc2))
+        print(f"  popcount == scatter compaction: {ok}")
+
+    if "micro" in stages:
+        print("[micro] gather cost vs lane count / row width")
+        for lanes in (3_932_160, 1_572_864, 524_288):
+            idxs = jnp.asarray(rng.integers(0, slots.shape[0], lanes), jnp.int32)
+            timeit(f"random 96B-row gather, {lanes / 1e6:.1f}M lanes",
+                   jax.jit(lambda idxs=idxs: jnp.take(slots, idxs, axis=0)))
+            idx2 = jnp.asarray(rng.integers(0, dtext32.shape[0], lanes), jnp.int32)
+            timeit(f"random 16B-row gather, {lanes / 1e6:.1f}M lanes",
+                   jax.jit(lambda idx2=idx2: jnp.take(dtext32, idx2, axis=0)))
+            z = jnp.zeros(lanes, jnp.int32)
+            timeit(f"coalesced (all-0) 96B gather, {lanes / 1e6:.1f}M lanes",
+                   jax.jit(lambda z=z: jnp.take(slots, z, axis=0)))
+
+    if "anchored" in stages:
+        print("[anchored] compacted-lane anchored probe (v2)")
+        anch = jax.jit(
+            lambda c: md2.lookup_minidict2_batch_anchored(
+                slots, dtext32, sec, c, k=K, m=m, num_slots=num_slots)
+        )
+        timeit("anchored probe v2 (defaults)", lambda: anch(codes_j))
+        h, v, o = anch(codes_j)
+        print(f"  hit {float(jnp.mean(h.astype(jnp.float32))):.3f} "
+              f"ovf {float(jnp.mean(o.astype(jnp.float32))):.5f} "
+              f"ovf reads {float(jnp.mean(jnp.any(o, axis=1).astype(jnp.float32))):.5f}")
+        full = jax.jit(
+            lambda c: md2.lookup_minidict2_batch(
+                slots, dtext32, sec, c, k=K, m=m, num_slots=num_slots)
+        )
+        hf, vf, of = full(codes_j)
+        agree = bool(jnp.all((~np.asarray(o)) <= (np.asarray(h) == np.asarray(hf))
+                             | np.asarray(of)))
+        print(f"  windows where decided results differ from per-window: "
+              f"{int(jnp.sum(((h != hf) & ~o & ~of).astype(jnp.int32)))}")
+
+    if "cal" in stages:
+        print("[cal] dispatch overhead + small-op costs")
+        tiny = jnp.zeros(8, jnp.float32)
+        timeit("null (sum of 8 floats)", jax.jit(lambda: jnp.sum(tiny)))
+        hit, csid, ovf = jax.jit(
+            lambda c: md2.lookup_minidict2_batch(
+                slots, dtext32, sec, c, k=K, m=m, num_slots=num_slots)
+        )(codes_j)
+        hit = jax.block_until_ready(hit)
+        pos32 = jnp.asarray(rng.integers(0, L - K + 1, (B, 32)), jnp.int32)
+        timeit("take_along_axis (B,130)->(B,32)",
+               jax.jit(lambda: jnp.take_along_axis(csid, pos32, axis=1)))
+        prep = jax.jit(lambda c: md2._window_prep(c, K, m))
+        timeit("window_prep (minimizers + packings)", lambda: prep(codes_j))
+
+
+if __name__ == "__main__":
+    main()

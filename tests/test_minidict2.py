@@ -14,20 +14,24 @@ from tests.test_native import write_fasta
 K_LEN, M_LEN = 15, 9
 
 
-@pytest.fixture(scope="module")
-def built(tmp_path_factory):
+# k=31 exercises the hi-word compare path (2k > 32: fhi/rhi, hi_mask) that
+# production uses — k=15 alone leaves it dark (round-2 ADVICE).
+@pytest.fixture(scope="module", params=[(15, 9), (31, 19)],
+                ids=["k15", "k31"])
+def built(request, tmp_path_factory):
+    k_len, m_len = request.param
     rng = np.random.default_rng(17)
-    tmp = tmp_path_factory.mktemp("md2")
-    genomes = random_genomes(rng, num_colors=6, length=3000, mut=0.02, k=K_LEN)
+    tmp = tmp_path_factory.mktemp(f"md2_k{k_len}")
+    genomes = random_genomes(rng, num_colors=6, length=3000, mut=0.02, k=k_len)
     paths = []
     for i, seqs in enumerate(genomes):
         p = str(tmp / f"g{i}.fa")
         write_fasta(p, seqs)
         paths.append(p)
-    idx = build_index(paths, k=K_LEN, m=M_LEN, dict_kind="cuckoo")
+    idx = build_index(paths, k=k_len, m=m_len, dict_kind="cuckoo")
     ucodes = K.unpack2(idx.unitig_seq, int(idx.unitig_offs[-1]))
-    d = M2.build_minidict2(ucodes, idx.unitig_offs, idx.u2c_csid, K_LEN, M_LEN)
-    return idx, d, genomes, rng, paths
+    d = M2.build_minidict2(ucodes, idx.unitig_offs, idx.u2c_csid, k_len, m_len)
+    return idx, d, genomes, rng, paths, k_len, m_len
 
 
 def _reads(rng, genomes, n, L):
@@ -47,11 +51,11 @@ def _reads(rng, genomes, n, L):
 
 
 def test_host_exact_vs_cuckoo(built):
-    idx, d, genomes, rng, _paths = built
+    idx, d, genomes, rng, _paths, k_len, m_len = built
     for row in _reads(rng, genomes, 60, 60):
         hit, cs = M2.lookup_host_exact(d, row)
-        km, valid = K.pack_kmers(row, K_LEN)
-        gt = lookup_host(idx.dict_table, K.canonicalize(km, K_LEN))
+        km, valid = K.pack_kmers(row, k_len)
+        gt = lookup_host(idx.dict_table, K.canonicalize(km, k_len))
         gt_hit = valid & (gt != 0xFFFFFFFF)
         np.testing.assert_array_equal(hit, gt_hit)
         np.testing.assert_array_equal(cs[gt_hit], gt[gt_hit])
@@ -60,13 +64,13 @@ def test_host_exact_vs_cuckoo(built):
 def test_device_matches_host_sem(built):
     import jax.numpy as jnp
 
-    idx, d, genomes, rng, _paths = built
+    idx, d, genomes, rng, _paths, k_len, m_len = built
     L = 60
     reads = _reads(rng, genomes, 40, L)
     batch = np.stack(reads)
     hit, cs, ovf = M2.lookup_minidict2_batch(
         jnp.asarray(d.slots), jnp.asarray(d.text32), jnp.asarray(d.sec_table),
-        jnp.asarray(batch.astype(np.int32)), k=K_LEN, m=M_LEN,
+        jnp.asarray(batch.astype(np.int32)), k=k_len, m=m_len,
         num_slots=d.num_slots,
     )
     hit, cs, ovf = np.asarray(hit), np.asarray(cs), np.asarray(ovf)
@@ -80,7 +84,7 @@ def test_device_matches_host_sem(built):
 def test_overflow_contract(built):
     """Every non-ovf window must agree with the exact probe; ovf windows
     must be resolvable by it (the engine's fallback path)."""
-    idx, d, genomes, rng, _paths = built
+    idx, d, genomes, rng, _paths, k_len, m_len = built
     for row in _reads(rng, genomes, 30, 80):
         he, ce = M2.lookup_host_exact(d, row)
         hd, cd, ovf = M2.lookup_host_device_sem(d, row)
@@ -91,7 +95,7 @@ def test_overflow_contract(built):
 
 def test_probe_windows_host_matches_exact(built):
     """The vectorized bulk host probe == the per-read exact probe."""
-    idx, d, genomes, rng, _paths = built
+    idx, d, genomes, rng, _paths, k_len, m_len = built
     for row in _reads(rng, genomes, 40, 80):
         he, ce = M2.lookup_host_exact(d, row)
         hv, cv = M2.probe_windows_host(d, row)
@@ -100,13 +104,16 @@ def test_probe_windows_host_matches_exact(built):
 
 
 def test_anchored_probe_contract(built):
-    """Run-anchored device probe vs the per-window device probe: hits are a
-    superset (extension can decide budget-ovf windows), csids agree wherever
-    both hit, ovf is a subset, and every extra hit matches the exact host
-    probe (the unique k-mer -> csid answer)."""
+    """Run-anchored (v2, compacted-lane) device probe soundness: every
+    non-ovf window must agree EXACTLY with the exact host probe (both hit
+    and csid — extension hits are text-verified, anchor/reprobe misses are
+    definitive), every hit must be correct even when flagged is impossible
+    (hit & ovf = empty), and ovf windows must be resolvable by the exact
+    probe (the engine's redo path). Run on several lane budgets so the
+    RA/RU overflow paths are exercised, not just the happy path."""
     import jax.numpy as jnp
 
-    idx, d, genomes, rng, _paths = built
+    idx, d, genomes, rng, _paths, k_len, m_len = built
     L = 73
     reads = _reads(rng, genomes, 50, L)
     batch = np.stack(reads)
@@ -114,23 +121,49 @@ def test_anchored_probe_contract(built):
         jnp.asarray(d.slots), jnp.asarray(d.text32), jnp.asarray(d.sec_table),
         jnp.asarray(batch.astype(np.int32)),
     )
-    kw = dict(k=K_LEN, m=M_LEN, num_slots=d.num_slots)
+    kw = dict(k=k_len, m=m_len, num_slots=d.num_slots)
     hit, cs, ovf = map(np.asarray, M2.lookup_minidict2_batch(*args, **kw))
-    hitA, csA, ovfA = map(
-        np.asarray, M2.lookup_minidict2_batch_anchored(*args, **kw)
-    )
-    assert (hit <= hitA).all(), "anchored probe lost hits"
-    both = hit & hitA
-    np.testing.assert_array_equal(csA[both], cs[both])
-    assert (ovfA <= ovf).all(), "anchored probe added overflows"
-    assert not (hitA & ovfA).any()
-    extra = hitA & ~hit
-    if extra.any():
-        assert ovf[extra].all(), "extra hits must come from budget-ovf windows"
-    for i, row in enumerate(reads):
+    exact = [M2.lookup_host_exact(d, row) for row in reads]
+    for RA, RU in ((None, None), (4, 2), (2, 1)):
+        hitA, csA, ovfA = map(
+            np.asarray,
+            M2.lookup_minidict2_batch_anchored(*args, **kw, RA=RA, RU=RU),
+        )
+        assert not (hitA & ovfA).any()
+        both = hit & hitA
+        np.testing.assert_array_equal(csA[both], cs[both])
+        for i, (he, ce) in enumerate(exact):
+            ok = ~ovfA[i]
+            np.testing.assert_array_equal(
+                hitA[i][ok], he[ok], err_msg=f"RA={RA} read {i} hit")
+            h = hitA[i] & ok
+            np.testing.assert_array_equal(
+                csA[i][h], ce[h], err_msg=f"RA={RA} read {i} csid")
+        if RA is None:
+            # default budgets: loose cap over the error-dense read mix
+            # (reads with ~2 errors/73bp legitimately go to the redo path)
+            assert ovfA.mean() <= 0.25, (
+                f"anchored default-budget ovf rate {ovfA.mean():.4f}")
+
+    # error-FREE reads drawn straight from the corpus must almost never
+    # overflow the default budgets (this is the bench/primary regime)
+    clean = []
+    for _ in range(64):
+        g = genomes[rng.integers(0, len(genomes))][0]
+        p = rng.integers(0, len(g) - L)
+        clean.append(K.seq_to_codes(g[p : p + L]))
+    cbatch = jnp.asarray(np.stack(clean).astype(np.int32))
+    args_c = args[:3] + (cbatch,)
+    hitC, csC, ovfC = map(
+        np.asarray, M2.lookup_minidict2_batch_anchored(*args_c, **kw))
+    assert ovfC.mean() <= 0.01, (
+        f"clean-read anchored ovf rate {ovfC.mean():.4f}")
+    for i, row in enumerate(clean):
         he, ce = M2.lookup_host_exact(d, row)
-        np.testing.assert_array_equal(he[hitA[i]], True)
-        np.testing.assert_array_equal(csA[i][hitA[i]], ce[hitA[i]])
+        ok = ~ovfC[i]
+        np.testing.assert_array_equal(hitC[i][ok], he[ok])
+        h = hitC[i] & ok
+        np.testing.assert_array_equal(csC[i][h], ce[h])
 
 
 def test_mini_index_end_to_end(built, tmp_path):
@@ -139,8 +172,8 @@ def test_mini_index_end_to_end(built, tmp_path):
     from fulgor_tpu.build.builder import build_index as BI, check_index
     from fulgor_tpu.query.engine import QueryEngine
 
-    idx_c, d, genomes, rng, paths = built
-    idx_m = BI(paths, k=K_LEN, m=M_LEN, dict_kind="mini")
+    idx_c, d, genomes, rng, paths, k_len, m_len = built
+    idx_m = BI(paths, k=k_len, m=m_len, dict_kind="mini")
     assert idx_m.dict_kind == "mini" and idx_m.dict_table is None
     assert idx_m.num_kmers == idx_c.num_kmers
     assert check_index(idx_m)

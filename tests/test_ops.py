@@ -150,13 +150,13 @@ def test_compact_runs(setup):
 
 
 def test_runs_strategy_large_colors(rng):
-    """For wide color rows the pipeline compacts runs before gathering;
-    verify against naive on a synthetic large-C index."""
-    from fulgor_tpu.ops.pipeline import RUNS_MIN_WORDS, query_full_intersection
+    """The color stage compacts runs before gathering at every C (round-3
+    perf change); verify against naive on a synthetic large-C index, and
+    the tight-budget dispatchers' overflow contract."""
     from fulgor_tpu.ops import intersect as I
     import jax.numpy as jnp
 
-    C32 = RUNS_MIN_WORDS + 8  # force the runs path (with S > onehot cutoff)
+    C32 = 72
     S = I.ONEHOT_MAX_SETS + 100
     dense = rng.integers(0, 1 << 32, size=(S, C32), dtype=np.uint64).astype(np.uint32)
     B, W = 32, 40
@@ -185,3 +185,30 @@ def test_runs_strategy_large_colors(rng):
             for s in sids[1:]:
                 expect &= dense[s]
         np.testing.assert_array_equal(got[b], expect, err_msg=f"row {b}")
+
+    # dispatcher overflow contract: with the tight default budget, reads
+    # with more runs than the budget must raise rovf; non-ovf reads exact
+    from fulgor_tpu.ops.pipeline import _fi_dispatch, _tu_dispatch, \
+        color_runs_budget
+
+    R = color_runs_budget(W)
+    bits2, rovf = map(
+        np.asarray, _fi_dispatch(jnp.asarray(dense), jnp.asarray(hit),
+                                 jnp.asarray(csid)))
+    nruns = np.asarray(
+        I.compact_runs(jnp.asarray(hit), jnp.asarray(csid), W)[0])
+    nruns = (nruns != INVALID).sum(axis=1)
+    np.testing.assert_array_equal(rovf, nruns > R)
+    for b in np.flatnonzero(~rovf):
+        np.testing.assert_array_equal(bits2[b], got[b], err_msg=f"fi row {b}")
+    scores, rovf_tu = map(
+        np.asarray, _tu_dispatch(jnp.asarray(dense), jnp.asarray(hit),
+                                 jnp.asarray(csid), C32 * 32))
+    np.testing.assert_array_equal(rovf_tu, nruns > R)
+    bitsm = np.unpackbits(
+        dense.view(np.uint8), axis=1, bitorder="little").astype(np.int64)
+    for b in np.flatnonzero(~rovf_tu):
+        exp = bitsm[csid[b][hit[b]].astype(np.int64)].sum(axis=0) \
+            if hit[b].any() else np.zeros(C32 * 32, np.int64)
+        np.testing.assert_array_equal(scores[b].astype(np.int64), exp,
+                                      err_msg=f"tu row {b}")
