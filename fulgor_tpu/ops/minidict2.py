@@ -799,29 +799,174 @@ def skew_probe_device(skew, flat_slots, flo, fhi, rlo, rhi, iL, iR, gate,
     return hit, val, cnt2, entry
 
 
-def _window_prep(codes, k: int, m: int):
-    """Per-window minimizer + packing preamble shared by the probe variants.
+def _rev2_32(x):
+    """Reverse the 16 2-bit groups of a uint32 (butterfly, 4 steps)."""
+    import jax.numpy as jnp
 
-    -> (minval, iL, iR, pLabs, pRabs, flo, fhi, rlo, rhi, usable), all
-    (B, Wk); pLabs/pRabs are the ABSOLUTE read positions of the leftmost /
-    rightmost minimal m-mer in each window (run anchoring keys off them)."""
+    x = ((x & jnp.uint32(0x33333333)) << 2) | ((x >> 2) & jnp.uint32(0x33333333))
+    x = ((x & jnp.uint32(0x0F0F0F0F)) << 4) | ((x >> 4) & jnp.uint32(0x0F0F0F0F))
+    x = ((x & jnp.uint32(0x00FF00FF)) << 8) | ((x >> 8) & jnp.uint32(0x00FF00FF))
+    return (x << 16) | (x >> 16)
+
+
+def _device_pack_codes(codes):
+    """(B, L) int codes -> (words (B, ceil(L/16)) u32 LSB-first 16 bases
+    each, badw (B, ceil(L/32)) u32 one bad-bit per base). One pass over the
+    batch (the round-2 prep re-sliced it ~50 times)."""
+    import jax.numpy as jnp
+
+    B, L = codes.shape
+    c = codes.astype(jnp.uint32)
+    bad = c > 3
+    c = jnp.where(bad, 0, c)
+    Lw = -(-L // 16) * 16
+    if Lw != L:
+        c = jnp.pad(c, ((0, 0), (0, Lw - L)))
+    sh16 = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
+    words = jnp.sum(c.reshape(B, Lw // 16, 16) << sh16, axis=2,
+                    dtype=jnp.uint32)
+    Lb = -(-L // 32) * 32
+    badp = bad
+    if Lb != L:
+        badp = jnp.pad(bad, ((0, 0), (0, Lb - L)), constant_values=True)
+    sh32 = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+    badw = jnp.sum(badp.astype(jnp.uint32).reshape(B, Lb // 32, 32) << sh32,
+                   axis=2, dtype=jnp.uint32)
+    return words, badw
+
+
+def words_from_packed(codes2, bad):
+    """Reinterpret the host-packed stream buffers (pack_reads_host layout:
+    codes2 (B, W//4) u8 LSB-first, bad (B, W//8) u8 bit-per-base) as the
+    (words, badw) u32 arrays _window_prep_from_words consumes — zero
+    recompute, the wire format IS the prep format."""
+    import jax.numpy as jnp
+
+    B = codes2.shape[0]
+    c = codes2.astype(jnp.uint32)
+    words = (c[:, 0::4] | (c[:, 1::4] << 8) | (c[:, 2::4] << 16)
+             | (c[:, 3::4] << 24))
+    b = bad.astype(jnp.uint32)
+    badw = (b[:, 0::4] | (b[:, 1::4] << 8) | (b[:, 2::4] << 16)
+            | (b[:, 3::4] << 24))
+    return words, badw
+
+
+def _extract_all(words, nout: int):
+    """32-base LSB-first extraction at EVERY base position p < nout:
+    lo(p) = bases [p, p+16), hi(p) = bases [p+16, p+32). Built by 16
+    alignment shifts + one interleave — no gathers."""
+    import jax.numpy as jnp
+
+    B, nw = words.shape
+    need = (max(nout, 1) - 1) // 16 + 3
+    if nw < need:
+        words = jnp.pad(words, ((0, 0), (0, need - nw)))
+    w0, w1, w2 = words[:, :-2], words[:, 1:-1], words[:, 2:]
+    los, his = [], []
+    for a in range(16):
+        s = 2 * a
+        if s == 0:
+            los.append(w0)
+            his.append(w1)
+        else:
+            los.append((w0 >> s) | (w1 << (32 - s)))
+            his.append((w1 >> s) | (w2 << (32 - s)))
+    lo = jnp.stack(los, axis=2).reshape(B, -1)[:, :nout]
+    hi = jnp.stack(his, axis=2).reshape(B, -1)[:, :nout]
+    return lo, hi
+
+
+def _extract_bits_all(badw, nout: int):
+    """32 bad-bits starting at every base position p < nout."""
+    import jax.numpy as jnp
+
+    B, nb = badw.shape
+    need = (max(nout, 1) - 1) // 32 + 2
+    if nb < need:
+        # absent positions are PAD: mark bad so no window uses them
+        badw = jnp.pad(badw, ((0, 0), (0, need - nb)),
+                       constant_values=np.uint32(0xFFFFFFFF))
+    b0, b1 = badw[:, :-1], badw[:, 1:]
+    outs = []
+    for a in range(32):
+        outs.append(b0 if a == 0 else (b0 >> a) | (b1 << (32 - a)))
+    return jnp.stack(outs, axis=2).reshape(B, -1)[:, :nout]
+
+
+def _window_prep_from_words(words, badw, L: int, k: int, m: int):
+    """Core prep from 2-bit packed words: see _window_prep. All per-window
+    packings derive from ONE 32-base extraction pass; reverse complements
+    via a 2-bit butterfly (rc_lsb(n-mer) = rev2_64(~fwd)>>（64-2n)), and
+    the m-mer big-endian canonicals from the same identities (big_fwd =
+    rev2 of lsb, big_rc = ~lsb) — bit-identical to the host mmer_hashes /
+    window_packings_lsb definitions."""
     import jax
     import jax.numpy as jnp
 
-    from .lookup import mix32, pack_windows
+    from .lookup import mix32
 
-    B, L = codes.shape
+    B = words.shape[0]
     Wk = L - k + 1
+    Wm = L - m + 1
     w = k - m + 1
 
-    # ---- canonical m-mer hashes ----
-    lo_m, hi_m, ok_m = pack_windows(codes, m)
+    lo, hi = _extract_all(words, Wm)
+    badx = _extract_bits_all(badw, Wm)
+    nl, nh = ~lo, ~hi
+    Rl, Rh = _rev2_32(nl), _rev2_32(nh)  # rev2 of complements
+
+    def _masks(n):
+        lom = jnp.uint32(0xFFFFFFFF if 2 * n >= 32 else (1 << (2 * n)) - 1)
+        him = jnp.uint32((1 << (2 * n - 32)) - 1 if 2 * n > 32 else 0)
+        return lom, him
+
+    def _rc_pair(n):
+        s = 64 - 2 * n
+        if s == 0:
+            return Rh, Rl
+        if s < 32:
+            return (Rh >> s) | (Rl << (32 - s)), Rl >> s
+        if s == 32:
+            return Rl, jnp.zeros_like(Rl)
+        return Rl >> (s - 32), jnp.zeros_like(Rl)
+
+    # ---- k-mer fwd/rc LSB packings over the k-window positions ----
+    klom, khim = _masks(k)
+    flo = (lo & klom)[:, :Wk]
+    fhi = (hi & khim)[:, :Wk]
+    rkl, rkh = _rc_pair(k)
+    rlo = (rkl & klom)[:, :Wk]
+    rhi = (rkh & khim)[:, :Wk]
+    kbm = jnp.uint32((1 << k) - 1) if k < 32 else jnp.uint32(0xFFFFFFFF)
+    okw = ((badx & kbm) == 0)[:, :Wk]
+
+    # ---- m-mer canonical (big-endian) hashes over all Wm positions ----
+    mlom, mhim = _masks(m)
+    br_lo = nl & mlom                     # big_rc = ~fwd_lsb
+    br_hi = nh & mhim
+    iRl, iRh = ~Rl, ~Rh                   # rev2(lo), rev2(hi)
+    s = 64 - 2 * m
+    if s == 0:
+        bf_lo, bf_hi = iRh & mlom, iRl & mhim
+    elif s < 32:
+        bf_lo = ((iRh >> s) | (iRl << (32 - s))) & mlom
+        bf_hi = (iRl >> s) & mhim
+    elif s == 32:
+        bf_lo, bf_hi = iRl & mlom, jnp.zeros_like(iRl)
+    else:
+        bf_lo = (iRl >> (s - 32)) & mlom
+        bf_hi = jnp.zeros_like(iRl)
+    take_f = (bf_hi < br_hi) | ((bf_hi == br_hi) & (bf_lo <= br_lo))
+    lo_m = jnp.where(take_f, bf_lo, br_lo)
+    hi_m = jnp.where(take_f, bf_hi, br_hi)
+    mbm = jnp.uint32((1 << m) - 1)
+    ok_m = (badx & mbm) == 0
     h = mix32(lo_m ^ mix32(hi_m ^ jnp.uint32(SEED_M)))
     h = jnp.where(h == jnp.uint32(0xFFFFFFFF), jnp.uint32(0xFFFFFFFE), h)
     h = jnp.where(ok_m, h, jnp.uint32(0xFFFFFFFF))
 
     # ---- sliding min + leftmost/rightmost argmin ----
-    Wm = h.shape[1]
     pos = jnp.broadcast_to(jax.lax.broadcasted_iota(jnp.int32, (1, Wm), 1), (B, Wm))
     vL, pL, vR, pR = h, pos, h, pos
     span = 1
@@ -843,26 +988,19 @@ def _window_prep(codes, k: int, m: int):
     iL = pLabs - kpos
     iR = pRabs - kpos
 
-    # ---- LSB-first fwd/rc window packings ----
-    c = codes.astype(jnp.uint32)
-    flo = jnp.zeros((B, Wk), jnp.uint32)
-    fhi = jnp.zeros((B, Wk), jnp.uint32)
-    rlo = jnp.zeros((B, Wk), jnp.uint32)
-    rhi = jnp.zeros((B, Wk), jnp.uint32)
-    okw = jnp.ones((B, Wk), bool)
-    for i in range(k):
-        ci = jax.lax.dynamic_slice_in_dim(c, i, Wk, axis=1)
-        okw = okw & (ci <= 3)
-        cj = (jnp.uint32(3) - jax.lax.dynamic_slice_in_dim(c, k - 1 - i, Wk, axis=1)) & jnp.uint32(3)
-        if 2 * i < 32:
-            flo = flo | ((ci & 3) << (2 * i))
-            rlo = rlo | (cj << (2 * i))
-        else:
-            fhi = fhi | ((ci & 3) << (2 * i - 32))
-            rhi = rhi | (cj << (2 * i - 32))
-
     usable = okw & (minval != jnp.uint32(0xFFFFFFFF))
     return minval, iL, iR, pLabs, pRabs, flo, fhi, rlo, rhi, usable
+
+
+def _window_prep(codes, k: int, m: int):
+    """Per-window minimizer + packing preamble shared by the probe variants.
+
+    -> (minval, iL, iR, pLabs, pRabs, flo, fhi, rlo, rhi, usable), all
+    (B, Wk); pLabs/pRabs are the ABSOLUTE read positions of the leftmost /
+    rightmost minimal m-mer in each window (run anchoring keys off them)."""
+    B, L = codes.shape
+    words, badw = _device_pack_codes(codes)
+    return _window_prep_from_words(words, badw, L, k, m)
 
 
 def _probe_entries(slots, text32, sec_table, minval, iL, iR, flo, fhi, rlo,
@@ -999,9 +1137,22 @@ def lookup_minidict2_batch(slots, text32, sec_table, codes, *, k: int, m: int,
     codes: (B, L) int codes (0..3 valid, >=4 pad). -> (hit (B,Wk) bool,
     csid (B,Wk) u32, ovf (B,Wk) bool). Semantics == lookup_host_device_sem.
     """
-    (minval, iL, iR, _pL, _pR, flo, fhi, rlo, rhi, usable) = _window_prep(
-        codes, k, m
-    )
+    prep = _window_prep(codes, k, m)
+    return _probe_per_window(slots, text32, sec_table, prep, k, m, num_slots)
+
+
+def lookup_minidict2_packed(slots, text32, sec_table, codes2, bad, *,
+                            width: int, k: int, m: int, num_slots: int):
+    """Per-window lookup straight from the host-packed stream buffers
+    (pack_reads_host layout) — the wire format doubles as the prep input,
+    so no device-side unpack/re-pack happens at all."""
+    words, badw = words_from_packed(codes2, bad)
+    prep = _window_prep_from_words(words, badw, width, k, m)
+    return _probe_per_window(slots, text32, sec_table, prep, k, m, num_slots)
+
+
+def _probe_per_window(slots, text32, sec_table, prep, k, m, num_slots):
+    (minval, iL, iR, _pL, _pR, flo, fhi, rlo, rhi, usable) = prep
     return _probe_entries(
         slots, text32, sec_table, minval, iL, iR, flo, fhi, rlo, rhi, usable,
         k=k, m=m, num_slots=num_slots,
@@ -1060,14 +1211,29 @@ def lookup_minidict2_batch_anchored(slots, text32, sec_table, codes, *,
     a superset where both decide, csid agrees everywhere both hit, and
     ovf covers every window the per-window kernel would leave undecided.
     """
+    prep = _window_prep(codes, k, m)
+    return _probe_anchored(slots, text32, sec_table, prep, k, m, num_slots,
+                           RA, RU)
+
+
+def lookup_minidict2_anchored_packed(slots, text32, sec_table, codes2, bad, *,
+                                     width: int, k: int, m: int,
+                                     num_slots: int, RA=None, RU=None):
+    """Anchored lookup from host-packed stream buffers (see
+    lookup_minidict2_packed)."""
+    words, badw = words_from_packed(codes2, bad)
+    prep = _window_prep_from_words(words, badw, width, k, m)
+    return _probe_anchored(slots, text32, sec_table, prep, k, m, num_slots,
+                           RA, RU)
+
+
+def _probe_anchored(slots, text32, sec_table, prep, k, m, num_slots, RA, RU):
     import jax
     import jax.numpy as jnp
 
     from .intersect import mask_positions
 
-    (minval, iL, iR, pLabs, pRabs, flo, fhi, rlo, rhi, usable) = _window_prep(
-        codes, k, m
-    )
+    (minval, iL, iR, pLabs, pRabs, flo, fhi, rlo, rhi, usable) = prep
     B, Wk = minval.shape
     if RA is None:
         RA = anchor_budget(Wk, k, m)

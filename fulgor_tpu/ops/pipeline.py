@@ -76,6 +76,32 @@ def dict_probe(table, codes, k: int, dparams):
     )
 
 
+def dict_probe_packed(table, codes2, bad, width: int, k: int, dparams):
+    """dict_probe for host-packed (codes2, bad) stream buffers: the mini
+    backend's prep consumes the packed words directly (no device unpack);
+    the cuckoo backend unpacks as before."""
+    if dparams is None:
+        codes = unpack_reads(codes2, bad, width)
+        hit, csid = lookup_batch(table, codes, k)
+        return hit, csid, jnp.zeros_like(hit)
+    from .minidict2 import (
+        lookup_minidict2_anchored_packed,
+        lookup_minidict2_packed,
+    )
+
+    m, num_slots = dparams
+    slots, text32, sec = table
+    if ANCHORED_PROBE:
+        return lookup_minidict2_anchored_packed(
+            slots, text32, sec, codes2, bad, width=width, k=k, m=m,
+            num_slots=num_slots
+        )
+    return lookup_minidict2_packed(
+        slots, text32, sec, codes2, bad, width=width, k=k, m=m,
+        num_slots=num_slots
+    )
+
+
 def _fi_dispatch(dense_bits, hit, csid):
     """-> (result bits (B, C32) u32, run-budget ovf (B,) bool)."""
     S, C32 = dense_bits.shape
@@ -130,8 +156,7 @@ def query_window_csids(table, codes, *, k: int, dparams=None):
 @partial(jax.jit, static_argnames=("k", "width", "dparams"))
 def query_full_intersection_packed(table, dense_bits, codes2, bad, *, k: int,
                                    width: int, dparams=None):
-    codes = unpack_reads(codes2, bad, width)
-    hit, csid, ovf = dict_probe(table, codes, k, dparams)
+    hit, csid, ovf = dict_probe_packed(table, codes2, bad, width, k, dparams)
     bits, rovf = _fi_dispatch(dense_bits, hit, csid)
     return bits, jnp.any(ovf, axis=1) | rovf
 
@@ -141,8 +166,7 @@ def query_threshold_union_packed(
     table, dense_bits, codes2, bad, *, k: int, width: int, num_colors: int,
     dparams=None
 ):
-    codes = unpack_reads(codes2, bad, width)
-    hit, csid, ovf = dict_probe(table, codes, k, dparams)
+    hit, csid, ovf = dict_probe_packed(table, codes2, bad, width, k, dparams)
     scores, rovf = _tu_dispatch(dense_bits, hit, csid, num_colors)
     npos = jnp.sum(hit.astype(jnp.int32), axis=1)
     # scores are exact window counts < 2^16 (stream reads are <= 1024 bases;
@@ -154,8 +178,7 @@ def query_threshold_union_packed(
 @partial(jax.jit, static_argnames=("k", "width", "dparams"))
 def query_window_csids_packed(table, codes2, bad, *, k: int, width: int,
                               dparams=None):
-    codes = unpack_reads(codes2, bad, width)
-    return dict_probe(table, codes, k, dparams)
+    return dict_probe_packed(table, codes2, bad, width, k, dparams)
 
 
 # ---------------------------------------------------------------------------
@@ -175,8 +198,7 @@ def query_fi_lists_packed(table, dense_bits, codes2, bad, *, k: int, width: int,
 
     -> (count (B,) i32, lists (B, T) i32 ascending, bits (B, C32) u32 —
        fetch rows only for reads with count > T, ovf (B,) bool)."""
-    codes = unpack_reads(codes2, bad, width)
-    hit, csid, ovf = dict_probe(table, codes, k, dparams)
+    hit, csid, ovf = dict_probe_packed(table, codes2, bad, width, k, dparams)
     bits, rovf = _fi_dispatch(dense_bits, hit, csid)
     count, lists = first_set_bits(bits, T)
     return count, lists, bits, jnp.any(ovf, axis=1) | rovf
@@ -192,8 +214,7 @@ def query_tu_lists_packed(table, dense_bits, codes2, bad, minscore_tab, *,
     (host-computed in f64 so device f32 rounding can never diverge from the
     reference rule, src/ps_threshold_union.cpp:389).
     -> (count (B,) i32, lists (B, T) i32, maskbits (B, C32) u32, ovf)."""
-    codes = unpack_reads(codes2, bad, width)
-    hit, csid, ovf = dict_probe(table, codes, k, dparams)
+    hit, csid, ovf = dict_probe_packed(table, codes2, bad, width, k, dparams)
     scores, rovf = _tu_dispatch(dense_bits, hit, csid, num_colors)
     npos = jnp.sum(hit.astype(jnp.int32), axis=1)
     ms = jnp.take(minscore_tab, npos, axis=0)
@@ -214,8 +235,7 @@ def query_conservation_runs_packed(table, codes2, bad, *, k: int, width: int,
 
     -> (run_csid (B,R) u32, run_start (B,R) u16, run_len (B,R) u16,
         ovf (B,) bool — run budget exceeded or probe overflow)."""
-    codes = unpack_reads(codes2, bad, width)
-    hit, csid, ovf = dict_probe(table, codes, k, dparams)
+    hit, csid, ovf = dict_probe_packed(table, codes2, bad, width, k, dparams)
     run_csid, run_start, run_len, rovf = compact_runs_starts(hit, csid, R)
     return (
         run_csid,
@@ -231,8 +251,7 @@ def query_distinct_runs_packed(table, codes2, bad, *, k: int, width: int,
     """--deduplicate fetch: compacted (possibly duplicated) run csids per
     read; the host derives the distinct-set key from <=R entries instead of
     W window csids. -> (run_csid (B,R) u32, ovf (B,) bool)."""
-    codes = unpack_reads(codes2, bad, width)
-    hit, csid, ovf = dict_probe(table, codes, k, dparams)
+    hit, csid, ovf = dict_probe_packed(table, codes2, bad, width, k, dparams)
     run_csid, _cnt, rovf = compact_runs(hit, csid, R)
     return run_csid, rovf | jnp.any(ovf, axis=1)
 
@@ -251,8 +270,7 @@ def query_conservation_packed(table, codes2, bad, *, k, width, small_csid: bool,
     """kmer-conservation device step: positivity packed to bit words and
     csid narrowed to u16 when the set count allows — the device->host link
     is a pipeline stage (docs/DESIGN-NOTES.md §1)."""
-    codes = unpack_reads(codes2, bad, width)
-    hit, csid, ovf = dict_probe(table, codes, k, dparams)
+    hit, csid, ovf = dict_probe_packed(table, codes2, bad, width, k, dparams)
     hitw = _pack_hits(hit)
     if small_csid:
         csid_out = jnp.where(hit, csid, jnp.uint32(0xFFFF)).astype(jnp.uint16)
@@ -265,8 +283,7 @@ def query_conservation_packed(table, codes2, bad, *, k, width, small_csid: bool,
 def query_kmer_matches_packed2(table, dense_bits, codes2, bad, *, k, width,
                                num_colors, dparams=None):
     """kmer-matches with bit-packed positivity (fetch-size optimized)."""
-    codes = unpack_reads(codes2, bad, width)
-    hit, csid, ovf = dict_probe(table, codes, k, dparams)
+    hit, csid, ovf = dict_probe_packed(table, codes2, bad, width, k, dparams)
     scores, rovf = _tu_dispatch(dense_bits, hit, csid, num_colors)
     return (_pack_hits(hit), scores.astype(jnp.uint16),
             jnp.any(ovf, axis=1) | rovf)

@@ -330,7 +330,8 @@ class QueryEngine:
         N = len(lens)
         results: list = [None] * N
         C = self.idx.num_colors
-        pending = []
+        pending: deque = deque()
+        done = []
         for sel, chunk in self._iter_batches(codes, lens):
             if threshold is None:
                 out = query_full_intersection(
@@ -342,7 +343,15 @@ class QueryEngine:
                     dparams=self.dparams,
                 )
             pending.append((sel, out))
-        for sel, out in pending:
+            # cap device batches in flight at 2 (each holds (B, C32)+ HBM
+            # results; unbounded dispatch is an HBM footgun at large inputs)
+            if len(pending) > 2:
+                sel0, out0 = pending.popleft()
+                done.append((sel0, jax.tree.map(np.asarray, out0)))
+        while pending:
+            sel0, out0 = pending.popleft()
+            done.append((sel0, jax.tree.map(np.asarray, out0)))
+        for sel, out in done:
             nsel = len(sel)
             ovf = np.asarray(out[-1][:nsel])
             if threshold is None:

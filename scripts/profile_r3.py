@@ -27,28 +27,28 @@ K = 31
 
 
 def timeit(label, fn, reps=5):
-    # warm (compile)
-    r = fn()
-    _force(r)
+    """Times fn via ONE fused scalar reduction (a separate fetch per output
+    array would add ~24 ms dispatch overhead each on the axon tunnel)."""
+    import jax
+    import jax.numpy as jnp
+
+    def reduced():
+        r = fn()
+        leaves = jax.tree_util.tree_leaves(r)
+        acc = jnp.float32(0)
+        for x in leaves:
+            acc = acc + jnp.sum(x.astype(jnp.float32))
+        return acc
+
+    g = jax.jit(reduced)
+    float(g())  # warm (compile)
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        r = fn()
-        _force(r)
+        float(g())
         best = min(best, time.perf_counter() - t0)
     print(f"  {label:55s} {best * 1e3:9.1f} ms")
     return best
-
-
-def _force(r):
-    import jax.numpy as jnp
-
-    if isinstance(r, (tuple, list)):
-        for x in r:
-            _force(x)
-    else:
-        float(jnp.sum(r.astype(jnp.float32) if r.dtype == jnp.uint32 else r)
-              .astype(jnp.float32))
 
 
 def main():
@@ -98,6 +98,72 @@ def main():
         print("[prep]")
         prep = jax.jit(lambda c: md2._window_prep(c, K, m))
         timeit("window_prep (minimizers + packings)", lambda: prep(codes_j))
+
+    if "parts" in stages:
+        print("[parts] window_prep / merge decomposition")
+        from fulgor_tpu.ops.lookup import mix32, pack_windows
+        from fulgor_tpu.ops import intersect as I2
+
+        Wk = L - K + 1
+
+        def mmers(c):
+            lo_m, hi_m, ok_m = pack_windows(c, m)
+            return mix32(lo_m ^ mix32(hi_m ^ jnp.uint32(0x9E3779B1)))
+        timeit(f"pack_windows(m={m}) + hash", lambda: jax.jit(mmers)(codes_j))
+
+        def kpack(c):
+            cc = c.astype(jnp.uint32)
+            flo = jnp.zeros((B, Wk), jnp.uint32)
+            fhi = jnp.zeros((B, Wk), jnp.uint32)
+            rlo = jnp.zeros((B, Wk), jnp.uint32)
+            rhi = jnp.zeros((B, Wk), jnp.uint32)
+            okw = jnp.ones((B, Wk), bool)
+            for i in range(K):
+                ci = jax.lax.dynamic_slice_in_dim(cc, i, Wk, axis=1)
+                okw = okw & (ci <= 3)
+                cj = (jnp.uint32(3) - jax.lax.dynamic_slice_in_dim(
+                    cc, K - 1 - i, Wk, axis=1)) & jnp.uint32(3)
+                if 2 * i < 32:
+                    flo = flo | ((ci & 3) << (2 * i))
+                    rlo = rlo | (cj << (2 * i))
+                else:
+                    fhi = fhi | ((ci & 3) << (2 * i - 32))
+                    rhi = rhi | (cj << (2 * i - 32))
+            return flo, fhi, rlo, rhi, okw
+        timeit(f"k-mer LSB pack loop (k={K})", lambda: jax.jit(kpack)(codes_j))
+
+        def smin(c):
+            h = mix32(c.astype(jnp.uint32))
+            w = K - m + 1
+            Wm = h.shape[1]
+            posx = jnp.broadcast_to(
+                jax.lax.broadcasted_iota(jnp.int32, (1, Wm), 1), (B, Wm))
+            vL, pL, vR, pR = h, posx, h, posx
+            span = 1
+            while span < w:
+                step = min(span, w - span)
+                bvL, bpL = vL[:, step:], pL[:, step:]
+                avL, apL = vL[:, : vL.shape[1] - step], pL[:, : pL.shape[1] - step]
+                tL = (bvL < avL) | ((bvL == avL) & (bpL < apL))
+                vL, pL = jnp.where(tL, bvL, avL), jnp.where(tL, bpL, apL)
+                bvR, bpR = vR[:, step:], pR[:, step:]
+                avR, apR = vR[:, : vR.shape[1] - step], pR[:, : pR.shape[1] - step]
+                tR = (bvR < avR) | ((bvR == avR) & (bpR > apR))
+                vR, pR = jnp.where(tR, bvR, avR), jnp.where(tR, bpR, apR)
+                span += step
+            return vL, pL, vR, pR
+        timeit("sliding min-argmin (both sides)", lambda: jax.jit(smin)(codes_j))
+
+        mask = jnp.asarray(rng.random((B, Wk)) < 0.15)
+        timeit("jnp.cumsum (B,130) i32",
+               jax.jit(lambda: jnp.cumsum(mask.astype(jnp.int32), axis=1)))
+        timeit("mask_positions (R=37)",
+               jax.jit(lambda: I2.mask_positions(mask, 37)))
+        csidr = jnp.asarray(
+            rng.integers(0, 500000, (B, Wk)).astype(np.uint32))
+        hitm = jnp.asarray(rng.random((B, Wk)) < 0.9)
+        timeit("compact_runs popcount (R=26)",
+               jax.jit(lambda: I2.compact_runs(hitm, csidr, 26)))
 
     if "probe" in stages:
         print("[probe]")
@@ -237,8 +303,8 @@ def main():
         pos32 = jnp.asarray(rng.integers(0, L - K + 1, (B, 32)), jnp.int32)
         timeit("take_along_axis (B,130)->(B,32)",
                jax.jit(lambda: jnp.take_along_axis(csid, pos32, axis=1)))
-        prep = jax.jit(lambda c: md2._window_prep(c, K, m))
-        timeit("window_prep (minimizers + packings)", lambda: prep(codes_j))
+        prep2 = jax.jit(lambda c: md2._window_prep(c, K, m))
+        timeit("window_prep (minimizers + packings)", lambda: prep2(codes_j))
 
 
 if __name__ == "__main__":
