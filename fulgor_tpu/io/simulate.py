@@ -121,6 +121,78 @@ def simulate_pangenome(
     return paths
 
 
+def simulate_pangenome_blocks(
+    out_dir: str,
+    num_genomes: int,
+    num_genes: int = 400,
+    gene_len: int = 2500,
+    core_frac: float = 0.5,
+    loss_rate: float = 0.04,
+    mut_per_branch: int = 60,
+    seed: int = 0,
+    gzip_files: bool = True,
+) -> list[str]:
+    """Gene presence/absence pangenome (block-structured color sets).
+
+    The ancestor is `num_genes` gene blocks of `gene_len` bp. Genomes
+    descend a binary tree: each branch applies `mut_per_branch` SNPs and
+    PERMANENTLY LOSES each non-core gene with probability `loss_rate`
+    (losses inherit down the subtree). A leaf is the concatenation of its
+    retained genes. k-mers of one gene appear in exactly the leaves that
+    retain it, so color sets are unions of subtree complements — the block
+    structure the reference's Salmonella meta/meta-diff ratios reflect
+    (README.md:187-191), unlike the scattered-SNP corpora of
+    simulate_pangenome. Deterministic in seed. -> paths (color order)."""
+    import os
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    depth = max(1, int(np.ceil(np.log2(max(2, num_genomes)))))
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    genes = [rng.integers(0, 4, size=gene_len).astype(np.uint8)
+             for _ in range(num_genes)]
+    core = rng.random(num_genes) < core_frac
+    paths: list[str] = []
+    ext = ".fa.gz" if gzip_files else ".fa"
+
+    def emit(gene_seqs, present):
+        i = len(paths)
+        p = os.path.join(out_dir, f"g{i:05d}{ext}")
+        opener = (
+            (lambda: gzip.open(p, "wb", compresslevel=1))
+            if gzip_files
+            else (lambda: open(p, "wb"))
+        )
+        seq = np.concatenate([gene_seqs[j] for j in range(num_genes) if present[j]])
+        with opener() as f:
+            f.write(b">genome%d\n" % i)
+            f.write(lut[seq].tobytes())
+            f.write(b"\n")
+        paths.append(p)
+
+    def mutate(gene_seqs, present):
+        gs = [g.copy() for g in gene_seqs]
+        flat = rng.choice(num_genes * gene_len, size=mut_per_branch, replace=False)
+        for pos in flat:
+            gi, off = divmod(int(pos), gene_len)
+            gs[gi][off] = (gs[gi][off] + rng.integers(1, 4)) % 4
+        pr = present & (core | (rng.random(num_genes) >= loss_rate))
+        return gs, pr
+
+    def dfs(gene_seqs, present, d):
+        if len(paths) >= num_genomes:
+            return
+        if d == depth:
+            emit(gene_seqs, present)
+            return
+        for _ in range(2):
+            gs, pr = mutate(gene_seqs, present)
+            dfs(gs, pr, d + 1)
+
+    dfs(genes, np.ones(num_genes, dtype=bool), 0)
+    return paths
+
+
 def write_fastq(path: str, codes: np.ndarray, names: list[str]):
     lut = np.frombuffer(b"ACGTN", dtype=np.uint8)
     op = gzip.open if path.endswith(".gz") else open

@@ -69,23 +69,15 @@ def main():
     print(f"index: {idx.num_kmers:,} kmers {idx.num_color_sets:,} sets "
           f"{idx.num_colors} colors")
 
-    # synthetic batch of reads drawn from the index text (realistic hit rates)
+    # the actual bench reads (real hit-rate distribution ~90%)
     rng = np.random.default_rng(0)
     md = idx.minidict()
-    text32 = np.asarray(md.text32)
-    nbases = text32.shape[0] * 32
-    starts = rng.integers(0, nbases - L - 64, B)
-    # unpack codes from text32 rows on host
-    codes = np.zeros((B, L), dtype=np.int32)
-    for j in range(L):
-        p = starts + j
-        w = text32[p >> 5, 0]
-        w2 = text32[p >> 5, 1]
-        sh = 2 * (p & 31)
-        big = sh >= 32
-        v = np.where(big, (w2 >> np.minimum(sh - 32, 31)) & 3, (w >> np.minimum(sh, 31)) & 3)
-        codes[:, j] = v
-    codes_j = jnp.asarray(codes)
+    from fulgor_tpu.native.lib import ReadsStream
+
+    reads_path = os.path.join(CACHE, "pan1k_reads_500000.fastq.gz")
+    stream = ReadsStream(reads_path, B, row_len=L)
+    codes, lens, _names = next(iter(stream))
+    codes_j = jnp.asarray(codes[:, :L].astype(np.int32))
 
     (slots_np, text32_np, sec_np), (m, num_slots) = idx.device_dict()
     slots = jnp.asarray(slots_np)
@@ -269,6 +261,61 @@ def main():
             z = jnp.zeros(lanes, jnp.int32)
             timeit(f"coalesced (all-0) 96B gather, {lanes / 1e6:.1f}M lanes",
                    jax.jit(lambda z=z: jnp.take(slots, z, axis=0)))
+
+    if "astage" in stages:
+        print("[astage] anchored v2 internal decomposition")
+        from fulgor_tpu.ops.intersect import mask_positions
+
+        def stage1(c):
+            """prep + anchor extraction + anchor probe."""
+            prep = md2._window_prep(c, K, m)
+            (minval, iL, iR, pLabs, pRabs, flo, fhi, rlo, rhi, usable) = prep
+            Bx, Wk = minval.shape
+            RA = md2.anchor_budget(Wk, K, m)
+            prev_ok = jnp.concatenate([jnp.zeros((Bx, 1), bool), usable[:, :-1]], axis=1)
+            sameL = jnp.concatenate([jnp.zeros((Bx, 1), bool), pLabs[:, 1:] == pLabs[:, :-1]], axis=1)
+            sameR = jnp.concatenate([jnp.zeros((Bx, 1), bool), pRabs[:, 1:] == pRabs[:, :-1]], axis=1)
+            is_start = usable & ~(prev_ok & sameL & sameR)
+            next_ok = jnp.concatenate([usable[:, 1:], jnp.zeros((Bx, 1), bool)], axis=1)
+            is_end = usable & ~(next_ok & jnp.concatenate(
+                [sameL[:, 1:], jnp.zeros((Bx, 1), bool)], axis=1
+            ) & jnp.concatenate([sameR[:, 1:], jnp.zeros((Bx, 1), bool)], axis=1))
+            totS, posS = mask_positions(is_start, RA)
+            _totE, posE = mask_positions(is_end, RA)
+            lane = jnp.broadcast_to(jax.lax.broadcasted_iota(jnp.int32, (1, RA), 1), (Bx, RA))
+            validS = lane < totS[:, None]
+            probeE = validS & (posE > posS)
+            posA = jnp.concatenate([posS, posE], axis=1)
+
+            def gAx(a):
+                return jnp.take_along_axis(a, posA, axis=1)
+
+            laneok = jnp.concatenate([validS, probeE], axis=1)
+            return md2._probe_entries(
+                slots, dtext32, sec, gAx(minval), gAx(iL), gAx(iR), gAx(flo),
+                gAx(fhi), gAx(rlo), gAx(rhi), laneok,
+                k=K, m=m, num_slots=num_slots, gate=laneok, want_entry=True,
+            )
+
+        timeit("prep + anchor extract + anchor probe", lambda: jax.jit(stage1)(codes_j))
+
+        def stage_runs(c):
+            """prep + anchor masks + mask_positions only (no probe)."""
+            prep = md2._window_prep(c, K, m)
+            (minval, iL, iR, pLabs, pRabs, flo, fhi, rlo, rhi, usable) = prep
+            Bx, Wk = minval.shape
+            RA = md2.anchor_budget(Wk, K, m)
+            prev_ok = jnp.concatenate([jnp.zeros((Bx, 1), bool), usable[:, :-1]], axis=1)
+            sameL = jnp.concatenate([jnp.zeros((Bx, 1), bool), pLabs[:, 1:] == pLabs[:, :-1]], axis=1)
+            sameR = jnp.concatenate([jnp.zeros((Bx, 1), bool), pRabs[:, 1:] == pRabs[:, :-1]], axis=1)
+            is_start = usable & ~(prev_ok & sameL & sameR)
+            totS, posS = mask_positions(is_start, RA)
+            nb = jnp.mean(totS.astype(jnp.float32))
+            return posS, nb
+
+        timeit("prep + anchor masks + mask_positions", lambda: jax.jit(stage_runs)(codes_j))
+        _, nruns = jax.jit(stage_runs)(codes_j)
+        print(f"  mean minimizer runs/read: {float(nruns):.1f}")
 
     if "anchored" in stages:
         print("[anchored] compacted-lane anchored probe (v2)")
