@@ -246,6 +246,21 @@ def query_conservation_runs_packed(table, codes2, bad, *, k: int, width: int,
 
 
 @partial(jax.jit, static_argnames=("k", "width", "R", "dparams"))
+def query_runs_tu_packed(table, codes2, bad, *, k: int, width: int,
+                         R: int, dparams=None):
+    """Threshold-union fetch WITHOUT any device color data (the 150k-color
+    regime: no dense matrix exists anywhere): ship per-read (csid, count)
+    runs + the positive-window count; the host scores against on-demand
+    decoded sets (reference merge semantics, src/ps_threshold_union.cpp:
+    320-387). -> (run_csid (B,R) u32, run_cnt (B,R) i32, npos (B,) i32,
+    ovf (B,) bool)."""
+    hit, csid, ovf = dict_probe_packed(table, codes2, bad, width, k, dparams)
+    run_csid, run_cnt, rovf = compact_runs(hit, csid, R)
+    npos = jnp.sum(hit.astype(jnp.int32), axis=1)
+    return run_csid, run_cnt, npos, rovf | jnp.any(ovf, axis=1)
+
+
+@partial(jax.jit, static_argnames=("k", "width", "R", "dparams"))
 def query_distinct_runs_packed(table, codes2, bad, *, k: int, width: int,
                                R: int, dparams=None):
     """--deduplicate fetch: compacted (possibly duplicated) run csids per

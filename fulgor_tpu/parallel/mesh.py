@@ -37,7 +37,7 @@ from ..ops.intersect import (
     threshold_union_scores_runs,
 )
 from ..ops.lookup import unpack_reads
-from ..ops.pipeline import dict_probe
+from ..ops.pipeline import dict_probe, dict_probe_packed
 
 
 def make_mesh(devices=None, data: int | None = None, color: int | None = None) -> Mesh:
@@ -130,8 +130,8 @@ def make_sharded_full_intersection_packed(mesh: Mesh, k: int, width: int, max_ru
     validity bitmask, see ops/lookup.pack_reads_host)."""
 
     def step(table, bits_shard, codes2, bad):
-        codes = unpack_reads(codes2, bad, width)
-        hit, csid, dovf = dict_probe(table, codes, k, dparams)
+        hit, csid, dovf = dict_probe_packed(table, codes2, bad, width, k,
+                                            dparams)
         run_csid, _cnt, ovf = compact_runs(hit, csid, max_runs)
         ovf = ovf | jnp.any(dovf, axis=1)
         mapped = jnp.any(hit, axis=1)
@@ -159,8 +159,8 @@ def make_sharded_threshold_union_packed(
     assert num_colors_padded % (32 * P_) == 0
 
     def step(table, bits_shard, codes2, bad):
-        codes = unpack_reads(codes2, bad, width)
-        hit, csid, dovf = dict_probe(table, codes, k, dparams)
+        hit, csid, dovf = dict_probe_packed(table, codes2, bad, width, k,
+                                            dparams)
         run_csid, run_cnt, ovf = compact_runs(hit, csid, max_runs)
         ovf = ovf | jnp.any(dovf, axis=1)
         npos = jnp.sum(hit.astype(jnp.int32), axis=1)
@@ -200,8 +200,8 @@ def place_packed(mesh: Mesh, codes2, bad):
 def make_sharded_conservation_runs(mesh: Mesh, k: int, width: int, R: int,
                                    dparams=None):
     def step(table, codes2, bad):
-        codes = unpack_reads(codes2, bad, width)
-        hit, csid, dovf = dict_probe(table, codes, k, dparams)
+        hit, csid, dovf = dict_probe_packed(table, codes2, bad, width, k,
+                                            dparams)
         rc, rs, rl, rovf = compact_runs_starts(hit, csid, R)
         return (rc, rs.astype(jnp.uint16), rl.astype(jnp.uint16),
                 rovf | jnp.any(dovf, axis=1))
@@ -219,8 +219,8 @@ def make_sharded_conservation_runs(mesh: Mesh, k: int, width: int, R: int,
 def make_sharded_distinct_runs(mesh: Mesh, k: int, width: int, R: int,
                                dparams=None):
     def step(table, codes2, bad):
-        codes = unpack_reads(codes2, bad, width)
-        hit, csid, dovf = dict_probe(table, codes, k, dparams)
+        hit, csid, dovf = dict_probe_packed(table, codes2, bad, width, k,
+                                            dparams)
         rc, _cnt, rovf = compact_runs(hit, csid, R)
         return rc, rovf | jnp.any(dovf, axis=1)
 
@@ -234,6 +234,29 @@ def make_sharded_distinct_runs(mesh: Mesh, k: int, width: int, R: int,
     return jax.jit(sm)
 
 
+def make_sharded_runs_tu(mesh: Mesh, k: int, width: int, R: int,
+                         dparams=None):
+    """Large-C threshold-union fetch: data-parallel (csid, count) runs +
+    npos, NO color data on any device (see pipeline.query_runs_tu_packed;
+    the host scores against on-demand decoded sets)."""
+
+    def step(table, codes2, bad):
+        hit, csid, dovf = dict_probe_packed(table, codes2, bad, width, k,
+                                            dparams)
+        rc, cnt, rovf = compact_runs(hit, csid, R)
+        npos = jnp.sum(hit.astype(jnp.int32), axis=1)
+        return rc, cnt, npos, rovf | jnp.any(dovf, axis=1)
+
+    dp = P(("data", "color"), None)
+    sm = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), dp, dp),
+        out_specs=(dp, dp, P(("data", "color")), P(("data", "color"))),
+    )
+    return jax.jit(sm)
+
+
 def make_sharded_kmer_matches(mesh: Mesh, k: int, width: int,
                               num_colors_padded: int, max_runs: int,
                               dparams=None):
@@ -243,8 +266,8 @@ def make_sharded_kmer_matches(mesh: Mesh, k: int, width: int,
     Wpad = (-W) % 32
 
     def step(table, bits_shard, codes2, bad):
-        codes = unpack_reads(codes2, bad, width)
-        hit, csid, dovf = dict_probe(table, codes, k, dparams)
+        hit, csid, dovf = dict_probe_packed(table, codes2, bad, width, k,
+                                            dparams)
         run_csid, run_cnt, rovf = compact_runs(hit, csid, max_runs)
         hitp = jnp.pad(hit, ((0, 0), (0, Wpad))) if Wpad else hit
         hitw = pack_bool_bits(hitp)

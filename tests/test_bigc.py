@@ -56,29 +56,41 @@ def big_index(tmp_path_factory):
     return tmp, big, genomes
 
 
-def test_fi_150k_colors_without_dense_matrix(big_index, tmp_path):
-    from fulgor_tpu.query.engine import QueryEngine
-
-    tmp, big, genomes = big_index
-    rng = np.random.default_rng(4)
+def _write_reads(tmp_path, genomes, n=120, L=40, seed=4):
+    rng = np.random.default_rng(seed)
     qfile = str(tmp_path / "reads.fq")
     reads = []
     with open(qfile, "w") as f:
-        for i in range(120):
+        for i in range(n):
             g = genomes[rng.integers(0, len(genomes))][0]
-            p = rng.integers(0, len(g) - 40)
-            s = g[p : p + 40]
+            p = rng.integers(0, len(g) - L)
+            s = g[p : p + L]
             reads.append(s)
             f.write(f"@r{i}\n{s}\n+\n{'I' * len(s)}\n")
+    return qfile, reads
 
-    eng = QueryEngine(big, batch_size=64, use_mesh=False)
-    assert eng.use_runs_fetch  # 150k colors = 4688 words >> threshold
 
-    # the dense matrix must never materialize
+def _forbid_dense(big):
     def boom():
         raise AssertionError("dense_color_bits materialized in the 150k regime")
 
     big.dense_color_bits = boom
+
+
+@pytest.mark.parametrize("use_mesh", [False, True], ids=["1dev", "mesh8"])
+def test_fi_150k_colors_without_dense_matrix(big_index, tmp_path, use_mesh):
+    """FI at 150k colors: single device AND the 8-device mesh must run the
+    runs-fetch path with no dense matrix anywhere (VERDICT round-2 item 4:
+    multi-chip composes with the large-C regime)."""
+    from fulgor_tpu.query.engine import QueryEngine
+
+    tmp, big, genomes = big_index
+    qfile, reads = _write_reads(tmp_path, genomes)
+    eng = QueryEngine(big, batch_size=64, use_mesh=use_mesh)
+    assert eng.use_runs_fetch  # 150k colors = 4688 words >> threshold
+    if use_mesh:
+        assert eng.mesh is not None and eng._bits is None
+    _forbid_dense(big)
 
     out = str(tmp_path / "psa.tsv")
     eng.pseudoalign_file(qfile, out)
@@ -93,3 +105,33 @@ def test_fi_150k_colors_without_dense_matrix(big_index, tmp_path):
     for i, s in enumerate(reads):
         expect = eng._host_full_intersection(K.seq_to_codes(s))
         assert got[i] == list(map(int, expect)), f"read {i}"
+
+
+@pytest.mark.parametrize("use_mesh", [False, True], ids=["1dev", "mesh8"])
+def test_tu_150k_colors_without_dense_matrix(big_index, tmp_path, use_mesh,
+                                             monkeypatch):
+    """Threshold union at 150k colors: host scoring from (csid, count)
+    runs, no dense matrix (closes VERDICT round-2 missing #1 for TU).
+    The synthetic store is small in BYTES (few sets), so the dense
+    feasibility gate is forced to the infeasible regime explicitly."""
+    from fulgor_tpu.core import kmers as K
+    from fulgor_tpu.query.engine import QueryEngine
+
+    tmp, big, genomes = big_index
+    monkeypatch.setenv("FULGOR_DENSE_MAX_BYTES", "0")
+    qfile, reads = _write_reads(tmp_path, genomes, seed=9)
+    eng = QueryEngine(big, batch_size=64, use_mesh=use_mesh)
+    assert eng.use_tu_runs
+    _forbid_dense(big)
+
+    for tau in (0.8, 0.25):
+        out = str(tmp_path / f"tu_{tau}.tsv")
+        eng.pseudoalign_file(qfile, out, threshold=tau)
+        got = {}
+        for line in open(out):
+            parts = line.split()
+            got[int(parts[0])] = [int(c) for c in parts[2:]]
+        assert len(got) == len(reads)
+        for i, s in enumerate(reads):
+            expect = eng._host_threshold(K.seq_to_codes(s), tau)
+            assert got[i] == list(map(int, expect)), f"tau {tau} read {i}"
