@@ -161,7 +161,8 @@ def timed_pseudoalign(eng, reads_path, out_path, label, runs=3, threshold=None):
         f"[bench] {label}: {stats['num_reads']} reads in {elapsed:.2f}s = "
         f"{rps:,.0f} reads/s (parse {stats['parse_sec']:.2f}s "
         f"query {stats['query_sec']:.2f}s host {stats.get('host_sec', 0.0):.2f}s "
-        f"write {stats['write_sec']:.2f}s); "
+        f"write {stats['write_sec']:.2f}s "
+        f"redo {stats.get('num_redo', 0)} in {stats.get('redo_sec', 0.0):.2f}s); "
         f"mapped {stats['num_mapped']}",
         file=sys.stderr,
     )

@@ -170,6 +170,24 @@ class Index:
     def unitig_seq_str(self, i: int) -> str:
         return K.codes_to_seq(self.unitig_codes(i))
 
+    def expected_kmers_per_unitig(self) -> float:
+        """Occurrence-weighted expected unitig k-mer count at a random READ
+        position: unitig u is traversed by reads in proportion to its k-mer
+        count TIMES how many genomes contain it (its color-set size), so
+        E = sum(len_u^2 * |set_u|) / sum(len_u * |set_u|). This is the
+        engine's streaming-locality signal (clonal pangenomes ~ hundreds;
+        SNP-shredded graphs ~ 2-5) — the reference's streaming fast path
+        (src/ps_full_intersection.cpp:341-353) exploits the same locality
+        implicitly."""
+        k = self.k
+        ul = np.diff(self.unitig_offs)
+        lens_k = np.maximum(0, ul - k + 1).astype(np.float64)
+        _cat, offs = self.color_sets_decoded()
+        ssz = (offs[1:] - offs[:-1]).astype(np.float64)
+        w = ssz[self.u2c_csid.astype(np.int64)]
+        den = float((lens_k * w).sum())
+        return float((lens_k * lens_k * w).sum() / den) if den > 0 else 1.0
+
     # ------------------------------------------------ dense device view
 
     @property

@@ -37,14 +37,33 @@ from .intersect import (
 )
 from .lookup import lookup_batch, unpack_reads
 
-# Color-stage run budget: adjacent equal-csid windows collapse into runs
-# (scatter-free popcount compaction) and the color rows are gathered per
-# RUN — at every C. On-chip (pan1k, B=32k, Wk=130): runs/read mean ~7,
-# p99 ~14; per-window gathers cost 90-450 ms/batch vs ~30-60 for runs
-# (scripts/profile_r3.py). Reads whose run count exceeds the budget set
-# their ovf flag and take the engine's exact host redo.
-def color_runs_budget(Wk: int) -> int:
-    return max(16, -(-Wk // 5))
+# Color-stage strategy: adjacent equal-csid windows collapse into runs
+# (scatter-free popcount compaction) and color rows are gathered per RUN —
+# but ONLY when the index has the streaming locality to compact (clonal
+# pangenomes: the reference's real Salmonella workload averages 23
+# kmers/unitig ~ 6 runs/150bp read). On SNP-shredded graphs (union of
+# variants breaks unitigs every 1-2 k-mers) csid changes nearly every
+# window, runs don't compact, and the per-window gather is the right
+# call. The ENGINE decides per index from num_kmers/num_unitigs and
+# threads `color_runs` (a static run budget, or None for per-window)
+# through the query steps; reads whose run count exceeds the budget set
+# ovf and take the exact host redo.
+
+
+def color_runs_budget(Wk: int, ekpu: float) -> int | None:
+    """Static run budget for the color stage, or None -> per-window.
+
+    ekpu = READ-WEIGHTED expected kmers/unitig (Index.expected_kmers_per
+    _unitig: unitig length weighted by occurrence count — a conserved
+    1-kmer unitig shared by 1000 genomes is traversed 1000x more often
+    than a private one of equal text share, so the text-average
+    num_kmers/num_unitigs mispredicts badly: pan1k text-avg 13.9 vs
+    read-weighted 4.9 vs ~71 observed csid-runs/read). The 3x factor
+    absorbs entry-position and miss-break effects."""
+    if ekpu < 8.0:
+        return None
+    R = -(-int(3.0 * Wk / ekpu) // 8) * 8 + 16
+    return None if R >= Wk // 2 else min(Wk, R)
 
 
 def dict_probe(table, codes, k: int, dparams):
@@ -102,46 +121,54 @@ def dict_probe_packed(table, codes2, bad, width: int, k: int, dparams):
     )
 
 
-def _fi_dispatch(dense_bits, hit, csid):
+def _fi_dispatch(dense_bits, hit, csid, color_runs=None):
     """-> (result bits (B, C32) u32, run-budget ovf (B,) bool)."""
     S, C32 = dense_bits.shape
     B, W = hit.shape
     if S <= ONEHOT_MAX_SETS:
         return (full_intersection_onehot(dense_bits, hit, csid),
                 jnp.zeros((B,), bool))
-    run_csid, _cnt, rovf = compact_runs(hit, csid, color_runs_budget(W))
+    if color_runs is None:
+        return (full_intersection_windows(dense_bits, hit, csid),
+                jnp.zeros((B,), bool))
+    run_csid, _cnt, rovf = compact_runs(hit, csid, color_runs)
     return (full_intersection_runs(dense_bits, run_csid, jnp.any(hit, axis=1)),
             rovf)
 
 
-def _tu_dispatch(dense_bits, hit, csid, num_colors):
+def _tu_dispatch(dense_bits, hit, csid, num_colors, color_runs=None):
     """-> (scores (B, C) f32, run-budget ovf (B,) bool)."""
     S, C32 = dense_bits.shape
     B, W = hit.shape
     if S <= ONEHOT_MAX_SETS:
         return (threshold_union_scores_onehot(dense_bits, hit, csid, num_colors),
                 jnp.zeros((B,), bool))
-    run_csid, run_cnt, rovf = compact_runs(hit, csid, color_runs_budget(W))
+    if color_runs is None:
+        return (threshold_union_scores_windows(dense_bits, hit, csid,
+                                               num_colors),
+                jnp.zeros((B,), bool))
+    run_csid, run_cnt, rovf = compact_runs(hit, csid, color_runs)
     return (threshold_union_scores_runs(dense_bits, run_csid, run_cnt,
                                         num_colors), rovf)
 
 
-@partial(jax.jit, static_argnames=("k", "dparams"))
-def query_full_intersection(table, dense_bits, codes, *, k: int, dparams=None):
+@partial(jax.jit, static_argnames=("k", "dparams", "color_runs"))
+def query_full_intersection(table, dense_bits, codes, *, k: int, dparams=None,
+                            color_runs=None):
     """codes: (B, L) int32 -> (result_bits (B, C32) u32, ovf (B,) bool). A
     read maps iff its result is non-empty (reference counts mapped reads the
     same way, tools/pseudoalign.cpp:42); ovf reads need the host fallback."""
     hit, csid, ovf = dict_probe(table, codes, k, dparams)
-    bits, rovf = _fi_dispatch(dense_bits, hit, csid)
+    bits, rovf = _fi_dispatch(dense_bits, hit, csid, color_runs)
     return bits, jnp.any(ovf, axis=1) | rovf
 
 
-@partial(jax.jit, static_argnames=("k", "num_colors", "dparams"))
+@partial(jax.jit, static_argnames=("k", "num_colors", "dparams", "color_runs"))
 def query_threshold_union(table, dense_bits, codes, *, k: int, num_colors: int,
-                          dparams=None):
+                          dparams=None, color_runs=None):
     """-> (scores (B, C) f32, num_positive (B,) i32, ovf (B,) bool)."""
     hit, csid, ovf = dict_probe(table, codes, k, dparams)
-    scores, rovf = _tu_dispatch(dense_bits, hit, csid, num_colors)
+    scores, rovf = _tu_dispatch(dense_bits, hit, csid, num_colors, color_runs)
     npos = jnp.sum(hit.astype(jnp.int32), axis=1)
     return scores, npos, jnp.any(ovf, axis=1) | rovf
 
@@ -153,21 +180,22 @@ def query_window_csids(table, codes, *, k: int, dparams=None):
     return dict_probe(table, codes, k, dparams)
 
 
-@partial(jax.jit, static_argnames=("k", "width", "dparams"))
+@partial(jax.jit, static_argnames=("k", "width", "dparams", "color_runs"))
 def query_full_intersection_packed(table, dense_bits, codes2, bad, *, k: int,
-                                   width: int, dparams=None):
+                                   width: int, dparams=None, color_runs=None):
     hit, csid, ovf = dict_probe_packed(table, codes2, bad, width, k, dparams)
-    bits, rovf = _fi_dispatch(dense_bits, hit, csid)
+    bits, rovf = _fi_dispatch(dense_bits, hit, csid, color_runs)
     return bits, jnp.any(ovf, axis=1) | rovf
 
 
-@partial(jax.jit, static_argnames=("k", "width", "num_colors", "dparams"))
+@partial(jax.jit, static_argnames=("k", "width", "num_colors", "dparams",
+                                   "color_runs"))
 def query_threshold_union_packed(
     table, dense_bits, codes2, bad, *, k: int, width: int, num_colors: int,
-    dparams=None
+    dparams=None, color_runs=None
 ):
     hit, csid, ovf = dict_probe_packed(table, codes2, bad, width, k, dparams)
-    scores, rovf = _tu_dispatch(dense_bits, hit, csid, num_colors)
+    scores, rovf = _tu_dispatch(dense_bits, hit, csid, num_colors, color_runs)
     npos = jnp.sum(hit.astype(jnp.int32), axis=1)
     # scores are exact window counts < 2^16 (stream reads are <= 1024 bases;
     # longer reads take the host path) — narrow the fetch
@@ -191,23 +219,24 @@ def query_window_csids_packed(table, codes2, bad, *, k: int, width: int,
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("k", "width", "T", "dparams"))
+@partial(jax.jit, static_argnames=("k", "width", "T", "dparams", "color_runs"))
 def query_fi_lists_packed(table, dense_bits, codes2, bad, *, k: int, width: int,
-                          T: int, dparams=None):
+                          T: int, dparams=None, color_runs=None):
     """Full intersection with device-side list compaction.
 
     -> (count (B,) i32, lists (B, T) i32 ascending, bits (B, C32) u32 —
        fetch rows only for reads with count > T, ovf (B,) bool)."""
     hit, csid, ovf = dict_probe_packed(table, codes2, bad, width, k, dparams)
-    bits, rovf = _fi_dispatch(dense_bits, hit, csid)
+    bits, rovf = _fi_dispatch(dense_bits, hit, csid, color_runs)
     count, lists = first_set_bits(bits, T)
     return count, lists, bits, jnp.any(ovf, axis=1) | rovf
 
 
-@partial(jax.jit, static_argnames=("k", "width", "num_colors", "T", "dparams"))
+@partial(jax.jit, static_argnames=("k", "width", "num_colors", "T", "dparams",
+                                   "color_runs"))
 def query_tu_lists_packed(table, dense_bits, codes2, bad, minscore_tab, *,
                           k: int, width: int, num_colors: int, T: int,
-                          dparams=None):
+                          dparams=None, color_runs=None):
     """Threshold union with the >= min_score comparison moved on device.
 
     minscore_tab: (W+1,) i32 = floor(npos * tau) per possible positive count
@@ -215,7 +244,7 @@ def query_tu_lists_packed(table, dense_bits, codes2, bad, minscore_tab, *,
     reference rule, src/ps_threshold_union.cpp:389).
     -> (count (B,) i32, lists (B, T) i32, maskbits (B, C32) u32, ovf)."""
     hit, csid, ovf = dict_probe_packed(table, codes2, bad, width, k, dparams)
-    scores, rovf = _tu_dispatch(dense_bits, hit, csid, num_colors)
+    scores, rovf = _tu_dispatch(dense_bits, hit, csid, num_colors, color_runs)
     npos = jnp.sum(hit.astype(jnp.int32), axis=1)
     ms = jnp.take(minscore_tab, npos, axis=0)
     mask = (scores >= ms[:, None].astype(scores.dtype)) & (npos > 0)[:, None]
@@ -294,11 +323,12 @@ def query_conservation_packed(table, codes2, bad, *, k, width, small_csid: bool,
     return hitw, csid_out, jnp.any(ovf, axis=1)
 
 
-@partial(jax.jit, static_argnames=("k", "width", "num_colors", "dparams"))
+@partial(jax.jit, static_argnames=("k", "width", "num_colors", "dparams",
+                                   "color_runs"))
 def query_kmer_matches_packed2(table, dense_bits, codes2, bad, *, k, width,
-                               num_colors, dparams=None):
+                               num_colors, dparams=None, color_runs=None):
     """kmer-matches with bit-packed positivity (fetch-size optimized)."""
     hit, csid, ovf = dict_probe_packed(table, codes2, bad, width, k, dparams)
-    scores, rovf = _tu_dispatch(dense_bits, hit, csid, num_colors)
+    scores, rovf = _tu_dispatch(dense_bits, hit, csid, num_colors, color_runs)
     return (_pack_hits(hit), scores.astype(jnp.uint16),
             jnp.any(ovf, axis=1) | rovf)

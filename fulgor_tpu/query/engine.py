@@ -28,6 +28,7 @@ from ..constants import INVALID_U32
 from ..index import Index
 from ..ops.lookup import pack_reads_host
 from ..ops.pipeline import (
+    color_runs_budget,
     query_conservation_runs_packed,
     query_distinct_runs_packed,
     query_runs_tu_packed,
@@ -152,6 +153,9 @@ class QueryEngine:
         self.idx = index
         self.k = index.k
         self._cs_cache = index.color_sets_decoded()
+        # color-stage strategy input: read-weighted streaming locality
+        self._ekpu = index.expected_kmers_per_unitig()
+        runs_ok = self._ekpu >= 8.0
         table_np, self.dparams = index.device_dict()
         n_dev = len(jax.devices())
         self.mesh = None
@@ -190,18 +194,22 @@ class QueryEngine:
         # list-compacted fetches (single-device path): worth it once the
         # dense row fetch is wide; below that the dense fetch is small and
         # the extra kernel work is pure overhead
-        # manual override: device-side list compaction (kept for tuning and
-        # its equivalence test; the default large-C paths below supersede it)
-        self.use_lists = False
+        # device-side list compaction: the default large-C FI fetch when
+        # runs don't compact (also a manual-override/tuning knob)
+        self.use_lists = large_c and not runs_ok and dense_ok
         # runs-compacted FI fetch + exact host dedup-intersect: past ~2048
         # colors the dense (B, C32) row fetch dominates a thin device->host
         # link, while <=RUNS_FI_BUDGET run csids per read cost a fixed 192 B
         # and the distinct-list intersections are trivial host AND-reductions
         # (the reference's --deduplicate flow, made the default fetch).
         # TU always gets the device-thresholded bitmap fetch past 256 colors.
-        # large C: runs fetch under mesh too (the mesh probe is data-
-        # parallel and ships only run csids; no dense matrix anywhere)
-        self.use_runs_fetch = large_c
+        # large C + streaming locality: runs fetch (works under mesh too —
+        # the probe is data-parallel and ships only run csids, no dense
+        # matrix anywhere). On SNP-shredded graphs runs don't compact, so
+        # large-C FI uses device LIST compaction instead (T_LIST ids/read
+        # + selective row fetches).
+        self.use_runs_fetch = large_c and (runs_ok or not dense_ok)
+        self._runs_ok = runs_ok
         self.use_tu_bits = (
             self.mesh is None
             and dense_ok
@@ -248,6 +256,10 @@ class QueryEngine:
         return np.asarray(jnp.take(arr, jnp.asarray(pad), axis=0))[: len(idx)]
 
     # ---------------------------------------------------------------- helpers
+
+    def _color_runs(self, W: int):
+        """Static color-stage run budget for width W (None = per-window)."""
+        return color_runs_budget(W - self.k + 1, self._ekpu)
 
     def _width_for(self, maxlen: int) -> int:
         need = max(int(maxlen), self.k + 1)
@@ -357,14 +369,16 @@ class QueryEngine:
         pending: deque = deque()
         done = []
         for sel, chunk in self._iter_batches(codes, lens):
+            cr = self._color_runs(chunk.shape[1])
             if threshold is None:
                 out = query_full_intersection(
-                    self.table, self.bits, chunk, k=self.k, dparams=self.dparams
+                    self.table, self.bits, chunk, k=self.k, dparams=self.dparams,
+                    color_runs=cr,
                 )
             else:
                 out = query_threshold_union(
                     self.table, self.bits, chunk, k=self.k, num_colors=C,
-                    dparams=self.dparams,
+                    dparams=self.dparams, color_runs=cr,
                 )
             pending.append((sel, out))
             # cap device batches in flight at 2 (each holds (B, C32)+ HBM
@@ -600,9 +614,13 @@ class QueryEngine:
             W = chunk.shape[1]
             if runs_fetch or tu_runs:
                 # no-dense-matrix fetches work under a mesh too: the probe
-                # is data-parallel and ships only (csid[, count]) runs
+                # is data-parallel and ships only (csid[, count]) runs.
+                # Without streaming locality the budget is the full window
+                # count (exact, no overflow) — only reached in the
+                # dense-infeasible x shredded corner.
                 codes2, bad = pack_reads_host(chunk)
-                R = min(RUNS_FI_BUDGET, W - self.k + 1)
+                R = (min(RUNS_FI_BUDGET, W - self.k + 1) if self._runs_ok
+                     else W - self.k + 1)
                 if self.mesh is not None:
                     key = ("fi_runs" if runs_fetch else "tu_runs", W)
                     if key not in self._mesh_fns:
@@ -626,36 +644,37 @@ class QueryEngine:
             if self.mesh is not None:
                 return self._mesh_dispatch(chunk, threshold, C)
             codes2, bad = pack_reads_host(chunk)
+            cr = self._color_runs(W)
             if tu_bits:
                 # threshold union: >= min_score moved on device, ship the
-                # passing-color bitmap (C32 words) instead of (C,) scores
+                # passing-color lists instead of (C,) scores
                 return query_tu_lists_packed(
                     self.table, self.bits, codes2, bad,
                     self._minscore_tab(threshold, W - self.k + 1),
                     k=self.k, width=W, num_colors=C, T=T_LIST,
-                    dparams=self.dparams,
+                    dparams=self.dparams, color_runs=cr,
                 )
             if self.use_lists:
                 if threshold is None:
                     return query_fi_lists_packed(
                         self.table, self.bits, codes2, bad, k=self.k, width=W,
-                        T=T_LIST, dparams=self.dparams,
+                        T=T_LIST, dparams=self.dparams, color_runs=cr,
                     )
                 return query_tu_lists_packed(
                     self.table, self.bits, codes2, bad,
                     self._minscore_tab(threshold, W - self.k + 1),
                     k=self.k, width=W, num_colors=C, T=T_LIST,
-                    dparams=self.dparams,
+                    dparams=self.dparams, color_runs=cr,
                 )
             if threshold is None:
                 return query_full_intersection_packed(
                     self.table, self.bits, codes2, bad, k=self.k,
-                    width=W, dparams=self.dparams,
+                    width=W, dparams=self.dparams, color_runs=cr,
                 )
             return query_threshold_union_packed(
                 self.table, self.bits, codes2, bad,
                 k=self.k, width=W, num_colors=C,
-                dparams=self.dparams,
+                dparams=self.dparams, color_runs=cr,
             )
 
         def consume_lists(qid0, n, lens, _names, handle):
@@ -843,6 +862,7 @@ class QueryEngine:
         total, long_ids, parse_sec = self._stream(query_path, dispatch, consume,
                                                   progress=verbose)
         redo = sorted(set(long_ids) | set(ovf_ids))
+        redo_sec = time.perf_counter()
         if redo:
             # exact host pass for reads wider than the stream ladder or whose
             # probe overflowed (ragged selective re-parse: never materializes
@@ -854,6 +874,7 @@ class QueryEngine:
             else:
                 extra = [self._tu_from_csids(c, threshold) for c in all_csids]
             fmtr.write_batch(redo, extra)
+        redo_sec = time.perf_counter() - redo_sec
         fmtr.close()
         num_mapped = fmtr.mapped
 
@@ -868,6 +889,8 @@ class QueryEngine:
             query_sec=query_sec,
             host_sec=host_sec,
             write_sec=fmtr.busy_sec,
+            num_redo=len(redo),
+            redo_sec=redo_sec,
         )
         if verbose:
             self._print_stats(stats, elapsed)
@@ -1097,7 +1120,7 @@ class QueryEngine:
             return query_kmer_matches_packed2(
                 self.table, self.bits, codes2, bad,
                 k=self.k, width=W, num_colors=C,
-                dparams=self.dparams,
+                dparams=self.dparams, color_runs=self._color_runs(W),
             )
 
         def consume(qid0, n, lens, names, handle):

@@ -262,6 +262,34 @@ def main():
             timeit(f"coalesced (all-0) 96B gather, {lanes / 1e6:.1f}M lanes",
                    jax.jit(lambda z=z: jnp.take(slots, z, axis=0)))
 
+    if "knobs" in stages:
+        print("[knobs] probe round-count isolation (VERIFY_BUDGET / SKEW_CAND)")
+        import fulgor_tpu.ops.minidict2 as MD
+
+        base_vb, base_sc = MD.VERIFY_BUDGET, MD.SKEW_CAND
+        for vb, sc in ((6, 3), (6, 2), (6, 1), (4, 3), (2, 3), (1, 3), (6, 0)):
+            MD.VERIFY_BUDGET, MD.SKEW_CAND = vb, max(sc, 1)
+            sc_eff = sc
+            def run(c, vb=vb, sc=sc):
+                prep = MD._window_prep(c, K, m)
+                (minval, iL, iR, _pL, _pR, flo, fhi, rlo, rhi, usable) = prep
+                if sc == 0:
+                    # skew fully off: empty table, gate never fires
+                    return MD._probe_entries(
+                        slots, dtext32,
+                        jnp.zeros((1, MD.SKEW_ROWW), jnp.uint32),
+                        minval, iL, iR, flo, fhi, rlo, rhi, usable,
+                        k=K, m=m, num_slots=num_slots)
+                return MD._probe_entries(
+                    slots, dtext32, sec, minval, iL, iR, flo, fhi, rlo, rhi,
+                    usable, k=K, m=m, num_slots=num_slots)
+            t = timeit(f"probe VB={vb} SC={sc_eff}", lambda: jax.jit(run)(codes_j))
+            h, v, o = jax.jit(run)(codes_j)
+            print(f"    hit {float(jnp.mean(h.astype(jnp.float32))):.3f} "
+                  f"ovf_w {float(jnp.mean(o.astype(jnp.float32))):.5f} "
+                  f"ovf_r {float(jnp.mean(jnp.any(o, 1).astype(jnp.float32))):.5f}")
+        MD.VERIFY_BUDGET, MD.SKEW_CAND = base_vb, base_sc
+
     if "astage" in stages:
         print("[astage] anchored v2 internal decomposition")
         from fulgor_tpu.ops.intersect import mask_positions

@@ -186,15 +186,14 @@ def test_runs_strategy_large_colors(rng):
                 expect &= dense[s]
         np.testing.assert_array_equal(got[b], expect, err_msg=f"row {b}")
 
-    # dispatcher overflow contract: with the tight default budget, reads
-    # with more runs than the budget must raise rovf; non-ovf reads exact
-    from fulgor_tpu.ops.pipeline import _fi_dispatch, _tu_dispatch, \
-        color_runs_budget
+    # dispatcher overflow contract: with a tight budget, reads with more
+    # runs than the budget must raise rovf; non-ovf reads exact
+    from fulgor_tpu.ops.pipeline import _fi_dispatch, _tu_dispatch
 
-    R = color_runs_budget(W)
+    R = 16
     bits2, rovf = map(
         np.asarray, _fi_dispatch(jnp.asarray(dense), jnp.asarray(hit),
-                                 jnp.asarray(csid)))
+                                 jnp.asarray(csid), R))
     nruns = np.asarray(
         I.compact_runs(jnp.asarray(hit), jnp.asarray(csid), W)[0])
     nruns = (nruns != INVALID).sum(axis=1)
@@ -203,7 +202,7 @@ def test_runs_strategy_large_colors(rng):
         np.testing.assert_array_equal(bits2[b], got[b], err_msg=f"fi row {b}")
     scores, rovf_tu = map(
         np.asarray, _tu_dispatch(jnp.asarray(dense), jnp.asarray(hit),
-                                 jnp.asarray(csid), C32 * 32))
+                                 jnp.asarray(csid), C32 * 32, R))
     np.testing.assert_array_equal(rovf_tu, nruns > R)
     bitsm = np.unpackbits(
         dense.view(np.uint8), axis=1, bitorder="little").astype(np.int64)
