@@ -99,11 +99,30 @@ def cmd_build(args):
 def cmd_pseudoalign(args):
     from .query.engine import QueryEngine
 
-    idx = _load_index(args.index_filename)
-    eng = QueryEngine(idx, batch_size=args.batch_size)
     if args.deduplicate and args.threshold is not None:
         print("Deduplication not available for threshold < 1.0. Remove --deduplicate flag.")
         return 1
+    if args.num_procs > 1:
+        # multi-host data parallelism over DCN (parallel/multihost.py):
+        # same invocation on every host with FULGOR_PROC_ID / --proc-id
+        # distinct; process 0 merges the fragments into the output
+        from .parallel import multihost as MH
+
+        if args.deduplicate:
+            print("--deduplicate is single-host (global dedup state)")
+            return 1
+        pid, nprocs = MH.init_multihost(args.coordinator, args.num_procs,
+                                        args.proc_id)
+        idx = _load_index(args.index_filename)
+        eng = QueryEngine(idx, batch_size=args.batch_size)
+        MH.pseudoalign_multihost(
+            eng, args.query_filename, args.output_filename,
+            threshold=args.threshold, fmt=args.format, verbose=args.verbose,
+            proc_id=pid, num_procs=nprocs,
+        )
+        return 0
+    idx = _load_index(args.index_filename)
+    eng = QueryEngine(idx, batch_size=args.batch_size)
     eng.pseudoalign_file(
         args.query_filename,
         args.output_filename,
@@ -295,6 +314,15 @@ def main(argv=None):
                         "intersect each distinct list once")
     q.add_argument("--format", dest="format", default="ascii",
                    choices=["ascii", "binary", "compressed"])
+    q.add_argument("--num-procs", dest="num_procs", type=int,
+                   default=int(os.environ.get("FULGOR_NUM_PROCS", "1")),
+                   help="multi-host scale-out: total processes (run the "
+                        "same command on every host)")
+    q.add_argument("--proc-id", dest="proc_id", type=int,
+                   default=int(os.environ.get("FULGOR_PROC_ID", "0")))
+    q.add_argument("--coordinator", dest="coordinator",
+                   default=os.environ.get("FULGOR_COORDINATOR"),
+                   help="jax.distributed coordinator host:port")
     q.set_defaults(fn=cmd_pseudoalign)
 
     kc = sub.add_parser("kmer-conservation")

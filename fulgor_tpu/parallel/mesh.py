@@ -41,7 +41,7 @@ from ..ops.pipeline import dict_probe, dict_probe_packed
 
 
 def make_mesh(devices=None, data: int | None = None, color: int | None = None) -> Mesh:
-    devices = devices if devices is not None else jax.devices()
+    devices = devices if devices is not None else jax.local_devices()
     n = len(devices)
     if data is None or color is None:
         color = 2 if n % 2 == 0 and n >= 2 else 1

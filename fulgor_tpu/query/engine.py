@@ -157,7 +157,10 @@ class QueryEngine:
         self._ekpu = index.expected_kmers_per_unitig()
         runs_ok = self._ekpu >= 8.0
         table_np, self.dparams = index.device_dict()
-        n_dev = len(jax.devices())
+        # LOCAL devices only: under jax.distributed (parallel/multihost.py)
+        # reads are data-parallel across processes and each process meshes
+        # its own ICI domain — the engine never builds a DCN-spanning mesh
+        n_dev = len(jax.local_devices())
         self.mesh = None
         # dense-bits feasibility: the (S, C32) matrix must fit host+device
         # comfortably; past this the engine runs the no-dense-matrix paths
@@ -500,14 +503,22 @@ class QueryEngine:
         return out[0][:, :C], out[1], out[2]  # scores (slice pad), npos, ovf
 
     def _stream(self, query_path: str, dispatch, consume, need_names=False,
-                progress=False):
+                progress=False, shard=None):
         """Streaming driver: parse chunk -> dispatch(chunk)->device handles
         (<=2 in flight) -> consume(qid0, n, lens, names, handle).
-        Returns (num_reads, long_read_qids, parse_sec). progress: log a
-        counter every 2^20 reads (reference src/ps_utils.cpp:421-428).
+        Returns (num_reads_total, long_read_qids, parse_sec). progress: log
+        a counter every 2^20 reads (reference src/ps_utils.cpp:421-428).
 
         Parsing runs on a prefetch thread (the native parser releases the
-        GIL), overlapping with device dispatch and host formatting."""
+        GIL), overlapping with device dispatch and host formatting.
+
+        shard=(proc_id, num_procs): multi-host data parallelism — only
+        chunks with index % num_procs == proc_id are dispatched; the rest
+        are parsed (to keep read ids GLOBAL file ordinals) and dropped.
+        qids passed to consume and returned in long_read_qids are global,
+        so per-process fragments merge by id into the single-host output
+        (parallel/multihost.py). num_reads_total stays the whole file's
+        count."""
         import queue
         import threading
 
@@ -516,27 +527,34 @@ class QueryEngine:
         stream = ReadsStream(query_path, self.batch, row_len=MAX_STREAM_WIDTH)
         q: queue.Queue = queue.Queue(maxsize=2)
         parse_sec = [0.0]
+        pid, nprocs = shard if shard is not None else (0, 1)
 
         def producer():
             try:
                 t = time.perf_counter()
-                for codes, lens, names in stream:
+                base = 0
+                for ci, (codes, lens, names) in enumerate(stream):
                     parse_sec[0] += time.perf_counter() - t
-                    # copy out of the stream's reused buffers before queueing
-                    q.put((codes.copy(), lens, names))
+                    if ci % nprocs == pid:
+                        # copy out of the stream's reused buffers
+                        q.put((codes.copy(), lens, names, base))
+                    base += len(lens)
                     t = time.perf_counter()
                 parse_sec[0] += time.perf_counter() - t
-                q.put(None)
+                q.put(("total", base))
             except BaseException as e:  # surface parse failures to the consumer
                 q.put(e)
 
         th = threading.Thread(target=producer, daemon=True)
         th.start()
 
+        total = [0]
+
         def chunks():
             while True:
                 item = q.get()
-                if item is None:
+                if isinstance(item, tuple) and len(item) == 2 and item[0] == "total":
+                    total[0] = item[1]
                     break
                 if isinstance(item, BaseException):
                     th.join()
@@ -545,34 +563,34 @@ class QueryEngine:
             th.join()
 
         inflight: deque = deque()
-        qid0 = 0
+        seen = 0
         long_ids: list[int] = []
         next_report = 1 << 20
-        for codes, lens, names in chunks():
-            if progress and qid0 >= next_report:
+        for codes, lens, names, base in chunks():
+            if progress and seen >= next_report:
                 import sys as _sys
 
-                print(f"processed {qid0} reads", file=_sys.stderr)
-                while next_report <= qid0:
+                print(f"processed {seen} reads", file=_sys.stderr)
+                while next_report <= seen:
                     next_report += 1 << 20
             n = len(lens)
             maxl = int(lens.max()) if n else 0
             too_long = lens > MAX_STREAM_WIDTH
             if too_long.any():
-                long_ids.extend((qid0 + np.flatnonzero(too_long)).tolist())
+                long_ids.extend((base + np.flatnonzero(too_long)).tolist())
             W = self._width_for(min(maxl, MAX_STREAM_WIDTH))
             chunk = np.ascontiguousarray(codes[:, :W])
             if n < self.batch:
                 pad = np.full((self.batch - n, W), 4, dtype=np.uint8)
                 chunk = np.concatenate([chunk, pad], axis=0)
             handle = dispatch(chunk)
-            inflight.append((qid0, n, lens, names if need_names else None, handle))
+            inflight.append((base, n, lens, names if need_names else None, handle))
             if len(inflight) > 2:
                 consume(*inflight.popleft())
-            qid0 += n
+            seen += n
         while inflight:
             consume(*inflight.popleft())
-        return qid0, long_ids, parse_sec[0]
+        return total[0], long_ids, parse_sec[0], seen
 
     # ---------------------------------------------------------------- file drivers
 
@@ -584,6 +602,7 @@ class QueryEngine:
         fmt: str = "ascii",
         verbose: bool = False,
         deduplicate: bool = False,
+        shard=None,
     ):
         from ..native import lib as native
 
@@ -859,8 +878,8 @@ class QueryEngine:
         elif self.use_lists:
             consume = consume_lists
 
-        total, long_ids, parse_sec = self._stream(query_path, dispatch, consume,
-                                                  progress=verbose)
+        total, long_ids, parse_sec, _own = self._stream(
+            query_path, dispatch, consume, progress=verbose, shard=shard)
         redo = sorted(set(long_ids) | set(ovf_ids))
         redo_sec = time.perf_counter()
         if redo:
@@ -884,6 +903,7 @@ class QueryEngine:
         # their sum can exceed `elapsed`.
         stats = dict(
             num_reads=num_reads,
+            num_reads_total=total,
             num_mapped=num_mapped,
             parse_sec=parse_sec,
             query_sec=query_sec,
@@ -947,7 +967,8 @@ class QueryEngine:
                     continue
                 groups.setdefault(s[j][uniq[j]].tobytes(), []).append(qid0 + j)
 
-        total, long_ids, parse_sec = self._stream(query_path, dispatch, consume)
+        total, long_ids, parse_sec, _own = self._stream(query_path, dispatch,
+                                                        consume)
         redo = sorted(set(long_ids) | set(ovf_ids))
         if redo:
             seqs, _names = native.parse_reads_select(query_path, redo)
@@ -1067,8 +1088,8 @@ class QueryEngine:
                 )
             )
 
-        total, long_ids, _psec = self._stream(query_path, dispatch, consume,
-                                              need_names=True, progress=verbose)
+        total, long_ids, _psec, _own = self._stream(
+            query_path, dispatch, consume, need_names=True, progress=verbose)
         redo = sorted(set(long_ids) | set(ovf_ids))
         if redo:
             seqs, names = native.parse_reads_select(query_path, redo)
@@ -1145,8 +1166,8 @@ class QueryEngine:
                     )
                 )
 
-        total, long_ids, _psec = self._stream(query_path, dispatch, consume,
-                                              need_names=True, progress=verbose)
+        total, long_ids, _psec, _own = self._stream(
+            query_path, dispatch, consume, need_names=True, progress=verbose)
         redo = sorted(set(long_ids) | set(ovf_ids))
         if redo:
             seqs, names = native.parse_reads_select(query_path, redo)
