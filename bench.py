@@ -35,6 +35,29 @@ NUM_READS = int(os.environ.get("BENCH_NUM_READS", "500000"))
 READ_LEN = 150
 K = 31
 
+# PRIMARY corpus (pansal4546): the baseline workload's published
+# composition, all four stats (reference README.md:171-177,310-317):
+#   4,546 colors | ~43.8M k-mers | ~972k distinct sets | ~23 k-mers/unitig
+# Earlier rounds' primary (pan1k, below) matched counts but not STRUCTURE:
+# uniform-SNP simulation shreds the union graph to ~1.3 windows/unitig,
+# while the reference's real Salmonella index averages 23.3 k-mers/unitig
+# (43.8M/1.88M) — the locality its streaming query path exploits
+# (src/ps_full_intersection.cpp:341-353). A shredded corpus therefore
+# *understates* any system against the reference's real-corpus number.
+# pansal4546 reproduces the structure mechanistically: a finite accessory
+# gene pool (gain/loss over a binary phylogeny) carries most distinct
+# text in long blocks, with moderate per-branch SNPs. Calibrated from a
+# measured 512-genome point (8.89M kmers / 306k unitigs / 161k sets at
+# mut=88: 33 kmers, 3.38 unitigs, 1.79 sets per SNP site in this sparse
+# regime); at 4,546 genomes / mut=60 / pool 10k x 2.5kb the model lands
+# on the reference column within a few percent.
+PANSAL = dict(num_genes=240, gene_len=2500, core_frac=0.6, loss_rate=0.03,
+              mut_per_branch=60, gain_per_branch=18, gain_len=2500,
+              pool_genes=10000, seed=33)
+PANSAL_GENOMES = 4546
+
+# pan1k (secondary): scattered-SNP corpus — the shredded-graph stress
+# case (no streaming locality; per-window color strategy).
 PAN_GENOMES = 1024
 PAN_LEN = 300_000
 PAN_MUT = 300  # SNPs per tree branch (0.1%)
@@ -63,6 +86,37 @@ def _build_index(genome_paths, index_path, m):
 def ensure_artifacts():
     os.makedirs(CACHE, exist_ok=True)
     out = {}
+
+    # --- corpus 0 (PRIMARY): pansal4546, the baseline's composition AND
+    # structure (see PANSAL above). ~45 min of host time on first build.
+    ps_dir = os.path.join(CACHE, "pansal4546")
+    ps_index = os.path.join(CACHE, "pansal4546.mini.tfur")
+    ps_reads = os.path.join(CACHE, f"pansal4546_reads_{NUM_READS}.fastq.gz")
+    if not os.path.exists(ps_index):
+        from fulgor_tpu.build.builder import build_index
+        from fulgor_tpu.io.simulate import simulate_pangenome_blocks
+
+        print(
+            f"[bench] generating pansal4546 corpus ({PANSAL_GENOMES} genomes, "
+            f"gene pool {PANSAL['pool_genes']} x {PANSAL['gain_len']} bp)...",
+            file=sys.stderr,
+        )
+        paths = simulate_pangenome_blocks(ps_dir, PANSAL_GENOMES, **PANSAL)
+        print("[bench] building pansal4546 index (~40 min)...", file=sys.stderr)
+        idx = build_index(paths, k=K, m=19, ram_gib=48.0, verbose=True)
+        idx.save(ps_index)
+    if not os.path.exists(ps_reads):
+        from fulgor_tpu.io.simulate import simulate_reads, write_fastq
+
+        ps_paths = sorted(
+            os.path.join(ps_dir, f) for f in os.listdir(ps_dir)
+            if f.endswith(".fa.gz")
+        )
+        print(f"[bench] simulating {NUM_READS} pansal4546 reads...",
+              file=sys.stderr)
+        codes, names = simulate_reads(ps_paths[::64], NUM_READS, READ_LEN, seed=4)
+        write_fastq(ps_reads, codes, names)
+    out["pansal"] = (ps_index, ps_reads)
 
     # --- corpus 1: salmonella_10 (10 real genomes; round-1 continuity) ---
     sal_index = os.path.join(CACHE, "salmonella_10.mini.tfur")
@@ -219,7 +273,32 @@ def main():
 
     out_path = os.path.join(CACHE, "bench_out.tsv")
 
-    # PRIMARY: pan1k (baseline-shaped)
+    # PRIMARY: pansal4546 (the baseline's composition and structure)
+    ps_index, ps_reads = art["pansal"]
+    idx = Index.load(ps_index)
+    import numpy as np
+
+    nu = len(idx.unitig_offs) - 1
+    print(
+        f"[bench] pansal4546 index: {idx.num_kmers:,} kmers, {idx.num_colors} "
+        f"colors, {idx.num_color_sets:,} distinct sets, {nu:,} unitigs "
+        f"(kpu {idx.num_kmers / max(1, nu):.1f}) | reference workload: "
+        f"43.8M kmers, 4546 colors, 972k sets, 1.88M unitigs (kpu 23.3)",
+        file=sys.stderr,
+    )
+    eng = QueryEngine(idx, batch_size=32768)
+    ps_rps, _ = timed_pseudoalign(eng, ps_reads, out_path,
+                                  "pansal4546 full-intersection")
+    del eng, idx
+
+    result = {
+        "metric": "pseudoalign_reads_per_sec",
+        "value": round(ps_rps, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(ps_rps / BASELINE_READS_PER_SEC, 3),
+    }
+
+    # SECONDARY: pan1k (scattered-SNP shredded-graph stress case)
     pan_index, pan_reads = art["pan"]
     idx = Index.load(pan_index)
     print(
@@ -228,15 +307,8 @@ def main():
         file=sys.stderr,
     )
     eng = QueryEngine(idx, batch_size=32768)
-    pan_rps, _ = timed_pseudoalign(eng, pan_reads, out_path, "pan1k full-intersection")
+    timed_pseudoalign(eng, pan_reads, out_path, "pan1k full-intersection")
     del eng, idx
-
-    result = {
-        "metric": "pseudoalign_reads_per_sec",
-        "value": round(pan_rps, 1),
-        "unit": "reads/s",
-        "vs_baseline": round(pan_rps / BASELINE_READS_PER_SEC, 3),
-    }
 
     # OPT-IN: pan4546 at the baseline's full composition (BENCH_XL=1)
     if "xl" in art:

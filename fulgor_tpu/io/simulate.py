@@ -129,33 +129,57 @@ def simulate_pangenome_blocks(
     core_frac: float = 0.5,
     loss_rate: float = 0.04,
     mut_per_branch: int = 60,
+    gain_per_branch: int = 0,
+    gain_len: int | None = None,
+    pool_genes: int = 0,
     seed: int = 0,
     gzip_files: bool = True,
 ) -> list[str]:
     """Gene presence/absence pangenome (block-structured color sets).
 
     The ancestor is `num_genes` gene blocks of `gene_len` bp. Genomes
-    descend a binary tree: each branch applies `mut_per_branch` SNPs and
-    PERMANENTLY LOSES each non-core gene with probability `loss_rate`
-    (losses inherit down the subtree). A leaf is the concatenation of its
-    retained genes. k-mers of one gene appear in exactly the leaves that
-    retain it, so color sets are unions of subtree complements — the block
-    structure the reference's Salmonella meta/meta-diff ratios reflect
+    descend a binary tree: each branch applies `mut_per_branch` SNPs (to
+    present genes, length-weighted), GAINS `gain_per_branch` genes of
+    `gain_len` bp (horizontal acquisition — inherited by the subtree,
+    losable like any non-core gene), and LOSES each non-core gene with
+    probability `loss_rate` (losses inherit down the subtree; pool genes
+    can be re-gained later). A leaf is the concatenation of its retained
+    genes. k-mers of one gene appear in exactly the leaves that retain it,
+    so color sets are unions of subtree complements — the block structure
+    the reference's Salmonella meta/meta-diff ratios reflect
     (README.md:187-191), unlike the scattered-SNP corpora of
-    simulate_pangenome. Deterministic in seed. -> paths (color order)."""
+    simulate_pangenome.
+
+    `pool_genes > 0` switches gains from NOVEL random genes to draws from
+    a finite ancestral gene pool (fresh ancestral copy each gain; copies
+    then drift independently). This is the mechanism that bounds a real
+    cohort's distinct text: the reference's 4,546-genome index holds only
+    ~10 genome-equivalents of distinct k-mers yet averages ~23
+    k-mers/unitig (README.md:310-317) — most distinct text is accessory
+    gene blocks shared across clades, not SNP bubbles. Pure-SNP
+    simulations shred to ~2-5 k-mers/unitig instead. Deterministic in
+    seed. -> paths (color order)."""
     import os
 
     rng = np.random.default_rng(seed)
     os.makedirs(out_dir, exist_ok=True)
     depth = max(1, int(np.ceil(np.log2(max(2, num_genomes)))))
+    if gain_len is None:
+        gain_len = gene_len
     lut = np.frombuffer(b"ACGT", dtype=np.uint8)
-    genes = [rng.integers(0, 4, size=gene_len).astype(np.uint8)
-             for _ in range(num_genes)]
-    core = rng.random(num_genes) < core_frac
+    # Node state is four parallel per-node values: gene list (all PRESENT
+    # — losses remove entries), core mask, pool-id per gene (-1 ancestral/
+    # novel), held mask over the pool. Gene identity is its SEQUENCE, so
+    # sibling subtrees need no index alignment.
+    genes0 = [rng.integers(0, 4, size=gene_len).astype(np.uint8)
+              for _ in range(num_genes)]
+    core0 = rng.random(num_genes) < core_frac
+    pool = [rng.integers(0, 4, size=gain_len).astype(np.uint8)
+            for _ in range(pool_genes)]
     paths: list[str] = []
     ext = ".fa.gz" if gzip_files else ".fa"
 
-    def emit(gene_seqs, present):
+    def emit(gene_seqs):
         i = len(paths)
         p = os.path.join(out_dir, f"g{i:05d}{ext}")
         opener = (
@@ -163,33 +187,75 @@ def simulate_pangenome_blocks(
             if gzip_files
             else (lambda: open(p, "wb"))
         )
-        seq = np.concatenate([gene_seqs[j] for j in range(num_genes) if present[j]])
+        seq = np.concatenate(gene_seqs)
         with opener() as f:
             f.write(b">genome%d\n" % i)
             f.write(lut[seq].tobytes())
             f.write(b"\n")
         paths.append(p)
 
-    def mutate(gene_seqs, present):
+    def mutate(gene_seqs, core, pids, held):
         gs = [g.copy() for g in gene_seqs]
-        flat = rng.choice(num_genes * gene_len, size=mut_per_branch, replace=False)
-        for pos in flat:
-            gi, off = divmod(int(pos), gene_len)
-            gs[gi][off] = (gs[gi][off] + rng.integers(1, 4)) % 4
-        pr = present & (core | (rng.random(num_genes) >= loss_rate))
-        return gs, pr
+        # SNPs land on present genes, length-weighted
+        lens = np.array([len(g) for g in gs], dtype=np.int64)
+        cum = np.concatenate([[0], np.cumsum(lens)])
+        flat = rng.choice(int(cum[-1]), size=min(mut_per_branch, int(cum[-1])),
+                          replace=False)
+        for pos in np.sort(flat):
+            w = int(np.searchsorted(cum, int(pos), side="right") - 1)
+            off = int(pos) - int(cum[w])
+            gs[w][off] = (gs[w][off] + rng.integers(1, 4)) % 4
+        # losses: non-core genes drop; lost pool genes become re-gainable
+        keep = core | (rng.random(len(gs)) >= loss_rate)
+        held = held.copy()
+        for j in np.nonzero(~keep)[0]:
+            if pids[j] >= 0:
+                held[pids[j]] = False
+        gs = [g for g, k in zip(gs, keep) if k]
+        cr = core[keep]
+        pd = pids[keep]
+        # gains: pool draws (fresh ancestral copies) or novel genes
+        new_seqs, new_pids = [], []
+        if pool_genes:
+            absent = np.nonzero(~held)[0]
+            take = absent[rng.permutation(len(absent))[:gain_per_branch]]
+            for pid in take:
+                new_seqs.append(pool[pid].copy())
+                new_pids.append(int(pid))
+                held[pid] = True
+        else:
+            for _ in range(gain_per_branch):
+                new_seqs.append(rng.integers(0, 4, size=gain_len).astype(np.uint8))
+                new_pids.append(-1)
+        if new_seqs:
+            gs = gs + new_seqs
+            cr = np.concatenate([cr, np.zeros(len(new_seqs), bool)])
+            pd = np.concatenate([pd, np.array(new_pids, dtype=np.int64)])
+        return gs, cr, pd, held
 
-    def dfs(gene_seqs, present, d):
+    def dfs(gene_seqs, core, pids, held, d):
         if len(paths) >= num_genomes:
             return
         if d == depth:
-            emit(gene_seqs, present)
+            emit(gene_seqs)
             return
         for _ in range(2):
-            gs, pr = mutate(gene_seqs, present)
-            dfs(gs, pr, d + 1)
+            dfs(*mutate(gene_seqs, core, pids, held), d + 1)
 
-    dfs(genes, np.ones(num_genes, dtype=bool), 0)
+    # root holds a pool subset at the gain/loss equilibrium (gain/loss_rate)
+    # so held-gene count is stationary down the tree rather than ramping
+    # from zero; root-held genes drift toward soft-core presence patterns,
+    # later gains toward subtree patterns — both occur in real cohorts.
+    held0 = np.zeros(max(1, pool_genes), bool)
+    pids0 = np.full(num_genes, -1, dtype=np.int64)
+    if pool_genes and gain_per_branch and loss_rate > 0:
+        n0 = min(pool_genes, int(round(gain_per_branch / loss_rate)))
+        take0 = rng.permutation(pool_genes)[:n0]
+        genes0 = genes0 + [pool[pid].copy() for pid in take0]
+        core0 = np.concatenate([core0, np.zeros(n0, bool)])
+        pids0 = np.concatenate([pids0, take0.astype(np.int64)])
+        held0[take0] = True
+    dfs(genes0, core0, pids0, held0, 0)
     return paths
 
 
