@@ -46,14 +46,19 @@ K = 31
 # *understates* any system against the reference's real-corpus number.
 # pansal4546 reproduces the structure mechanistically: a finite accessory
 # gene pool (gain/loss over a binary phylogeny) carries most distinct
-# text in long blocks, with moderate per-branch SNPs. Calibrated from a
-# measured 512-genome point (8.89M kmers / 306k unitigs / 161k sets at
-# mut=88: 33 kmers, 3.38 unitigs, 1.79 sets per SNP site in this sparse
-# regime); at 4,546 genomes / mut=60 / pool 10k x 2.5kb the model lands
-# on the reference column within a few percent.
-PANSAL = dict(num_genes=240, gene_len=2500, core_frac=0.6, loss_rate=0.03,
-              mut_per_branch=60, gain_per_branch=18, gain_len=2500,
-              pool_genes=10000, seed=33)
+# text in long blocks, with moderate per-branch SNPs — and SNPs land
+# mostly on accessory text (ancestral_mut_frac): a length-weighted draw
+# piles cumulative bubbles onto the small SHARED core coordinate space
+# (0.26 sites/bp at full scale — measured) and shreds exactly the text
+# most reads traverse, a bimodality real purifying-selected cores don't
+# have. Calibrated from a measured 512-genome point (23.8M kmers / 229k
+# unitigs / 116k sets at mut=65: ~33 kmers, ~3.3 unitigs, ~1.75 sets per
+# SNP site); at 4,546 genomes the model lands on the reference column
+# within a few percent, with ~1/27 bp bubble spacing on core and ~1/38
+# on accessory (uniform read locality).
+PANSAL = dict(num_genes=480, gene_len=2500, core_frac=0.6, loss_rate=0.03,
+              mut_per_branch=65, ancestral_mut_frac=0.075,
+              gain_per_branch=18, gain_len=2500, pool_genes=9000, seed=27)
 PANSAL_GENOMES = 4546
 
 # pan1k (secondary): scattered-SNP corpus — the shredded-graph stress

@@ -132,6 +132,7 @@ def simulate_pangenome_blocks(
     gain_per_branch: int = 0,
     gain_len: int | None = None,
     pool_genes: int = 0,
+    ancestral_mut_frac: float | None = None,
     seed: int = 0,
     gzip_files: bool = True,
 ) -> list[str]:
@@ -194,17 +195,34 @@ def simulate_pangenome_blocks(
             f.write(b"\n")
         paths.append(p)
 
-    def mutate(gene_seqs, core, pids, held):
-        gs = [g.copy() for g in gene_seqs]
-        # SNPs land on present genes, length-weighted
-        lens = np.array([len(g) for g in gs], dtype=np.int64)
+    def _snp(gs, which, n):
+        # n SNPs over the `which` gene subset, length-weighted
+        if not len(which) or n <= 0:
+            return
+        lens = np.array([len(gs[j]) for j in which], dtype=np.int64)
         cum = np.concatenate([[0], np.cumsum(lens)])
-        flat = rng.choice(int(cum[-1]), size=min(mut_per_branch, int(cum[-1])),
+        flat = rng.choice(int(cum[-1]), size=min(n, int(cum[-1])),
                           replace=False)
         for pos in np.sort(flat):
             w = int(np.searchsorted(cum, int(pos), side="right") - 1)
-            off = int(pos) - int(cum[w])
-            gs[w][off] = (gs[w][off] + rng.integers(1, 4)) % 4
+            gi, off = which[w], int(pos) - int(cum[w])
+            gs[gi][off] = (gs[gi][off] + rng.integers(1, 4)) % 4
+
+    def mutate(gene_seqs, core, pids, held):
+        gs = [g.copy() for g in gene_seqs]
+        if ancestral_mut_frac is None:
+            # SNPs land on present genes, length-weighted
+            _snp(gs, np.arange(len(gs)), mut_per_branch)
+        else:
+            # split SNPs between ancestral (pid -1) and gained-pool genes.
+            # Real cohorts put most segregating sites on accessory text
+            # (faster-evolving, recombining) while the purifying-selected
+            # core stays sparse — a length-weighted draw would pile
+            # cumulative bubbles onto the small shared core coordinate
+            # space and shred exactly the text most reads traverse.
+            n_anc = int(round(mut_per_branch * ancestral_mut_frac))
+            _snp(gs, np.flatnonzero(pids < 0), n_anc)
+            _snp(gs, np.flatnonzero(pids >= 0), mut_per_branch - n_anc)
         # losses: non-core genes drop; lost pool genes become re-gainable
         keep = core | (rng.random(len(gs)) >= loss_rate)
         held = held.copy()

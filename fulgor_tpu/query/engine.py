@@ -315,6 +315,42 @@ class QueryEngine:
             out.append(csid[s : s + n])
         return out
 
+    def _device_csids_many(self, rows) -> list:
+        """Exact per-window csids for many ragged reads via the DEVICE
+        per-window probe. The color-stage run-budget overflow redo needs
+        only window csids — which the per-window kernel produces at device
+        speed — so those reads never pay the exact-host probe (~4 ms/read;
+        the reference's equivalent of this fallback is simply its normal
+        per-k-mer path, src/ps_full_intersection.cpp:341-353). Entries come
+        back None for reads the device CANNOT decide exactly: probe-lane
+        overflow (needs the host-exact probe) or length past the stream
+        ladder."""
+        from ..ops.pipeline import query_window_csids_packed
+
+        out: list = [None] * len(rows)
+        fit = [i for i, r in enumerate(rows) if len(r) <= MAX_STREAM_WIDTH]
+        k = self.k
+        for i0 in range(0, len(fit), self.batch):
+            sel = fit[i0: i0 + self.batch]
+            maxl = max(len(rows[i]) for i in sel)
+            W = self._width_for(maxl)
+            chunk = np.full((self.batch, W), 4, dtype=np.uint8)
+            for j, i in enumerate(sel):
+                chunk[j, : len(rows[i])] = rows[i]
+            codes2, bad = pack_reads_host(chunk)
+            hit, csid, ovf = query_window_csids_packed(
+                self.table, codes2, bad, k=k, width=W, dparams=self.dparams)
+            hit = np.asarray(hit[: len(sel)])
+            csid = np.asarray(csid[: len(sel)])
+            ovf = np.asarray(ovf[: len(sel)])
+            vals = np.where(hit, csid, np.uint32(INVALID_U32))
+            for j, i in enumerate(sel):
+                if ovf[j].any():
+                    continue  # probe-lane overflow: host-exact only
+                n = max(0, len(rows[i]) - k + 1)
+                out[i] = vals[j, :n]
+        return out
+
     def _fi_from_csids(self, csids: np.ndarray) -> np.ndarray:
         cat, offs = self._cs_cache
         distinct = np.unique(csids[csids != INVALID_U32])
@@ -883,11 +919,18 @@ class QueryEngine:
         redo = sorted(set(long_ids) | set(ovf_ids))
         redo_sec = time.perf_counter()
         if redo:
-            # exact host pass for reads wider than the stream ladder or whose
-            # probe overflowed (ragged selective re-parse: never materializes
-            # the whole file densely)
+            # redo pass (ragged selective re-parse: never materializes the
+            # whole file densely). Most redo reads only exceeded the COLOR
+            # run budget — their window csids re-derive on DEVICE at batch
+            # speed; the exact host probe serves only reads past the
+            # stream ladder or with probe-lane overflow.
             seqs, _names = native.parse_reads_select(query_path, redo)
-            all_csids = self._host_csids_many(seqs)
+            all_csids = self._device_csids_many(seqs)
+            host_left = [i for i, c in enumerate(all_csids) if c is None]
+            if host_left:
+                for i, c in zip(host_left, self._host_csids_many(
+                        [seqs[i] for i in host_left])):
+                    all_csids[i] = c
             if threshold is None:
                 extra = [self._fi_from_csids(c) for c in all_csids]
             else:
@@ -1092,9 +1135,14 @@ class QueryEngine:
             query_path, dispatch, consume, need_names=True, progress=verbose)
         redo = sorted(set(long_ids) | set(ovf_ids))
         if redo:
+            # run-budget overflow redoes on DEVICE (window csids re-derive
+            # at batch speed); host-exact only for probe-lane ovf/long reads
             seqs, names = native.parse_reads_select(query_path, redo)
-            for row, name in zip(seqs, names):
-                c = self._host_csids(row)
+            all_csids = self._device_csids_many(seqs)
+            for i, (row, name) in enumerate(zip(seqs, names)):
+                c = all_csids[i]
+                if c is None:
+                    c = self._host_csids(row)
                 write_one(name, c != INVALID_U32, c)
         f.close()
         return dict(num_reads=total)
@@ -1170,9 +1218,14 @@ class QueryEngine:
             query_path, dispatch, consume, need_names=True, progress=verbose)
         redo = sorted(set(long_ids) | set(ovf_ids))
         if redo:
+            # run-budget overflow redoes on DEVICE (window csids re-derive
+            # at batch speed); host-exact only for probe-lane ovf/long reads
             seqs, names = native.parse_reads_select(query_path, redo)
-            for row, name in zip(seqs, names):
-                c = self._host_csids(row)
+            all_csids = self._device_csids_many(seqs)
+            for i, (row, name) in enumerate(zip(seqs, names)):
+                c = all_csids[i]
+                if c is None:
+                    c = self._host_csids(row)
                 write_one(name, c != INVALID_U32, c)
         f.close()
         return dict(num_reads=total)
