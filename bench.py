@@ -276,7 +276,10 @@ def main():
     from fulgor_tpu.index import Index
     from fulgor_tpu.query.engine import QueryEngine
 
-    out_path = os.path.join(CACHE, "bench_out.tsv")
+    # /dev/null output matches the baseline command exactly (README.md:171:
+    # `fulgor pseudoalign ... -o /dev/null`): formatting is still fully
+    # paid, the disk write is not part of either measurement.
+    out_path = os.environ.get("BENCH_OUT", "/dev/null")
 
     # PRIMARY: pansal4546 (the baseline's composition and structure)
     ps_index, ps_reads = art["pansal"]

@@ -181,6 +181,12 @@ def simulate_pangenome_blocks(
     ext = ".fa.gz" if gzip_files else ".fa"
 
     def emit(gene_seqs):
+        # one RECORD per gene: concatenating genes would manufacture
+        # junction k-mers whose neighbors differ per leaf (gain/loss
+        # reshuffles adjacency), i.e. a shredded-text band real conserved-
+        # synteny genomes don't have — reads sampled from the emitted
+        # genome then never span gene boundaries either (the read
+        # simulator skips windows crossing records).
         i = len(paths)
         p = os.path.join(out_dir, f"g{i:05d}{ext}")
         opener = (
@@ -188,11 +194,11 @@ def simulate_pangenome_blocks(
             if gzip_files
             else (lambda: open(p, "wb"))
         )
-        seq = np.concatenate(gene_seqs)
         with opener() as f:
-            f.write(b">genome%d\n" % i)
-            f.write(lut[seq].tobytes())
-            f.write(b"\n")
+            for j, g in enumerate(gene_seqs):
+                f.write(b">genome%d_%d\n" % (i, j))
+                f.write(lut[g].tobytes())
+                f.write(b"\n")
         paths.append(p)
 
     def _snp(gs, which, n):

@@ -380,6 +380,17 @@ def parse_reads_select(path: str, ids):
     return seqs, names
 
 
+def _bytes_at(buf, size: int) -> bytes:
+    """bytes from a malloc'd char* of SIZE bytes. ct.string_at truncates
+    its length arg to C int, so buffers past 2 GiB (large pseudoalign
+    batches: 32k reads x thousands of colors) came back with a negative
+    size — copy through a ctypes array, which carries Py_ssize_t."""
+    if size <= 0:
+        return b""
+    return bytes((ct.c_char * size).from_address(
+        ct.addressof(buf.contents)))
+
+
 def format_psa_ascii(qids: np.ndarray, colors_cat: np.ndarray, offs: np.ndarray) -> bytes:
     """ascii pseudoalignment block for a batch of results."""
     lib = _load()
@@ -400,7 +411,7 @@ def format_psa_ascii(qids: np.ndarray, colors_cat: np.ndarray, offs: np.ndarray)
     )
     if rc != 0:
         raise RuntimeError("format_psa_ascii failed")
-    out = ct.string_at(buf, blen.value)
+    out = _bytes_at(buf, blen.value)
     lib.fn_free(buf)
     return out
 
@@ -679,7 +690,7 @@ def format_psa_ascii_bits(qids: np.ndarray, bits: np.ndarray):
     )
     if rc != 0:
         raise RuntimeError("format_psa_ascii_bits failed")
-    out = ct.string_at(buf, blen.value)
+    out = _bytes_at(buf, blen.value)
     lib.fn_free(buf)
     return out, int(mapped.value)
 
@@ -705,7 +716,7 @@ def format_psa_ascii_bits_grouped(qids, rows, inv):
     )
     if rc != 0:
         raise RuntimeError("format_psa_ascii_bits_grouped failed")
-    out = ct.string_at(buf, blen.value)
+    out = _bytes_at(buf, blen.value)
     lib.fn_free(buf)
     return out, int(mapped.value)
 
@@ -841,7 +852,7 @@ def format_kc(names, starts, lens_, ids, run_offs) -> bytes:
     )
     if rc != 0:
         raise RuntimeError("format_kc failed")
-    out = ct.string_at(buf, blen.value)
+    out = _bytes_at(buf, blen.value)
     lib.fn_free(buf)
     return out
 
@@ -872,6 +883,6 @@ def format_km(names, hit_words, widths, counts) -> bytes:
     )
     if rc != 0:
         raise RuntimeError("format_km failed")
-    out = ct.string_at(buf, blen.value)
+    out = _bytes_at(buf, blen.value)
     lib.fn_free(buf)
     return out

@@ -1503,44 +1503,75 @@ extern "C" int fn_format_km_u16(const char* names, const int64_t* name_offs,
 extern "C" int fn_format_psa_ascii_bits(const uint32_t* qids, const uint32_t* bits,
                                         int64_t n, int32_t c32, char** out_buf,
                                         int64_t* out_len, int64_t* out_mapped) {
-    int64_t total_bits = 0;
-    for (int64_t i = 0; i < n * (int64_t)c32; ++i) total_bits += __builtin_popcount(bits[i]);
-    size_t cap = (size_t)(n * 24 + total_bits * 11 + 1024);
-    char* buf = (char*)malloc(cap);
+    // thread-parallel: each worker formats a contiguous read range into a
+    // local buffer; one concat pass assembles the output. At the primary
+    // workload's shape a 32k batch formats ~200-350 MB of ascii — the
+    // single-thread loop was a pipeline stage all its own (the reference
+    // formats on all of its worker threads; src/ps_utils.cpp:48-83).
+    unsigned T = host_threads();
+    if (n < 1024) T = 1;
+    std::vector<std::string> part((size_t)T);
+    std::vector<int64_t> pmapped((size_t)T, 0);
+#ifdef _OPENMP
+#pragma omp parallel num_threads(T)
+#endif
+    {
+#ifdef _OPENMP
+        int t = omp_get_thread_num();
+#else
+        int t = 0;
+#endif
+        int64_t i0 = n * t / T, i1 = n * (t + 1) / T;
+        std::string& a = part[(size_t)t];
+        int64_t tb = 0;
+        for (int64_t i = i0 * (int64_t)c32; i < i1 * (int64_t)c32; ++i)
+            tb += __builtin_popcount(bits[i]);
+        a.reserve((size_t)((i1 - i0) * 24 + tb * 11));
+        char tmp[16];
+        auto put_u32 = [&](uint32_t v) {
+            int len = 0;
+            do {
+                tmp[len++] = (char)('0' + v % 10);
+                v /= 10;
+            } while (v);
+            while (len) a.push_back(tmp[--len]);
+        };
+        int64_t mapped = 0;
+        for (int64_t i = i0; i < i1; ++i) {
+            const uint32_t* row = bits + i * c32;
+            uint32_t cnt = 0;
+            for (int32_t w = 0; w < c32; ++w)
+                cnt += (uint32_t)__builtin_popcount(row[w]);
+            put_u32(qids[i]);
+            a.push_back('\t');
+            put_u32(cnt);
+            if (cnt) ++mapped;
+            for (int32_t w = 0; w < c32; ++w) {
+                uint32_t x = row[w];
+                while (x) {
+                    int b = __builtin_ctz(x);
+                    x &= x - 1;
+                    a.push_back('\t');
+                    put_u32((uint32_t)(w * 32 + b));
+                }
+            }
+            a.push_back('\n');
+        }
+        pmapped[(size_t)t] = mapped;
+    }
+    size_t total = 0;
+    for (auto& a : part) total += a.size();
+    char* buf = (char*)malloc(total + 1);
     if (!buf) return 1;
     char* p = buf;
-    char tmp[16];
-    auto put_u32 = [&](uint32_t v) {
-        int len = 0;
-        do {
-            tmp[len++] = (char)('0' + v % 10);
-            v /= 10;
-        } while (v);
-        while (len) *p++ = tmp[--len];
-    };
     int64_t mapped = 0;
-    for (int64_t i = 0; i < n; ++i) {
-        const uint32_t* row = bits + i * c32;
-        uint32_t cnt = 0;
-        for (int32_t w = 0; w < c32; ++w) cnt += (uint32_t)__builtin_popcount(row[w]);
-        put_u32(qids[i]);
-        *p++ = '\t';
-        put_u32(cnt);
-        if (cnt) ++mapped;
-        for (int32_t w = 0; w < c32; ++w) {
-            uint32_t x = row[w];
-            while (x) {
-                int b = __builtin_ctz(x);
-                x &= x - 1;
-                *p++ = '\t';
-                put_u32((uint32_t)(w * 32 + b));
-            }
-        }
-        *p++ = '\n';
+    for (unsigned t = 0; t < T; ++t) {
+        memcpy(p, part[t].data(), part[t].size());
+        p += part[t].size();
+        mapped += pmapped[t];
     }
-    assert((size_t)(p - buf) <= cap);
     *out_buf = buf;
-    *out_len = (int64_t)(p - buf);
+    *out_len = (int64_t)total;
     *out_mapped = mapped;
     return 0;
 }
@@ -1548,76 +1579,108 @@ extern "C" int fn_format_psa_ascii_bits(const uint32_t* qids, const uint32_t* bi
 // grouped variant: the runs-fetch pipeline hands each read an index into a
 // small set of DISTINCT result rows (many reads share one full-intersection
 // result); format each distinct row's "\tcount\tc1\tc2..." body ONCE and
-// memcpy it per read. inv: (n,) distinct-row index per read.
+// memcpy it per read. inv: (n,) distinct-row index per read. Both phases
+// run thread-parallel (group bodies, then per-read line assembly at exact
+// precomputed offsets).
 extern "C" int fn_format_psa_ascii_bits_grouped(
     const uint32_t* qids, const uint32_t* rows, const int32_t* inv, int64_t n,
     int64_t G, int32_t c32, char** out_buf, int64_t* out_len,
     int64_t* out_mapped) {
-    // per-group formatted bodies
-    std::vector<char> arena;
-    std::vector<int64_t> boff(G + 1, 0);
+    unsigned T = host_threads();
+    if (G < 64) T = 1;
+    std::vector<std::string> part((size_t)T);
+    std::vector<int64_t> blen(G);
     std::vector<uint32_t> bcnt(G);
+    // phase 1: distinct bodies, group ranges per thread
+#ifdef _OPENMP
+#pragma omp parallel num_threads(T)
+#endif
     {
-        int64_t total_bits = 0;
-        for (int64_t i = 0; i < G * (int64_t)c32; ++i)
-            total_bits += __builtin_popcount(rows[i]);
-        arena.reserve((size_t)(G * 12 + total_bits * 11 + 64));
-    }
-    char tmp[16];
-    auto put_arena_u32 = [&](uint32_t v) {
-        int len = 0;
-        do {
-            tmp[len++] = (char)('0' + v % 10);
-            v /= 10;
-        } while (v);
-        while (len) arena.push_back(tmp[--len]);
-    };
-    for (int64_t g = 0; g < G; ++g) {
-        const uint32_t* row = rows + g * c32;
-        uint32_t cnt = 0;
-        for (int32_t w = 0; w < c32; ++w) cnt += (uint32_t)__builtin_popcount(row[w]);
-        bcnt[g] = cnt;
-        arena.push_back('\t');
-        put_arena_u32(cnt);
-        for (int32_t w = 0; w < c32; ++w) {
-            uint32_t x = row[w];
-            while (x) {
-                int b = __builtin_ctz(x);
-                x &= x - 1;
-                arena.push_back('\t');
-                put_arena_u32((uint32_t)(w * 32 + b));
+#ifdef _OPENMP
+        int t = omp_get_thread_num();
+#else
+        int t = 0;
+#endif
+        int64_t g0 = G * t / T, g1 = G * (t + 1) / T;
+        std::string& a = part[(size_t)t];
+        int64_t tb = 0;
+        for (int64_t i = g0 * (int64_t)c32; i < g1 * (int64_t)c32; ++i)
+            tb += __builtin_popcount(rows[i]);
+        a.reserve((size_t)((g1 - g0) * 12 + tb * 11));
+        char tmp[16];
+        auto put_u32 = [&](uint32_t v) {
+            int len = 0;
+            do {
+                tmp[len++] = (char)('0' + v % 10);
+                v /= 10;
+            } while (v);
+            while (len) a.push_back(tmp[--len]);
+        };
+        for (int64_t g = g0; g < g1; ++g) {
+            size_t b0 = a.size();
+            const uint32_t* row = rows + g * c32;
+            uint32_t cnt = 0;
+            for (int32_t w = 0; w < c32; ++w)
+                cnt += (uint32_t)__builtin_popcount(row[w]);
+            bcnt[g] = cnt;
+            a.push_back('\t');
+            put_u32(cnt);
+            for (int32_t w = 0; w < c32; ++w) {
+                uint32_t x = row[w];
+                while (x) {
+                    int b = __builtin_ctz(x);
+                    x &= x - 1;
+                    a.push_back('\t');
+                    put_u32((uint32_t)(w * 32 + b));
+                }
             }
+            a.push_back('\n');
+            blen[g] = (int64_t)(a.size() - b0);
         }
-        arena.push_back('\n');
-        boff[g + 1] = (int64_t)arena.size();
     }
-    // assemble lines: qid digits + body memcpy
-    size_t cap = 1024;
+    // body address per group (part-local offsets -> pointers)
+    std::vector<const char*> baddr(G);
+    for (unsigned t = 0; t < T; ++t) {
+        int64_t g0 = G * t / T, g1 = G * (int64_t)(t + 1) / T;
+        const char* base = part[(size_t)t].data();
+        int64_t off = 0;
+        for (int64_t g = g0; g < g1; ++g) {
+            baddr[g] = base + off;
+            off += blen[g];
+        }
+    }
+    // phase 2: per-read line offsets (digits(qid) + body) then parallel fill
+    auto digits = [](uint32_t v) {
+        int d = 1;
+        while (v >= 10) { v /= 10; ++d; }
+        return d;
+    };
+    std::vector<int64_t> lofs((size_t)n + 1);
+    lofs[0] = 0;
     for (int64_t i = 0; i < n; ++i)
-        cap += 11 + (size_t)(boff[inv[i] + 1] - boff[inv[i]]);
-    char* buf = (char*)malloc(cap);
+        lofs[(size_t)i + 1] = lofs[(size_t)i] + digits(qids[i]) + blen[inv[i]];
+    char* buf = (char*)malloc((size_t)lofs[(size_t)n] + 1);
     if (!buf) return 1;
-    char* p = buf;
-    auto put_u32 = [&](uint32_t v) {
+    int64_t mapped = 0;
+#ifdef _OPENMP
+#pragma omp parallel for num_threads(T) reduction(+ : mapped) schedule(static)
+#endif
+    for (int64_t i = 0; i < n; ++i) {
+        char* p = buf + lofs[(size_t)i];
+        char tmp[16];
+        uint32_t v = qids[i];
         int len = 0;
         do {
             tmp[len++] = (char)('0' + v % 10);
             v /= 10;
         } while (v);
         while (len) *p++ = tmp[--len];
-    };
-    int64_t mapped = 0;
-    for (int64_t i = 0; i < n; ++i) {
         int32_t g = inv[i];
-        put_u32(qids[i]);
-        int64_t blen = boff[g + 1] - boff[g];
-        memcpy(p, arena.data() + boff[g], (size_t)blen);
-        p += blen;
+        memcpy(p, baddr[g], (size_t)blen[g]);
         mapped += bcnt[g] > 0;
     }
-    assert((size_t)(p - buf) <= cap);
     *out_buf = buf;
-    *out_len = (int64_t)(p - buf);
+    *out_len = lofs[(size_t)n];
     *out_mapped = mapped;
     return 0;
 }

@@ -738,7 +738,7 @@ def _make_extract33(text32):
 
 def skew_probe_device(skew, flat_slots, flo, fhi, rlo, rhi, iL, iR, gate,
                       hit, val, *, k: int, m: int, lo_mask, hi_mask,
-                      extract33, entry=None):
+                      extract33, entry=None, sc: int | None = None):
     """Device skew route (mirror of the SKEW_CAND-capped host semantics):
     select the first SKEW_CAND fp8-matching pointers in probe order, gather
     their primary entries, text-verify the in-span orientations.
@@ -756,20 +756,22 @@ def skew_probe_device(skew, flat_slots, flo, fhi, rlo, rhi, iL, iR, gate,
     h1 = mix32(klo ^ mix32(khi ^ jnp.uint32(SKEW_SEED1)))
     h2 = mix32(klo ^ mix32(khi ^ jnp.uint32(SKEW_SEED2)))
     fp8 = h1 & jnp.uint32(0xFF)
+    if sc is None:
+        sc = SKEW_CAND
     cnt2 = jnp.zeros(klo.shape, jnp.int32)
-    sid = [jnp.zeros(klo.shape, jnp.int32) for _ in range(SKEW_CAND)]
+    sid = [jnp.zeros(klo.shape, jnp.int32) for _ in range(sc)]
     for h in (h1, h2):
         r = jnp.where(gate, mulhi32(h, NR).astype(jnp.int32), 0)
         row = jnp.take(skew, r, axis=0)
         for e in range(SKEW_ROWW):
             v = row[..., e]
             mca = gate & (v != 0) & ((v & jnp.uint32(0xFF)) == fp8)
-            for j in range(SKEW_CAND):
+            for j in range(sc):
                 upd = mca & (cnt2 == j)
                 sid[j] = jnp.where(upd, (v >> jnp.uint32(8)).astype(jnp.int32) - 1,
                                    sid[j])
             cnt2 = cnt2 + mca.astype(jnp.int32)
-    for j in range(SKEW_CAND):
+    for j in range(sc):
         has = gate & (cnt2 > j) & ~hit
         ent = jnp.take(flat_slots, jnp.where(has, sid[j], 0), axis=0)
         wlo = ent[..., 0].astype(jnp.int32)
@@ -1005,19 +1007,33 @@ def _window_prep(codes, k: int, m: int):
 
 def _probe_entries(slots, text32, sec_table, minval, iL, iR, flo, fhi, rlo,
                    rhi, usable, *, k: int, m: int, num_slots: int, gate=None,
-                   want_entry: bool = False):
+                   want_entry: bool = False, vb: int | None = None,
+                   sc: int | None = None):
     """Full per-lane probe: slot-window candidate screen, text verify, skew
-    route. Semantics == lookup_host_device_sem per lane.
+    route. Semantics == lookup_host_device_sem per lane (at the default
+    budgets).
 
     gate: optional bool mask — lanes outside it coalesce every gather onto
     row/slot 0 and report no hit/ovf (the run-anchored probe's stage gate).
     want_entry: also return the WINNING candidate's (q, rc, wlo, sp) so run
     anchoring can derive neighbor windows' candidate text positions.
+    vb/sc: per-call VERIFY_BUDGET/SKEW_CAND overrides. Budget-trimmed
+    probes stay EXACT where they decide — a hit is text-verified, a
+    non-ovf miss exhausted all candidates — they only raise ovf more
+    often, and ovf reads re-derive through a full-budget redo kernel
+    (QueryEngine._device_csids_many). On-chip: each verify candidate
+    costs ~22 ms and each skew candidate ~70 ms of a 465 ms/32k-batch
+    probe, so the engine's main kernels run (4, 2) and the redo kernel
+    (8, 4).
     -> (hit, val, ovf[, entry])."""
     import jax.numpy as jnp
 
     from .lookup import mix32, mulhi32
 
+    if vb is None:
+        vb = VERIFY_BUDGET
+    if sc is None:
+        sc = SKEW_CAND
     use = usable if gate is None else (usable & gate)
     B, Wk = minval.shape
 
@@ -1045,12 +1061,12 @@ def _probe_entries(slots, text32, sec_table, minval, iL, iR, flo, fhi, rlo,
     cnt = jnp.zeros((B, Wk), jnp.int32)
     need_sec = jnp.zeros((B, Wk), bool)
     n_occ = jnp.zeros((B, Wk), jnp.int32)
-    q_sel = [jnp.zeros((B, Wk), jnp.int32) for _ in range(VERIFY_BUDGET)]
-    o_sel = [jnp.zeros((B, Wk), bool) for _ in range(VERIFY_BUDGET)]
-    cs_sel = [jnp.zeros((B, Wk), jnp.uint32) for _ in range(VERIFY_BUDGET)]
+    q_sel = [jnp.zeros((B, Wk), jnp.int32) for _ in range(vb)]
+    o_sel = [jnp.zeros((B, Wk), bool) for _ in range(vb)]
+    cs_sel = [jnp.zeros((B, Wk), jnp.uint32) for _ in range(vb)]
     if want_entry:
-        w_sel = [jnp.zeros((B, Wk), jnp.int32) for _ in range(VERIFY_BUDGET)]
-        s_sel = [jnp.zeros((B, Wk), jnp.int32) for _ in range(VERIFY_BUDGET)]
+        w_sel = [jnp.zeros((B, Wk), jnp.int32) for _ in range(vb)]
+        s_sel = [jnp.zeros((B, Wk), jnp.int32) for _ in range(vb)]
     for s in range(SCAN):
         row = rows[s // ROWW]
         off = 3 * (s % ROWW)
@@ -1067,7 +1083,7 @@ def _probe_entries(slots, text32, sec_table, minval, iL, iR, flo, fhi, rlo,
         mpos = wlo + mo
         for orient, q in ((False, mpos - iL), (True, mpos - (k - m) + iR)):
             cand = okc & (q >= wlo) & (q < wlo + sp)
-            for j in range(VERIFY_BUDGET):
+            for j in range(vb):
                 upd = cand & (cnt == j)
                 q_sel[j] = jnp.where(upd, q, q_sel[j])
                 o_sel[j] = jnp.where(upd, orient, o_sel[j])
@@ -1091,7 +1107,7 @@ def _probe_entries(slots, text32, sec_table, minval, iL, iR, flo, fhi, rlo,
             jnp.zeros((B, Wk), jnp.int32),   # entry wlo
             jnp.zeros((B, Wk), jnp.int32),   # entry span
         )
-    for j in range(VERIFY_BUDGET):
+    for j in range(vb):
         has = cnt > j
         tlo, thi = extract33(jnp.where(has, q_sel[j], 0))
         tlo = tlo & lo_mask
@@ -1118,11 +1134,11 @@ def _probe_entries(slots, text32, sec_table, minval, iL, iR, flo, fhi, rlo,
     hit, val, cnt2, entry = skew_probe_device(
         sec_table, flat_slots, flo, fhi, rlo, rhi, iL, iR, gate2, hit, val,
         k=k, m=m, lo_mask=lo_mask, hi_mask=hi_mask, extract33=extract33,
-        entry=entry,
+        entry=entry, sc=sc,
     )
 
-    ovf = (use & ~hit & (cnt > VERIFY_BUDGET)) | (
-        gate2 & ~hit & (cnt2 > SKEW_CAND)
+    ovf = (use & ~hit & (cnt > vb)) | (
+        gate2 & ~hit & (cnt2 > sc)
     )
     val = jnp.where(hit, val, jnp.uint32(INVALID_U32))
     if want_entry:
@@ -1131,31 +1147,37 @@ def _probe_entries(slots, text32, sec_table, minval, iL, iR, flo, fhi, rlo,
 
 
 def lookup_minidict2_batch(slots, text32, sec_table, codes, *, k: int, m: int,
-                           num_slots: int):
+                           num_slots: int, probe_budget=None):
     """Batched bucketless-minidict lookup (device).
 
     codes: (B, L) int codes (0..3 valid, >=4 pad). -> (hit (B,Wk) bool,
-    csid (B,Wk) u32, ovf (B,Wk) bool). Semantics == lookup_host_device_sem.
+    csid (B,Wk) u32, ovf (B,Wk) bool). Semantics == lookup_host_device_sem
+    at the default probe_budget (see _probe_entries on trimmed budgets).
     """
     prep = _window_prep(codes, k, m)
-    return _probe_per_window(slots, text32, sec_table, prep, k, m, num_slots)
+    return _probe_per_window(slots, text32, sec_table, prep, k, m, num_slots,
+                             probe_budget)
 
 
 def lookup_minidict2_packed(slots, text32, sec_table, codes2, bad, *,
-                            width: int, k: int, m: int, num_slots: int):
+                            width: int, k: int, m: int, num_slots: int,
+                            probe_budget=None):
     """Per-window lookup straight from the host-packed stream buffers
     (pack_reads_host layout) — the wire format doubles as the prep input,
     so no device-side unpack/re-pack happens at all."""
     words, badw = words_from_packed(codes2, bad)
     prep = _window_prep_from_words(words, badw, width, k, m)
-    return _probe_per_window(slots, text32, sec_table, prep, k, m, num_slots)
+    return _probe_per_window(slots, text32, sec_table, prep, k, m, num_slots,
+                             probe_budget)
 
 
-def _probe_per_window(slots, text32, sec_table, prep, k, m, num_slots):
+def _probe_per_window(slots, text32, sec_table, prep, k, m, num_slots,
+                      probe_budget=None):
     (minval, iL, iR, _pL, _pR, flo, fhi, rlo, rhi, usable) = prep
+    vb, sc = probe_budget if probe_budget is not None else (None, None)
     return _probe_entries(
         slots, text32, sec_table, minval, iL, iR, flo, fhi, rlo, rhi, usable,
-        k=k, m=m, num_slots=num_slots,
+        k=k, m=m, num_slots=num_slots, vb=vb, sc=sc,
     )
 
 

@@ -66,7 +66,7 @@ def color_runs_budget(Wk: int, ekpu: float) -> int | None:
     return None if R >= Wk // 2 else min(Wk, R)
 
 
-def dict_probe(table, codes, k: int, dparams):
+def dict_probe(table, codes, k: int, dparams, probe_budget=None):
     """Backend-dispatched window lookup -> (hit, csid, ovf).
 
     table: cuckoo (nb, 4) array when dparams is None, else the minidict2
@@ -91,11 +91,13 @@ def dict_probe(table, codes, k: int, dparams):
             slots, text32, sec, codes, k=k, m=m, num_slots=num_slots
         )
     return lookup_minidict2_batch(
-        slots, text32, sec, codes, k=k, m=m, num_slots=num_slots
+        slots, text32, sec, codes, k=k, m=m, num_slots=num_slots,
+        probe_budget=probe_budget,
     )
 
 
-def dict_probe_packed(table, codes2, bad, width: int, k: int, dparams):
+def dict_probe_packed(table, codes2, bad, width: int, k: int, dparams,
+                      probe_budget=None):
     """dict_probe for host-packed (codes2, bad) stream buffers: the mini
     backend's prep consumes the packed words directly (no device unpack);
     the cuckoo backend unpacks as before."""
@@ -117,7 +119,7 @@ def dict_probe_packed(table, codes2, bad, width: int, k: int, dparams):
         )
     return lookup_minidict2_packed(
         slots, text32, sec, codes2, bad, width=width, k=k, m=m,
-        num_slots=num_slots
+        num_slots=num_slots, probe_budget=probe_budget,
     )
 
 
@@ -152,49 +154,51 @@ def _tu_dispatch(dense_bits, hit, csid, num_colors, color_runs=None):
                                         num_colors), rovf)
 
 
-@partial(jax.jit, static_argnames=("k", "dparams", "color_runs"))
+@partial(jax.jit, static_argnames=("k", "dparams", "color_runs", "probe_budget"))
 def query_full_intersection(table, dense_bits, codes, *, k: int, dparams=None,
-                            color_runs=None):
+                            color_runs=None, probe_budget=None):
     """codes: (B, L) int32 -> (result_bits (B, C32) u32, ovf (B,) bool). A
     read maps iff its result is non-empty (reference counts mapped reads the
     same way, tools/pseudoalign.cpp:42); ovf reads need the host fallback."""
-    hit, csid, ovf = dict_probe(table, codes, k, dparams)
+    hit, csid, ovf = dict_probe(table, codes, k, dparams, probe_budget)
     bits, rovf = _fi_dispatch(dense_bits, hit, csid, color_runs)
     return bits, jnp.any(ovf, axis=1) | rovf
 
 
-@partial(jax.jit, static_argnames=("k", "num_colors", "dparams", "color_runs"))
+@partial(jax.jit, static_argnames=("k", "num_colors", "dparams", "color_runs", "probe_budget"))
 def query_threshold_union(table, dense_bits, codes, *, k: int, num_colors: int,
-                          dparams=None, color_runs=None):
+                          dparams=None, color_runs=None, probe_budget=None):
     """-> (scores (B, C) f32, num_positive (B,) i32, ovf (B,) bool)."""
-    hit, csid, ovf = dict_probe(table, codes, k, dparams)
+    hit, csid, ovf = dict_probe(table, codes, k, dparams, probe_budget)
     scores, rovf = _tu_dispatch(dense_bits, hit, csid, num_colors, color_runs)
     npos = jnp.sum(hit.astype(jnp.int32), axis=1)
     return scores, npos, jnp.any(ovf, axis=1) | rovf
 
 
-@partial(jax.jit, static_argnames=("k", "dparams"))
-def query_window_csids(table, codes, *, k: int, dparams=None):
+@partial(jax.jit, static_argnames=("k", "dparams", "probe_budget"))
+def query_window_csids(table, codes, *, k: int, dparams=None,
+                       probe_budget=None):
     """Per-window positivity + color-set id (kmer-conservation / kmer-matches
     drivers post-process on host). -> (hit, csid, ovf) each (B, W)."""
     return dict_probe(table, codes, k, dparams)
 
 
-@partial(jax.jit, static_argnames=("k", "width", "dparams", "color_runs"))
+@partial(jax.jit, static_argnames=("k", "width", "dparams", "color_runs", "probe_budget"))
 def query_full_intersection_packed(table, dense_bits, codes2, bad, *, k: int,
-                                   width: int, dparams=None, color_runs=None):
-    hit, csid, ovf = dict_probe_packed(table, codes2, bad, width, k, dparams)
+                                   width: int, dparams=None, color_runs=None,
+                                   probe_budget=None):
+    hit, csid, ovf = dict_probe_packed(table, codes2, bad, width, k, dparams, probe_budget)
     bits, rovf = _fi_dispatch(dense_bits, hit, csid, color_runs)
     return bits, jnp.any(ovf, axis=1) | rovf
 
 
 @partial(jax.jit, static_argnames=("k", "width", "num_colors", "dparams",
-                                   "color_runs"))
+                                   "color_runs", "probe_budget"))
 def query_threshold_union_packed(
     table, dense_bits, codes2, bad, *, k: int, width: int, num_colors: int,
-    dparams=None, color_runs=None
+    dparams=None, color_runs=None, probe_budget=None
 ):
-    hit, csid, ovf = dict_probe_packed(table, codes2, bad, width, k, dparams)
+    hit, csid, ovf = dict_probe_packed(table, codes2, bad, width, k, dparams, probe_budget)
     scores, rovf = _tu_dispatch(dense_bits, hit, csid, num_colors, color_runs)
     npos = jnp.sum(hit.astype(jnp.int32), axis=1)
     # scores are exact window counts < 2^16 (stream reads are <= 1024 bases;
@@ -203,10 +207,11 @@ def query_threshold_union_packed(
             jnp.any(ovf, axis=1) | rovf)
 
 
-@partial(jax.jit, static_argnames=("k", "width", "dparams"))
+@partial(jax.jit, static_argnames=("k", "width", "dparams", "probe_budget"))
 def query_window_csids_packed(table, codes2, bad, *, k: int, width: int,
-                              dparams=None):
-    return dict_probe_packed(table, codes2, bad, width, k, dparams)
+                              dparams=None, probe_budget=None):
+    return dict_probe_packed(table, codes2, bad, width, k, dparams,
+                             probe_budget)
 
 
 # ---------------------------------------------------------------------------
@@ -219,31 +224,32 @@ def query_window_csids_packed(table, codes2, bad, *, k: int, width: int,
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("k", "width", "T", "dparams", "color_runs"))
+@partial(jax.jit, static_argnames=("k", "width", "T", "dparams", "color_runs", "probe_budget"))
 def query_fi_lists_packed(table, dense_bits, codes2, bad, *, k: int, width: int,
-                          T: int, dparams=None, color_runs=None):
+                          T: int, dparams=None, color_runs=None,
+                          probe_budget=None):
     """Full intersection with device-side list compaction.
 
     -> (count (B,) i32, lists (B, T) i32 ascending, bits (B, C32) u32 —
        fetch rows only for reads with count > T, ovf (B,) bool)."""
-    hit, csid, ovf = dict_probe_packed(table, codes2, bad, width, k, dparams)
+    hit, csid, ovf = dict_probe_packed(table, codes2, bad, width, k, dparams, probe_budget)
     bits, rovf = _fi_dispatch(dense_bits, hit, csid, color_runs)
     count, lists = first_set_bits(bits, T)
     return count, lists, bits, jnp.any(ovf, axis=1) | rovf
 
 
 @partial(jax.jit, static_argnames=("k", "width", "num_colors", "T", "dparams",
-                                   "color_runs"))
+                                   "color_runs", "probe_budget"))
 def query_tu_lists_packed(table, dense_bits, codes2, bad, minscore_tab, *,
                           k: int, width: int, num_colors: int, T: int,
-                          dparams=None, color_runs=None):
+                          dparams=None, color_runs=None, probe_budget=None):
     """Threshold union with the >= min_score comparison moved on device.
 
     minscore_tab: (W+1,) i32 = floor(npos * tau) per possible positive count
     (host-computed in f64 so device f32 rounding can never diverge from the
     reference rule, src/ps_threshold_union.cpp:389).
     -> (count (B,) i32, lists (B, T) i32, maskbits (B, C32) u32, ovf)."""
-    hit, csid, ovf = dict_probe_packed(table, codes2, bad, width, k, dparams)
+    hit, csid, ovf = dict_probe_packed(table, codes2, bad, width, k, dparams, probe_budget)
     scores, rovf = _tu_dispatch(dense_bits, hit, csid, num_colors, color_runs)
     npos = jnp.sum(hit.astype(jnp.int32), axis=1)
     ms = jnp.take(minscore_tab, npos, axis=0)
@@ -256,15 +262,15 @@ def query_tu_lists_packed(table, dense_bits, codes2, bad, minscore_tab, *,
     return count, lists, maskbits, jnp.any(ovf, axis=1) | rovf
 
 
-@partial(jax.jit, static_argnames=("k", "width", "R", "dparams"))
+@partial(jax.jit, static_argnames=("k", "width", "R", "dparams", "probe_budget"))
 def query_conservation_runs_packed(table, codes2, bad, *, k: int, width: int,
-                                   R: int, dparams=None):
+                                   R: int, dparams=None, probe_budget=None):
     """kmer-conservation with device-side run extraction: the fetch is R
     (csid, start, len) records per read instead of W csids.
 
     -> (run_csid (B,R) u32, run_start (B,R) u16, run_len (B,R) u16,
         ovf (B,) bool — run budget exceeded or probe overflow)."""
-    hit, csid, ovf = dict_probe_packed(table, codes2, bad, width, k, dparams)
+    hit, csid, ovf = dict_probe_packed(table, codes2, bad, width, k, dparams, probe_budget)
     run_csid, run_start, run_len, rovf = compact_runs_starts(hit, csid, R)
     return (
         run_csid,
@@ -274,28 +280,28 @@ def query_conservation_runs_packed(table, codes2, bad, *, k: int, width: int,
     )
 
 
-@partial(jax.jit, static_argnames=("k", "width", "R", "dparams"))
+@partial(jax.jit, static_argnames=("k", "width", "R", "dparams", "probe_budget"))
 def query_runs_tu_packed(table, codes2, bad, *, k: int, width: int,
-                         R: int, dparams=None):
+                         R: int, dparams=None, probe_budget=None):
     """Threshold-union fetch WITHOUT any device color data (the 150k-color
     regime: no dense matrix exists anywhere): ship per-read (csid, count)
     runs + the positive-window count; the host scores against on-demand
     decoded sets (reference merge semantics, src/ps_threshold_union.cpp:
     320-387). -> (run_csid (B,R) u32, run_cnt (B,R) i32, npos (B,) i32,
     ovf (B,) bool)."""
-    hit, csid, ovf = dict_probe_packed(table, codes2, bad, width, k, dparams)
+    hit, csid, ovf = dict_probe_packed(table, codes2, bad, width, k, dparams, probe_budget)
     run_csid, run_cnt, rovf = compact_runs(hit, csid, R)
     npos = jnp.sum(hit.astype(jnp.int32), axis=1)
     return run_csid, run_cnt, npos, rovf | jnp.any(ovf, axis=1)
 
 
-@partial(jax.jit, static_argnames=("k", "width", "R", "dparams"))
+@partial(jax.jit, static_argnames=("k", "width", "R", "dparams", "probe_budget"))
 def query_distinct_runs_packed(table, codes2, bad, *, k: int, width: int,
-                               R: int, dparams=None):
+                               R: int, dparams=None, probe_budget=None):
     """--deduplicate fetch: compacted (possibly duplicated) run csids per
     read; the host derives the distinct-set key from <=R entries instead of
     W window csids. -> (run_csid (B,R) u32, ovf (B,) bool)."""
-    hit, csid, ovf = dict_probe_packed(table, codes2, bad, width, k, dparams)
+    hit, csid, ovf = dict_probe_packed(table, codes2, bad, width, k, dparams, probe_budget)
     run_csid, _cnt, rovf = compact_runs(hit, csid, R)
     return run_csid, rovf | jnp.any(ovf, axis=1)
 
@@ -308,13 +314,13 @@ def _pack_hits(hit):
     return pack_bool_bits(hit)
 
 
-@partial(jax.jit, static_argnames=("k", "width", "small_csid", "dparams"))
+@partial(jax.jit, static_argnames=("k", "width", "small_csid", "dparams", "probe_budget"))
 def query_conservation_packed(table, codes2, bad, *, k, width, small_csid: bool,
-                              dparams=None):
+                              dparams=None, probe_budget=None):
     """kmer-conservation device step: positivity packed to bit words and
     csid narrowed to u16 when the set count allows — the device->host link
     is a pipeline stage (docs/DESIGN-NOTES.md §1)."""
-    hit, csid, ovf = dict_probe_packed(table, codes2, bad, width, k, dparams)
+    hit, csid, ovf = dict_probe_packed(table, codes2, bad, width, k, dparams, probe_budget)
     hitw = _pack_hits(hit)
     if small_csid:
         csid_out = jnp.where(hit, csid, jnp.uint32(0xFFFF)).astype(jnp.uint16)
@@ -324,11 +330,12 @@ def query_conservation_packed(table, codes2, bad, *, k, width, small_csid: bool,
 
 
 @partial(jax.jit, static_argnames=("k", "width", "num_colors", "dparams",
-                                   "color_runs"))
+                                   "color_runs", "probe_budget"))
 def query_kmer_matches_packed2(table, dense_bits, codes2, bad, *, k, width,
-                               num_colors, dparams=None, color_runs=None):
+                               num_colors, dparams=None, color_runs=None,
+                               probe_budget=None):
     """kmer-matches with bit-packed positivity (fetch-size optimized)."""
-    hit, csid, ovf = dict_probe_packed(table, codes2, bad, width, k, dparams)
+    hit, csid, ovf = dict_probe_packed(table, codes2, bad, width, k, dparams, probe_budget)
     scores, rovf = _tu_dispatch(dense_bits, hit, csid, num_colors, color_runs)
     return (_pack_hits(hit), scores.astype(jnp.uint16),
             jnp.any(ovf, axis=1) | rovf)

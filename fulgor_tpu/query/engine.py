@@ -222,6 +222,32 @@ class QueryEngine:
         # against on-demand decoded sets (no dense matrix anywhere)
         self.use_tu_runs = not dense_ok
         self._ms_tabs: dict = {}
+        # probe budgets (VERIFY_BUDGET, SKEW_CAND): the MAIN kernels run
+        # trimmed budgets when the dictionary is skew-LIGHT — each verify
+        # candidate costs ~22 ms and each skew candidate ~70 ms of a
+        # 465 ms/32k-batch probe (on-chip knob sweep, DESIGN-NOTES §18) —
+        # and the few ovf reads re-derive through the full-budget REDO
+        # kernel (_device_csids_many), which is exact. On skew-HEAVY
+        # dictionaries (shredded graphs breed heavy minimizer groups:
+        # pan1k routes most hits via the skew table) trimmed budgets
+        # overflow whole percents of reads, so full budgets stay. The
+        # covered-entry fraction of the slot array is the signal
+        # (salmonella 0.05, pansal4546 ~0.3, pan1k 0.52). Env-tunable.
+        pb_env = _os.environ.get("FULGOR_PROBE_BUDGET")
+        if pb_env:
+            self._pb = tuple(int(x) for x in pb_env.split(","))
+        elif self.dparams is None:
+            self._pb = None  # cuckoo backend: no budgets
+        else:
+            ms = index.mini_slots[:, 2::3]
+            covb = ((ms >> np.uint32(15)) & np.uint32(1)) == 1
+            occ = int(((((ms >> np.uint32(8)) & np.uint32(0x7F)) > 0)
+                       | covb).sum())
+            covn = int(covb.sum())
+            self._covered_frac = covn / max(1, occ)
+            self._pb = (4, 2) if self._covered_frac < 0.45 else (6, 3)
+        self._pb_redo = tuple(int(x) for x in _os.environ.get(
+            "FULGOR_PROBE_BUDGET_REDO", "8,4").split(","))
 
     @property
     def bits(self):
@@ -339,7 +365,8 @@ class QueryEngine:
                 chunk[j, : len(rows[i])] = rows[i]
             codes2, bad = pack_reads_host(chunk)
             hit, csid, ovf = query_window_csids_packed(
-                self.table, codes2, bad, k=k, width=W, dparams=self.dparams)
+                self.table, codes2, bad, k=k, width=W, dparams=self.dparams,
+                probe_budget=self._pb_redo)
             hit = np.asarray(hit[: len(sel)])
             csid = np.asarray(csid[: len(sel)])
             ovf = np.asarray(ovf[: len(sel)])
@@ -690,11 +717,11 @@ class QueryEngine:
                 if runs_fetch:
                     return query_distinct_runs_packed(
                         self.table, codes2, bad, k=self.k, width=W, R=R,
-                        dparams=self.dparams,
+                        dparams=self.dparams, probe_budget=self._pb,
                     )
                 return query_runs_tu_packed(
                     self.table, codes2, bad, k=self.k, width=W, R=R,
-                    dparams=self.dparams,
+                    dparams=self.dparams, probe_budget=self._pb,
                 )
             if self.mesh is not None:
                 return self._mesh_dispatch(chunk, threshold, C)
@@ -707,29 +734,31 @@ class QueryEngine:
                     self.table, self.bits, codes2, bad,
                     self._minscore_tab(threshold, W - self.k + 1),
                     k=self.k, width=W, num_colors=C, T=T_LIST,
-                    dparams=self.dparams, color_runs=cr,
+                    dparams=self.dparams, color_runs=cr, probe_budget=self._pb,
                 )
             if self.use_lists:
                 if threshold is None:
                     return query_fi_lists_packed(
                         self.table, self.bits, codes2, bad, k=self.k, width=W,
                         T=T_LIST, dparams=self.dparams, color_runs=cr,
+                        probe_budget=self._pb,
                     )
                 return query_tu_lists_packed(
                     self.table, self.bits, codes2, bad,
                     self._minscore_tab(threshold, W - self.k + 1),
                     k=self.k, width=W, num_colors=C, T=T_LIST,
-                    dparams=self.dparams, color_runs=cr,
+                    dparams=self.dparams, color_runs=cr, probe_budget=self._pb,
                 )
             if threshold is None:
                 return query_full_intersection_packed(
                     self.table, self.bits, codes2, bad, k=self.k,
                     width=W, dparams=self.dparams, color_runs=cr,
+                    probe_budget=self._pb,
                 )
             return query_threshold_union_packed(
                 self.table, self.bits, codes2, bad,
                 k=self.k, width=W, num_colors=C,
-                dparams=self.dparams, color_runs=cr,
+                dparams=self.dparams, color_runs=cr, probe_budget=self._pb,
             )
 
         def consume_lists(qid0, n, lens, _names, handle):
@@ -991,6 +1020,7 @@ class QueryEngine:
             return query_distinct_runs_packed(
                 self.table, codes2, bad, k=self.k, width=W,
                 R=2 * _runs_budget(W), dparams=self.dparams,
+                probe_budget=self._pb,
             )
 
         def consume(qid0, n, lens, _names, handle):
@@ -1105,6 +1135,7 @@ class QueryEngine:
             return query_conservation_runs_packed(
                 self.table, codes2, bad, k=self.k, width=W,
                 R=_runs_budget(W), dparams=self.dparams,
+                probe_budget=self._pb,
             )
 
         def consume(qid0, n, lens, names, handle):
@@ -1190,6 +1221,7 @@ class QueryEngine:
                 self.table, self.bits, codes2, bad,
                 k=self.k, width=W, num_colors=C,
                 dparams=self.dparams, color_runs=self._color_runs(W),
+                probe_budget=self._pb,
             )
 
         def consume(qid0, n, lens, names, handle):

@@ -36,7 +36,21 @@ class AsciiFormatter:
             if offs[-1]
             else np.empty(0, np.uint32)
         )
-        self.f.write(native.format_psa_ascii(qarr, cat, offs))
+        # bound the native buffer: a redo batch of tens of thousands of
+        # near-all-colors results would otherwise format into one multi-GB
+        # allocation (each color costs <=11 bytes of ascii)
+        MAXC = 32 << 20
+        i = 0
+        while i < len(qarr):
+            j = i
+            base = offs[i]
+            while j < len(qarr) and offs[j + 1] - base <= MAXC:
+                j += 1
+            j = max(j, i + 1)
+            self.f.write(native.format_psa_ascii(
+                qarr[i:j], cat[offs[i]: offs[j]],
+                (offs[i: j + 1] - offs[i]).astype(np.int64)))
+            i = j
 
     def write_batch_bits(self, qids: np.ndarray, bits: np.ndarray) -> int:
         """Write a batch straight from (n, C32) u32 bitset rows (the
