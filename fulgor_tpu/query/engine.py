@@ -123,6 +123,12 @@ TU_BITS_MIN_WORDS = 8
 # Both knobs are env-overridable for on-hardware A/B tuning.
 RUNS_FI_BUDGET = int(_os.environ.get("FULGOR_RUNS_FI_BUDGET", "48"))
 RUNS_MIN_WORDS = int(_os.environ.get("FULGOR_RUNS_MIN_WORDS", str(LISTS_MIN_WORDS)))
+# Probe-lane budget per device dispatch: B_eff * (W - k + 1) <= MAX_LANES.
+# The probe graph's live buffers scale with lane count (~760 B/lane
+# measured on v5e: a (32768, 994)-lane compile is a 24.8 GB program — an
+# HBM OOM on a 16 GB chip); wide ladder rungs therefore dispatch in
+# smaller sub-batches instead of shrinking the whole stream's batch.
+MAX_LANES = int(_os.environ.get("FULGOR_MAX_LANES", str(6_000_000)))
 
 
 def _runs_budget(W: int) -> int:
@@ -297,6 +303,15 @@ class QueryEngine:
                 return w
         return MAX_STREAM_WIDTH
 
+    def _batch_for_width(self, W: int) -> int:
+        """Largest dispatch batch whose probe-lane count B*(W-k+1) fits the
+        MAX_LANES budget (HBM program size scales with lane count; the
+        bench-proven shape 32768 x 130 lanes ~ a 3.2 GB program on v5e).
+        Rounded down to a multiple of 256 so shapes stay TPU-tileable."""
+        Wk = max(1, W - self.k + 1)
+        b = min(self.batch, (MAX_LANES // Wk) & ~255)
+        return max(256, b)
+
     def _iter_batches(self, codes: np.ndarray, lens: np.ndarray):
         """Array-API batching (library/tests): yield (read_indices, padded
         (B, W) uint8 batch), bucketing reads by length."""
@@ -305,9 +320,10 @@ class QueryEngine:
         assign = np.minimum(assign, len(widths) - 1)
         for wi, Wd in enumerate(widths):
             ridx = np.flatnonzero(assign == wi)
-            for lo in range(0, len(ridx), self.batch):
-                sel = ridx[lo : lo + self.batch]
-                chunk = np.full((self.batch, Wd), 4, dtype=np.uint8)
+            B_eff = self._batch_for_width(Wd)  # lane budget (HBM), see MAX_LANES
+            for lo in range(0, len(ridx), B_eff):
+                sel = ridx[lo : lo + B_eff]
+                chunk = np.full((B_eff, Wd), 4, dtype=np.uint8)
                 take = codes[sel]
                 cols = min(Wd, take.shape[1])
                 chunk[: len(sel), :cols] = take[:, :cols]
@@ -485,13 +501,15 @@ class QueryEngine:
         C = self.idx.num_colors
         dense = self.idx.dense_color_bits()
         groups: dict[bytes, list[int]] = {}
-        pending = []
-        for sel, chunk in self._iter_batches(codes, lens):
-            pending.append(
-                (sel, query_window_csids(self.table, chunk, k=self.k,
-                                         dparams=self.dparams))
-            )
-        for sel, (hit, csid, ovf) in pending:
+        # <=2 device batches in flight (same cap as pseudoalign_codes):
+        # overlaps dispatch with host grouping without accumulating every
+        # batch's (B, Wk) csid buffers in HBM for large inputs.
+        from collections import deque
+
+        pending: deque = deque()
+
+        def _consume(sel, out):
+            hit, csid, ovf = out
             csid = np.asarray(csid[: len(sel)])
             ovf_any = np.asarray(ovf[: len(sel)]).any(axis=1)
             s = np.sort(csid, axis=1)
@@ -505,6 +523,16 @@ class QueryEngine:
                 else:
                     key = s[j][uniq_mask[j]].tobytes()
                 groups.setdefault(key, []).append(int(ridx))
+
+        for sel, chunk in self._iter_batches(codes, lens):
+            pending.append(
+                (sel, query_window_csids(self.table, chunk, k=self.k,
+                                         dparams=self.dparams))
+            )
+            if len(pending) > 2:
+                _consume(*pending.popleft())
+        while pending:
+            _consume(*pending.popleft())
         results: list = [None] * N
         for key, readlist in groups.items():
             sids = np.frombuffer(key, dtype=np.uint32)
@@ -642,14 +670,26 @@ class QueryEngine:
             if too_long.any():
                 long_ids.extend((base + np.flatnonzero(too_long)).tolist())
             W = self._width_for(min(maxl, MAX_STREAM_WIDTH))
-            chunk = np.ascontiguousarray(codes[:, :W])
-            if n < self.batch:
-                pad = np.full((self.batch - n, W), 4, dtype=np.uint8)
-                chunk = np.concatenate([chunk, pad], axis=0)
-            handle = dispatch(chunk)
-            inflight.append((base, n, lens, names if need_names else None, handle))
-            if len(inflight) > 2:
-                consume(*inflight.popleft())
+            # Lane budget: one long read in a chunk widens the whole batch
+            # (its codes row rides along truncated; the exact answer comes
+            # from the long-read host path). At W=1024 a full 32k batch is
+            # 32.6M probe lanes — a ~25 GB program that OOMs a 16 GB chip.
+            # Sub-batch so B_eff*(W-k+1) stays within the proven envelope;
+            # compile shapes stay bounded (one B_eff per ladder width).
+            B_eff = self._batch_for_width(W)
+            for lo in range(0, max(n, 1), B_eff):
+                n_sub = min(B_eff, n - lo) if n else 0
+                chunk = np.ascontiguousarray(codes[lo:lo + n_sub, :W])
+                if n_sub < B_eff:
+                    pad = np.full((B_eff - n_sub, W), 4, dtype=np.uint8)
+                    chunk = np.concatenate([chunk, pad], axis=0)
+                handle = dispatch(chunk)
+                inflight.append((
+                    base + lo, n_sub, lens[lo:lo + n_sub],
+                    names[lo:lo + n_sub] if need_names else None, handle,
+                ))
+                if len(inflight) > 2:
+                    consume(*inflight.popleft())
             seen += n
         while inflight:
             consume(*inflight.popleft())
