@@ -3,24 +3,33 @@
 
 Prints ONE JSON line:
   {"metric": "pseudoalign_reads_per_sec", "value": N, "unit": "reads/s",
-   "vs_baseline": N / 50600}
+   "vs_baseline": N / 50600, "corpus": "<name>"}
 
 Baseline (BASELINE.md): the reference maps 6.58M real reads against its
 4,546-genome Salmonella index (972k distinct color sets, 43.8M k-mers) at
 19.76 us/read = ~50,600 reads/s with 8 CPU threads (README.md:171-177).
 
-The PRIMARY corpus here matches that workload's *shape*, not just its code
-path: a clade-structured synthetic pangenome of 1,024 genomes x 300 kb
-(binary-tree evolution, ~15M k-mers, several hundred thousand distinct
-color sets — the regime where the one-hot shortcut is off and every window
-gathers a color row). The small salmonella_10 corpus (10 genomes) is also
-reported on stderr for continuity with round-1 numbers, along with
-per-stage timings and a gather-roofline line (the device's measured random
-gather ceiling is ~28-51M rows/s; docs/DESIGN-NOTES.md §1).
+ORDERING CONTRACT (round-3 post-mortem: a 40-minute artifact build placed
+before any measurement let the driver's timeout erase every number of the
+round): corpora are measured CHEAPEST-FIRST, each immediately after its own
+artifacts exist, and expensive artifact builds only start if the remaining
+wall-clock budget (BENCH_BUDGET_SEC, default 3000 s) plausibly covers them.
+The final JSON line reports the highest-priority corpus that got measured
+(pansal4546 > pan1k > salmonella_10) and always prints, even if later
+corpora were skipped (skips are noted on stderr).
+
+Corpora:
+  salmonella_10  10 real genomes (builds in ~1 min; round-1 continuity)
+  pan1k          1,024 genomes x 300 kb scattered-SNP (shredded-graph
+                 stress: no streaming locality; ~15M kmers, ~600k sets)
+  pansal4546     PRIMARY: the baseline workload's published composition
+                 AND structure (4,546 colors, ~44M kmers, ~1M distinct
+                 sets, ~23 kmers/unitig streaming locality) via a
+                 finite-accessory-gene-pool phylogeny simulator; see
+                 docs/DESIGN-NOTES.md §16 for the calibration.
 
 Artifacts are cached under bench_cache/ (corpus + indexes + simulated
-FASTQ); the first run builds them (~5-10 min), later runs skip to the
-timed phase.
+FASTQ); later runs skip straight to the timed phase.
 """
 
 import json
@@ -35,176 +44,122 @@ NUM_READS = int(os.environ.get("BENCH_NUM_READS", "500000"))
 READ_LEN = 150
 K = 31
 
-# PRIMARY corpus (pansal4546): the baseline workload's published
-# composition, all four stats (reference README.md:171-177,310-317):
-#   4,546 colors | ~43.8M k-mers | ~972k distinct sets | ~23 k-mers/unitig
-# Earlier rounds' primary (pan1k, below) matched counts but not STRUCTURE:
-# uniform-SNP simulation shreds the union graph to ~1.3 windows/unitig,
-# while the reference's real Salmonella index averages 23.3 k-mers/unitig
-# (43.8M/1.88M) — the locality its streaming query path exploits
-# (src/ps_full_intersection.cpp:341-353). A shredded corpus therefore
-# *understates* any system against the reference's real-corpus number.
-# pansal4546 reproduces the structure mechanistically: a finite accessory
-# gene pool (gain/loss over a binary phylogeny) carries most distinct
-# text in long blocks, with moderate per-branch SNPs — and SNPs land
-# mostly on accessory text (ancestral_mut_frac): a length-weighted draw
-# piles cumulative bubbles onto the small SHARED core coordinate space
-# (0.26 sites/bp at full scale — measured) and shreds exactly the text
-# most reads traverse, a bimodality real purifying-selected cores don't
-# have. Calibrated from a measured 512-genome point (23.8M kmers / 229k
-# unitigs / 116k sets at mut=65: ~33 kmers, ~3.3 unitigs, ~1.75 sets per
-# SNP site); at 4,546 genomes the model lands on the reference column
-# within a few percent, with ~1/27 bp bubble spacing on core and ~1/38
-# on accessory (uniform read locality).
+# pansal4546 simulator calibration (docs/DESIGN-NOTES.md §16): a finite
+# accessory gene pool (gain/loss over a binary phylogeny) carries most
+# distinct text in long blocks, with moderate per-branch SNPs landing
+# mostly on accessory text; at 4,546 genomes the model lands on the
+# reference's published index column (43.8M kmers / 4,546 colors / 972k
+# sets / 23.3 kmers-per-unitig) within a few percent.
 PANSAL = dict(num_genes=480, gene_len=2500, core_frac=0.6, loss_rate=0.03,
               mut_per_branch=65, ancestral_mut_frac=0.075,
               gain_per_branch=18, gain_len=2500, pool_genes=9000, seed=27)
 PANSAL_GENOMES = 4546
 
-# pan1k (secondary): scattered-SNP corpus — the shredded-graph stress
-# case (no streaming locality; per-window color strategy).
+# pan1k: scattered-SNP corpus — the shredded-graph stress case (no
+# streaming locality; per-window color strategy).
 PAN_GENOMES = 1024
 PAN_LEN = 300_000
 PAN_MUT = 300  # SNPs per tree branch (0.1%)
 
-# BENCH_XL=1 adds a corpus at the FULL baseline composition (reference
-# README.md:310-317: 4,546 colors, 43.8M kmers, 972k distinct sets): 4,546
-# genomes x 500 kb with ~195 SNPs per tree branch — calibrated against the
-# measured pan1k point (2046 edges x 300 SNPs x 31 x 0.80 kept = 15.6M
-# kmers, 596k sets) to land at ~44M kmers / ~10^6 distinct sets. (The
-# first cut, 1 Mb x 1000 SNPs, overshot to 152M kmers / 8.9M sets.)
-# Building its artifacts takes ~1-2 h of host time; it is opt-in and
-# reported alongside (never instead of) the pan1k primary.
-XL_GENOMES = 4546
-XL_LEN = 500_000
-XL_MUT = 195
+# rough cold-build wall-clock estimates (4-core host), used only to decide
+# whether starting a build fits the remaining budget
+EST_BUILD_SEC = {"salmonella_10": 180, "pan1k": 900, "pansal4546": 1500}
 
 
-def _build_index(genome_paths, index_path, m):
-    from fulgor_tpu.build.builder import build_index
-
-    idx = build_index(genome_paths, k=K, m=m)
-    idx.save(index_path)
-    return index_path
+def _remaining(t_start, budget):
+    return budget - (time.perf_counter() - t_start)
 
 
-def ensure_artifacts():
+def _log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def ensure_salmonella():
     os.makedirs(CACHE, exist_ok=True)
-    out = {}
+    index = os.path.join(CACHE, "salmonella_10.mini.tfur")
+    reads = os.path.join(CACHE, f"reads_{NUM_READS}.fastq.gz")
+    genomes = sorted(
+        os.path.join(SALMONELLA_DIR, f)
+        for f in os.listdir(SALMONELLA_DIR)
+        if "fasta" in f
+    )
+    if not os.path.exists(index):
+        from fulgor_tpu.build.builder import build_index
 
-    # --- corpus 0 (PRIMARY): pansal4546, the baseline's composition AND
-    # structure (see PANSAL above). ~45 min of host time on first build.
+        _log("building salmonella_10 index...")
+        idx = build_index(genomes, k=K, m=19)
+        idx.save(index)
+    if not os.path.exists(reads):
+        from fulgor_tpu.io.simulate import simulate_reads, write_fastq
+
+        _log(f"simulating {NUM_READS} salmonella reads...")
+        codes, names = simulate_reads(genomes, NUM_READS, READ_LEN, seed=0)
+        write_fastq(reads, codes, names)
+    return index, reads
+
+
+def ensure_pan1k():
+    pan_dir = os.path.join(CACHE, "pan1k")
+    index = os.path.join(CACHE, "pan1k.mini.tfur")
+    reads = os.path.join(CACHE, f"pan1k_reads_{NUM_READS}.fastq.gz")
+    if not os.path.exists(index):
+        from fulgor_tpu.build.builder import build_index
+        from fulgor_tpu.io.simulate import simulate_pangenome
+
+        _log(f"generating pan1k corpus ({PAN_GENOMES} genomes x {PAN_LEN} bp)...")
+        paths = simulate_pangenome(pan_dir, PAN_GENOMES, PAN_LEN, PAN_MUT, seed=3)
+        _log("building pan1k index...")
+        idx = build_index(paths, k=K, m=19, verbose=True)
+        idx.save(index)
+    if not os.path.exists(reads):
+        from fulgor_tpu.io.simulate import simulate_reads, write_fastq
+
+        pan_paths = sorted(
+            os.path.join(pan_dir, f) for f in os.listdir(pan_dir)
+            if f.endswith(".fa.gz")
+        )
+        _log(f"simulating {NUM_READS} pan1k reads...")
+        codes, names = simulate_reads(pan_paths[::16], NUM_READS, READ_LEN, seed=1)
+        write_fastq(reads, codes, names)
+    return index, reads
+
+
+def ensure_pansal():
     ps_dir = os.path.join(CACHE, "pansal4546")
-    ps_index = os.path.join(CACHE, "pansal4546.mini.tfur")
-    ps_reads = os.path.join(CACHE, f"pansal4546_reads_{NUM_READS}.fastq.gz")
-    if not os.path.exists(ps_index):
+    index = os.path.join(CACHE, "pansal4546.mini.tfur")
+    reads = os.path.join(CACHE, f"pansal4546_reads_{NUM_READS}.fastq.gz")
+    if not os.path.exists(index):
         from fulgor_tpu.build.builder import build_index
         from fulgor_tpu.io.simulate import simulate_pangenome_blocks
 
-        print(
-            f"[bench] generating pansal4546 corpus ({PANSAL_GENOMES} genomes, "
-            f"gene pool {PANSAL['pool_genes']} x {PANSAL['gain_len']} bp)...",
-            file=sys.stderr,
+        _log(
+            f"generating pansal4546 corpus ({PANSAL_GENOMES} genomes, "
+            f"gene pool {PANSAL['pool_genes']} x {PANSAL['gain_len']} bp)..."
         )
         paths = simulate_pangenome_blocks(ps_dir, PANSAL_GENOMES, **PANSAL)
-        print("[bench] building pansal4546 index (~40 min)...", file=sys.stderr)
-        idx = build_index(paths, k=K, m=19, ram_gib=48.0, verbose=True)
-        idx.save(ps_index)
-    if not os.path.exists(ps_reads):
+        _log("building pansal4546 index...")
+        t0 = time.perf_counter()
+        idx = build_index(paths, k=K, m=19, verbose=True)
+        _log(f"pansal4546 index built in {time.perf_counter() - t0:.0f} s")
+        idx.save(index)
+    if not os.path.exists(reads):
         from fulgor_tpu.io.simulate import simulate_reads, write_fastq
 
         ps_paths = sorted(
             os.path.join(ps_dir, f) for f in os.listdir(ps_dir)
             if f.endswith(".fa.gz")
         )
-        print(f"[bench] simulating {NUM_READS} pansal4546 reads...",
-              file=sys.stderr)
+        _log(f"simulating {NUM_READS} pansal4546 reads...")
         codes, names = simulate_reads(ps_paths[::64], NUM_READS, READ_LEN, seed=4)
-        write_fastq(ps_reads, codes, names)
-    out["pansal"] = (ps_index, ps_reads)
+        write_fastq(reads, codes, names)
+    return index, reads
 
-    # --- corpus 1: salmonella_10 (10 real genomes; round-1 continuity) ---
-    sal_index = os.path.join(CACHE, "salmonella_10.mini.tfur")
-    sal_reads = os.path.join(CACHE, f"reads_{NUM_READS}.fastq.gz")
-    sal_genomes = sorted(
-        os.path.join(SALMONELLA_DIR, f)
-        for f in os.listdir(SALMONELLA_DIR)
-        if "fasta" in f
-    )
-    if not os.path.exists(sal_index):
-        print("[bench] building salmonella_10 index...", file=sys.stderr)
-        _build_index(sal_genomes, sal_index, m=19)
-    if not os.path.exists(sal_reads):
-        from fulgor_tpu.io.simulate import simulate_reads, write_fastq
 
-        print(f"[bench] simulating {NUM_READS} salmonella reads...", file=sys.stderr)
-        codes, names = simulate_reads(sal_genomes, NUM_READS, READ_LEN, seed=0)
-        write_fastq(sal_reads, codes, names)
-    out["sal"] = (sal_index, sal_reads)
-
-    # --- corpus 2: pan1k (baseline-shaped: 1,024 genomes, >=100k sets) ---
-    pan_dir = os.path.join(CACHE, "pan1k")
-    pan_index = os.path.join(CACHE, "pan1k.mini.tfur")
-    pan_reads = os.path.join(CACHE, f"pan1k_reads_{NUM_READS}.fastq.gz")
-    if not os.path.exists(pan_index):
-        from fulgor_tpu.io.simulate import simulate_pangenome
-
-        print(
-            f"[bench] generating pan1k corpus ({PAN_GENOMES} genomes x {PAN_LEN} bp)...",
-            file=sys.stderr,
-        )
-        paths = simulate_pangenome(pan_dir, PAN_GENOMES, PAN_LEN, PAN_MUT, seed=3)
-        print("[bench] building pan1k index...", file=sys.stderr)
-        _build_index(paths, pan_index, m=19)
-    if not os.path.exists(pan_reads):
-        from fulgor_tpu.io.simulate import simulate_reads, write_fastq
-
-        pan_paths = sorted(
-            os.path.join(pan_dir, f) for f in os.listdir(pan_dir) if f.endswith(".fa.gz")
-        )
-        # sample reads from a subset of genomes (coverage pattern irrelevant;
-        # keeps simulation time bounded)
-        print(f"[bench] simulating {NUM_READS} pan1k reads...", file=sys.stderr)
-        codes, names = simulate_reads(pan_paths[::16], NUM_READS, READ_LEN, seed=1)
-        write_fastq(pan_reads, codes, names)
-    out["pan"] = (pan_index, pan_reads)
-
-    # --- corpus 3 (opt-in): pan4546, the baseline's full composition ---
-    # BENCH_XL=1 builds its artifacts (hours of host time). Once they exist
-    # they are always measured — the timed phase itself is minutes.
-    xl_dir = os.path.join(CACHE, "pan4546")
-    xl_index = os.path.join(CACHE, "pan4546.mini.tfur")
-    xl_reads = os.path.join(CACHE, f"pan4546_reads_{NUM_READS}.fastq.gz")
-    if os.environ.get("BENCH_XL") or (
-        os.path.exists(xl_index) and os.path.exists(xl_reads)
-    ):
-        if not os.path.exists(xl_index):
-            from fulgor_tpu.io.simulate import simulate_pangenome
-
-            print(
-                f"[bench] generating pan4546 corpus ({XL_GENOMES} genomes x "
-                f"{XL_LEN} bp)...",
-                file=sys.stderr,
-            )
-            paths = simulate_pangenome(xl_dir, XL_GENOMES, XL_LEN, XL_MUT, seed=7)
-            print("[bench] building pan4546 index (hours)...", file=sys.stderr)
-            from fulgor_tpu.build.builder import build_index
-
-            idx = build_index(paths, k=K, m=19, ram_gib=48.0, verbose=True)
-            idx.save(xl_index)
-        if not os.path.exists(xl_reads):
-            from fulgor_tpu.io.simulate import simulate_reads, write_fastq
-
-            xl_paths = sorted(
-                os.path.join(xl_dir, f)
-                for f in os.listdir(xl_dir)
-                if f.endswith(".fa.gz")
-            )
-            print(f"[bench] simulating {NUM_READS} pan4546 reads...", file=sys.stderr)
-            codes, names = simulate_reads(xl_paths[::64], NUM_READS, READ_LEN, seed=2)
-            write_fastq(xl_reads, codes, names)
-        out["xl"] = (xl_index, xl_reads)
-    return out
+def _artifacts_ready(name):
+    index = os.path.join(CACHE, f"{name}.mini.tfur")
+    prefix = "" if name == "salmonella_10" else f"{name}_"
+    reads = os.path.join(CACHE, f"{prefix}reads_{NUM_READS}.fastq.gz")
+    return os.path.exists(index) and os.path.exists(reads)
 
 
 def timed_pseudoalign(eng, reads_path, out_path, label, runs=3, threshold=None):
@@ -216,23 +171,55 @@ def timed_pseudoalign(eng, reads_path, out_path, label, runs=3, threshold=None):
         elapsed = min(elapsed, time.perf_counter() - t0)
     rps = stats["num_reads"] / elapsed
     windows = stats["num_reads"] * (READ_LEN - K + 1)
-    print(
-        f"[bench] {label}: {stats['num_reads']} reads in {elapsed:.2f}s = "
+    _log(
+        f"{label}: {stats['num_reads']} reads in {elapsed:.2f}s = "
         f"{rps:,.0f} reads/s (parse {stats['parse_sec']:.2f}s "
         f"query {stats['query_sec']:.2f}s host {stats.get('host_sec', 0.0):.2f}s "
         f"write {stats['write_sec']:.2f}s "
         f"redo {stats.get('num_redo', 0)} in {stats.get('redo_sec', 0.0):.2f}s); "
-        f"mapped {stats['num_mapped']}",
-        file=sys.stderr,
+        f"mapped {stats['num_mapped']}"
     )
-    print(
-        f"[bench] {label} roofline: {windows / elapsed / 1e6:.1f}M windows/s; "
+    _log(
+        f"{label} roofline: {windows / elapsed / 1e6:.1f}M windows/s; "
         f"at ~5 gathers/window (dict rows + text verify + color row) = "
         f"{5 * windows / elapsed / 1e6:.0f}M gathers/s vs the ~28-51M/s "
-        f"random-row ceiling (locality/coalescing provides the excess)",
-        file=sys.stderr,
+        f"random-row ceiling (locality/coalescing provides the excess)"
     )
     return rps, stats
+
+
+def measure_corpus(name, index_path, reads_path, out_path, tools=False):
+    import numpy as np
+
+    from fulgor_tpu.index import Index
+    from fulgor_tpu.query.engine import QueryEngine
+
+    idx = Index.load(index_path)
+    nu = len(idx.unitig_offs) - 1
+    _log(
+        f"{name} index: {idx.num_kmers:,} kmers, {idx.num_colors} colors, "
+        f"{idx.num_color_sets:,} distinct sets, {nu:,} unitigs "
+        f"(kpu {idx.num_kmers / max(1, nu):.1f})"
+    )
+    eng = QueryEngine(idx, batch_size=32768)
+    rps, _ = timed_pseudoalign(eng, reads_path, out_path,
+                               f"{name} full-intersection")
+    if tools:
+        for label, fn in [
+            (f"{name} threshold-union(0.8)",
+             lambda: eng.pseudoalign_file(reads_path, out_path, threshold=0.8)),
+            (f"{name} kmer-conservation",
+             lambda: eng.kmer_conservation_file(reads_path, out_path)),
+            (f"{name} kmer-matches",
+             lambda: eng.kmer_matches_file(reads_path, out_path)),
+        ]:
+            fn()  # warm (compile)
+            t0 = time.perf_counter()
+            s = fn()
+            dt = time.perf_counter() - t0
+            _log(f"{label}: {s['num_reads'] / dt:,.0f} reads/s")
+    del eng, idx
+    return rps
 
 
 def _device_reachable(timeout_sec: int = 900) -> bool:
@@ -252,9 +239,11 @@ def _device_reachable(timeout_sec: int = 900) -> bool:
 
 
 def main():
+    t_start = time.perf_counter()
+    budget = float(os.environ.get("BENCH_BUDGET_SEC", "3000"))
+
     if not _device_reachable():
-        print("[bench] device init did not complete; accelerator unreachable",
-              file=sys.stderr)
+        _log("device init did not complete; accelerator unreachable")
         print(json.dumps({
             "metric": "pseudoalign_reads_per_sec",
             "value": 0,
@@ -271,87 +260,62 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    art = ensure_artifacts()
-
-    from fulgor_tpu.index import Index
-    from fulgor_tpu.query.engine import QueryEngine
-
     # /dev/null output matches the baseline command exactly (README.md:171:
     # `fulgor pseudoalign ... -o /dev/null`): formatting is still fully
     # paid, the disk write is not part of either measurement.
     out_path = os.environ.get("BENCH_OUT", "/dev/null")
 
-    # PRIMARY: pansal4546 (the baseline's composition and structure)
-    ps_index, ps_reads = art["pansal"]
-    idx = Index.load(ps_index)
-    import numpy as np
+    results = {}  # corpus name -> reads/s (FI)
 
-    nu = len(idx.unitig_offs) - 1
-    print(
-        f"[bench] pansal4546 index: {idx.num_kmers:,} kmers, {idx.num_colors} "
-        f"colors, {idx.num_color_sets:,} distinct sets, {nu:,} unitigs "
-        f"(kpu {idx.num_kmers / max(1, nu):.1f}) | reference workload: "
-        f"43.8M kmers, 4546 colors, 972k sets, 1.88M unitigs (kpu 23.3)",
-        file=sys.stderr,
+    # 1. salmonella_10: cheapest; always measured first so SOME number
+    #    exists within minutes no matter what happens later.
+    try:
+        index, reads = ensure_salmonella()
+        results["salmonella_10"] = measure_corpus(
+            "salmonella_10", index, reads, out_path,
+            tools=not os.environ.get("BENCH_PRIMARY_ONLY"))
+    except Exception as e:  # noqa: BLE001 - a broken corpus must not kill the rest
+        _log(f"salmonella_10 FAILED: {e!r}")
+
+    # 2/3. bigger corpora, cheapest-first, each gated on the remaining
+    #      budget when its artifacts would need building.
+    for name, ensure in (("pan1k", ensure_pan1k), ("pansal4546", ensure_pansal)):
+        ready = _artifacts_ready(name)
+        if not ready and _remaining(t_start, budget) < EST_BUILD_SEC[name] + 240:
+            _log(
+                f"skipping {name}: artifacts absent and remaining budget "
+                f"{_remaining(t_start, budget):.0f}s < estimated build "
+                f"{EST_BUILD_SEC[name]}s (+measure); prebuild with "
+                f"`python bench.py` under a larger BENCH_BUDGET_SEC"
+            )
+            continue
+        try:
+            index, reads = ensure()
+            results[name] = measure_corpus(name, index, reads, out_path)
+        except Exception as e:  # noqa: BLE001
+            _log(f"{name} FAILED: {e!r}")
+
+    primary = next(
+        (n for n in ("pansal4546", "pan1k", "salmonella_10") if n in results),
+        None,
     )
-    eng = QueryEngine(idx, batch_size=32768)
-    ps_rps, _ = timed_pseudoalign(eng, ps_reads, out_path,
-                                  "pansal4546 full-intersection")
-    del eng, idx
-
-    result = {
+    if primary is None:
+        print(json.dumps({
+            "metric": "pseudoalign_reads_per_sec",
+            "value": 0,
+            "unit": "reads/s",
+            "vs_baseline": 0,
+            "error": "no corpus measured",
+        }))
+        return
+    rps = results[primary]
+    print(json.dumps({
         "metric": "pseudoalign_reads_per_sec",
-        "value": round(ps_rps, 1),
+        "value": round(rps, 1),
         "unit": "reads/s",
-        "vs_baseline": round(ps_rps / BASELINE_READS_PER_SEC, 3),
-    }
-
-    # SECONDARY: pan1k (scattered-SNP shredded-graph stress case)
-    pan_index, pan_reads = art["pan"]
-    idx = Index.load(pan_index)
-    print(
-        f"[bench] pan1k index: {idx.num_kmers:,} kmers, {idx.num_colors} colors, "
-        f"{idx.num_color_sets:,} distinct sets",
-        file=sys.stderr,
-    )
-    eng = QueryEngine(idx, batch_size=32768)
-    timed_pseudoalign(eng, pan_reads, out_path, "pan1k full-intersection")
-    del eng, idx
-
-    # OPT-IN: pan4546 at the baseline's full composition (BENCH_XL=1)
-    if "xl" in art:
-        xl_index, xl_reads = art["xl"]
-        idx = Index.load(xl_index)
-        print(
-            f"[bench] pan4546 index: {idx.num_kmers:,} kmers, {idx.num_colors} "
-            f"colors, {idx.num_color_sets:,} distinct sets",
-            file=sys.stderr,
-        )
-        eng = QueryEngine(idx, batch_size=32768)
-        timed_pseudoalign(eng, xl_reads, out_path, "pan4546 full-intersection")
-        del eng, idx
-
-    # SECONDARY: salmonella_10 (continuity with round-1 numbers) + tools
-    if not os.environ.get("BENCH_PRIMARY_ONLY"):
-        sal_index, sal_reads = art["sal"]
-        idx = Index.load(sal_index)
-        eng = QueryEngine(idx, batch_size=32768)
-        timed_pseudoalign(eng, sal_reads, out_path, "salmonella_10 full-intersection")
-        for label, fn in [
-            ("salmonella_10 threshold-union(0.8)",
-             lambda: eng.pseudoalign_file(sal_reads, out_path, threshold=0.8)),
-            ("salmonella_10 kmer-conservation",
-             lambda: eng.kmer_conservation_file(sal_reads, out_path)),
-            ("salmonella_10 kmer-matches",
-             lambda: eng.kmer_matches_file(sal_reads, out_path)),
-        ]:
-            fn()  # warm (compile)
-            t0 = time.perf_counter()
-            s = fn()
-            dt = time.perf_counter() - t0
-            print(f"[bench] {label}: {s['num_reads'] / dt:,.0f} reads/s", file=sys.stderr)
-
-    print(json.dumps(result))
+        "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 3),
+        "corpus": primary,
+    }))
 
 
 if __name__ == "__main__":

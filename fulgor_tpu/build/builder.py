@@ -98,20 +98,51 @@ def assemble_index(
     )
 
 
-def estimate_build_passes(filenames: list[str], ram_gib: float) -> int:
-    """Pick the multi-pass factor so the (k-mer, color) pair table fits the
-    RAM budget. Pairs ~= total input bases; gz inputs assumed ~4x compressed."""
+def _uncompressed_size(path: str) -> int:
+    """Exact decompressed byte count for single-member .gz files via the
+    trailer's ISIZE field (mod 2^32 — exact for files under 4 GiB, which
+    covers per-genome FASTAs); plain files report their size. O(1) per file,
+    so the pass estimator never mis-guesses the gz ratio (round-3 lesson:
+    a 4x-compression guess put a 46.5M-kmer build at 16 passes on a 125 GB
+    host — a 40-minute wall when 2 passes fit)."""
     import os
 
-    total = 0
-    for f in filenames:
-        try:
-            sz = os.path.getsize(f)
-        except OSError:
-            sz = 0
-        total += sz * (4 if f.endswith(".gz") else 1)
-    pair_bytes = total * 16  # 16 B/pair in the sort buffer
-    budget = max(1.0, ram_gib) * (1 << 30) * 0.5
+    try:
+        if path.endswith(".gz"):
+            with open(path, "rb") as f:
+                f.seek(-4, os.SEEK_END)
+                return int(np.frombuffer(f.read(4), dtype="<u4")[0])
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
+def host_ram_gib() -> float:
+    """Available host RAM in GiB (MemAvailable; generous fallback)."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) / (1 << 20)
+    except OSError:
+        pass
+    return 8.0
+
+
+def estimate_build_passes(filenames: list[str], ram_gib: float | None) -> int:
+    """Pick the multi-pass factor so the (k-mer, color) pair table fits the
+    RAM budget. Pairs ~= total input bases. ram_gib=None -> real host RAM."""
+    if ram_gib is None:
+        ram_gib = host_ram_gib()
+    total = sum(_uncompressed_size(f) for f in filenames)
+    # measured peak of the native builder after the in-place bucket-sort
+    # rewrite: ~16 B/pair (the KC buffer) + the per-genome 8 B lists being
+    # drained into it; 18 B/pair of ESTIMATED pairs (~= input bases) with a
+    # 0.6 RAM budget keeps a comfortable margin (the pre-rewrite peak was
+    # ~44 B/pair: parallel-mergesort temp + zero-init resize + cat copy —
+    # which OOM-killed a 125 GB host at 4 passes on an 11.6 GB corpus)
+    pair_bytes = total * 18
+    budget = max(1.0, ram_gib) * (1 << 30) * 0.6
     passes = 1
     while pair_bytes / passes > budget and passes < 256:
         passes *= 2
@@ -120,11 +151,13 @@ def estimate_build_passes(filenames: list[str], ram_gib: float) -> int:
 
 def build_index(
     filenames: list[str], k: int = 31, m: int = 20, verbose: bool = False,
-    ram_gib: float = 8.0, dict_kind: str = "mini", spill_dir: str | None = None,
+    ram_gib: float | None = None, dict_kind: str = "mini",
+    spill_dir: str | None = None,
 ) -> Index:
     """Full build from a list of FASTA(.gz) reference files (color order =
     file order, as the reference's -l list). ram_gib bounds the pair-table
-    memory via multi-pass construction (reference -g flag semantics);
+    memory via multi-pass construction (reference -g flag semantics;
+    None = measure the host's available RAM);
     spill_dir switches the multi-pass partitioning from per-pass re-parsing
     to a single parse spilling partition streams to temp files there
     (reference -d temp-dir semantics, GGCAT.hpp:42-50)."""

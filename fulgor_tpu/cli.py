@@ -272,9 +272,10 @@ def main(argv=None):
                    help="temp dir for external-memory (disk-spill) multi-pass "
                         "construction; with the default '.', multi-pass "
                         "re-parses the inputs instead")
-    b.add_argument("-g", dest="ram_gib", type=float, default=8,
-                   help="RAM budget (GiB) for the build pair table; larger "
-                        "corpora use more re-parse passes")
+    b.add_argument("-g", dest="ram_gib", type=float, default=None,
+                   help="RAM budget (GiB) for the build pair table (default: "
+                        "the host's available RAM); larger corpora use more "
+                        "re-parse passes")
     b.add_argument("-t", dest="threads", type=int, default=0,
                    help="cap build threads (0 = all cores; reference "
                         "build_configuration.num_threads)")

@@ -63,6 +63,21 @@ def simulate_reads(
     return out[perm], [f"sim.{i}" for i in range(num_reads)]
 
 
+def _existing_corpus(out_dir: str, num_genomes: int, gzip_files: bool):
+    """Return the corpus paths if out_dir already holds ALL of them (the
+    simulators are deterministic in seed, so a complete directory is a
+    valid cache — regenerating a 4,546-genome corpus costs minutes that a
+    benchmark timeout cannot afford); None -> generate."""
+    import os
+
+    ext = ".fa.gz" if gzip_files else ".fa"
+    paths = [os.path.join(out_dir, f"g{i:05d}{ext}") for i in range(num_genomes)]
+    last = paths[-1] if paths else None
+    if last and os.path.exists(last) and all(os.path.exists(p) for p in paths):
+        return paths
+    return None
+
+
 def simulate_pangenome(
     out_dir: str,
     num_genomes: int,
@@ -79,6 +94,9 @@ def simulate_pangenome(
     -> list of file paths (color order)."""
     import os
 
+    done = _existing_corpus(out_dir, num_genomes, gzip_files)
+    if done is not None:
+        return done
     rng = np.random.default_rng(seed)
     os.makedirs(out_dir, exist_ok=True)
     depth = max(1, int(np.ceil(np.log2(max(2, num_genomes)))))
@@ -162,6 +180,9 @@ def simulate_pangenome_blocks(
     seed. -> paths (color order)."""
     import os
 
+    done = _existing_corpus(out_dir, num_genomes, gzip_files)
+    if done is not None:
+        return done
     rng = np.random.default_rng(seed)
     os.makedirs(out_dir, exist_ok=True)
     depth = max(1, int(np.ceil(np.log2(max(2, num_genomes)))))

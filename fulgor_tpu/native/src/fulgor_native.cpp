@@ -322,10 +322,25 @@ static int build_ccdbg_core(const char* paths, int num_files, int k, int num_pas
                             const char* tmpdir, CcdbgOut* out) {
     if (k < 1 || k > 31 || (k % 2) == 0) return 2;
     if (num_passes < 1) num_passes = 1;
-    // partition by the kmer's high bits: ceil-split of the 2k-bit keyspace
-    // into num_passes contiguous ranges keeps global sorted order when
-    // passes are processed in ascending order.
+    // partition the keyspace into num_passes contiguous ranges (processed
+    // ascending, so global sorted order is preserved). Boundaries are NOT
+    // a uniform split: canonical k-mers are min(fwd, rc), whose CDF over a
+    // uniform keyspace is 1-(1-x)^2 — a uniform split loads pass 0 with
+    // ~2/P of ALL pairs (44% at P=4), which is exactly how a 125 GB host
+    // got OOM-killed twice at "4 balanced passes". Equal-LOAD boundaries
+    // invert the CDF: x_p = 1 - sqrt(1 - p/P). Only consistency matters
+    // (every k-mer lands in exactly one range), so double precision is
+    // fine.
     const uint64_t key_space_bits = 2 * (uint64_t)k;
+    const uint64_t key_space_end = 1ULL << key_space_bits;
+    auto pass_bound = [&](int p) -> uint64_t {
+        if (p <= 0) return 0;
+        if (p >= num_passes) return key_space_end;
+        double f = (double)p / (double)num_passes;
+        double x = 1.0 - std::sqrt(std::max(0.0, 1.0 - f));
+        uint64_t b = (uint64_t)(x * (double)key_space_end);
+        return b < key_space_end ? b : key_space_end;
+    };
     Graph g;
     g.k = k;
     std::vector<uint32_t> colors_cat;  // interned color sets (appearance order)
@@ -347,7 +362,6 @@ static int build_ccdbg_core(const char* paths, int num_files, int k, int num_pas
     if (tmpdir) {
         // single parse: spill each partition's per-genome sorted k-mer
         // slices as [color u32][n u64][n x kmer u64] records
-        uint64_t span = ((1ULL << key_space_bits) + num_passes - 1) / num_passes;
         spill.assign(num_passes, nullptr);
         spill_paths.resize(num_passes);
         for (int p = 0; p < num_passes; ++p) {
@@ -385,8 +399,7 @@ static int build_ccdbg_core(const char* paths, int num_files, int k, int num_pas
                 all.erase(std::unique(all.begin(), all.end()), all.end());
                 size_t a = 0;
                 for (int p = 0; p < num_passes && a < all.size(); ++p) {
-                    uint64_t hi_key = std::min<uint64_t>(
-                        (uint64_t)(p + 1) * span, 1ULL << key_space_bits);
+                    uint64_t hi_key = pass_bound(p + 1);
                     size_t b = (size_t)(std::lower_bound(all.begin() + a, all.end(),
                                                          hi_key) -
                                         all.begin());
@@ -416,18 +429,36 @@ static int build_ccdbg_core(const char* paths, int num_files, int k, int num_pas
     }
 
     for (int pass = 0; pass < num_passes; ++pass) {
-        // key range [lo, hi) for this pass
-        uint64_t span = ((1ULL << key_space_bits) + num_passes - 1) / num_passes;
-        uint64_t lo_key = (uint64_t)pass * span;
-        uint64_t hi_key = std::min<uint64_t>((uint64_t)(pass + 1) * span, 1ULL << key_space_bits);
+        // key range [lo, hi) for this pass (equal-LOAD boundaries)
+        uint64_t lo_key = pass_bound(pass);
+        uint64_t hi_key = pass_bound(pass + 1);
 
-        std::vector<KC> pairs;
+        // pair storage: an UNINITIALIZED raw buffer (new[] on POD leaves
+        // pages untouched until written) so peak RSS tracks actual fill,
+        // not capacity. Sorting happens bucket-by-bucket IN PLACE — the
+        // previous __gnu_parallel::sort allocated a full O(n) merge temp,
+        // which (plus a zero-initializing resize) put the real peak near
+        // 44 B/pair and OOM-killed a 125 GB host at 4 passes. Peak is now
+        // ~16 B/pair plus the per-genome lists being drained.
+        std::unique_ptr<KC[]> pbuf;
+        size_t pn = 0;
+        auto kc_less = [](const KC& a, const KC& b) {
+            return a.kmer < b.kmer || (a.kmer == b.kmer && a.color < b.color);
+        };
         if (tmpdir) {
             // drain this partition's spill file (records already per-genome
-            // sorted; the global PAR_SORT below restores canonical order)
+            // sorted; the bucket sort below restores canonical order)
             FILE* f = spill[pass];
             fflush(f);
+            uint64_t fsz;
+            {
+                long long end = 0;
+                fseek(f, 0, SEEK_END);
+                end = ftell(f);
+                fsz = (uint64_t)end;
+            }
             rewind(f);
+            pbuf.reset(new KC[fsz / 8 + 1]);  // records are >= 8 B per kmer
             uint32_t col;
             uint64_t n;
             std::vector<uint64_t> tmp;
@@ -435,13 +466,13 @@ static int build_ccdbg_core(const char* paths, int num_files, int k, int num_pas
                 if (fread(&n, 8, 1, f) != 1) break;
                 tmp.resize(n);
                 if (fread(tmp.data(), 8, n, f) != n) break;
-                size_t base = pairs.size();
-                pairs.resize(base + n);
-                for (uint64_t i = 0; i < n; ++i) pairs[base + i] = {tmp[i], col};
+                for (uint64_t i = 0; i < n; ++i) pbuf[pn + i] = {tmp[i], col};
+                pn += n;
             }
             fclose(f);
             remove(spill_paths[pass].c_str());
             spill[pass] = nullptr;
+            PAR_SORT(pbuf.get(), pbuf.get() + pn, kc_less);
         } else if (lo_key >= hi_key) {
             continue;
         } else {
@@ -477,20 +508,102 @@ static int build_ccdbg_core(const char* paths, int num_files, int k, int num_pas
             if (failed.load()) return 1;
             size_t total = 0;
             for (auto& gg : per_genome) total += gg.size();
-            pairs.resize(total);
-            size_t base = 0;
-            for (int color = 0; color < num_files; ++color) {
-                auto& gk = per_genome[color];
-                for (size_t i = 0; i < gk.size(); ++i)
-                    pairs[base + i] = {gk[i], (uint32_t)color};
-                base += gk.size();
-                gk.clear();
-                gk.shrink_to_fit();
+            // bucketed in-place assembly: split [lo_key, hi_key) into NB
+            // value sub-ranges; each sorted per-genome list contributes one
+            // contiguous slice per bucket (boundaries by binary search), so
+            // every (genome, bucket) copy target is disjoint and the copy
+            // parallelizes with no synchronization. Buckets then sort
+            // independently in place.
+            const int NB = 128;
+            const uint64_t range = hi_key - lo_key;
+            std::vector<uint64_t> bval(NB + 1);
+            for (int b = 0; b <= NB; ++b)
+                bval[b] = lo_key + (uint64_t)(((__uint128_t)range * (unsigned)b) / NB);
+            std::vector<size_t> gb((size_t)num_files * (NB + 1));
+            {
+                std::atomic<int> gnext{0};
+                auto bwork = [&]() {
+                    for (;;) {
+                        int gi = gnext.fetch_add(1);
+                        if (gi >= num_files) return;
+                        auto& gk = per_genome[gi];
+                        size_t* row = &gb[(size_t)gi * (NB + 1)];
+                        for (int b = 0; b <= NB; ++b)
+                            row[b] = (size_t)(std::lower_bound(gk.begin(), gk.end(),
+                                                               bval[b]) -
+                                              gk.begin());
+                    }
+                };
+                std::vector<std::thread> bt;
+                for (unsigned t = 0; t < host_threads(); ++t) bt.emplace_back(bwork);
+                for (auto& t : bt) t.join();
+            }
+            // write offsets: buckets laid out ascending, genomes ascending
+            // within a bucket (kc_less ordering needs only the final sort)
+            std::vector<size_t> bbase(NB + 1, 0);
+            for (int b = 0; b < NB; ++b) {
+                size_t tot = 0;
+                for (int gi = 0; gi < num_files; ++gi) {
+                    size_t* row = &gb[(size_t)gi * (NB + 1)];
+                    size_t cnt = row[b + 1] - row[b];
+                    // repurpose row[b] as this genome's write offset
+                    size_t src_lo = row[b];
+                    row[b] = bbase[b] + tot;  // absolute write position
+                    tot += cnt;
+                    (void)src_lo;
+                }
+                bbase[b + 1] = bbase[b] + tot;
+            }
+            // gb[g][b] now holds write positions; source slice boundaries
+            // are recoverable as prefix sums of counts — keep a second
+            // array of source starts instead (simpler than in-place reuse)
+            // NOTE: row[b] was overwritten above; recompute source starts
+            // from scratch per genome during the copy (cheap binary search).
+            pbuf.reset(new KC[total]);
+            pn = total;
+            {
+                std::atomic<int> gnext{0};
+                auto cwork = [&]() {
+                    for (;;) {
+                        int gi = gnext.fetch_add(1);
+                        if (gi >= num_files) return;
+                        auto& gk = per_genome[gi];
+                        size_t* row = &gb[(size_t)gi * (NB + 1)];
+                        size_t src = 0;
+                        for (int b = 0; b < NB; ++b) {
+                            size_t src_hi = (size_t)(std::lower_bound(
+                                                         gk.begin() + src, gk.end(),
+                                                         bval[b + 1]) -
+                                                     gk.begin());
+                            size_t dst = row[b];
+                            for (size_t i = src; i < src_hi; ++i)
+                                pbuf[dst + (i - src)] = {gk[i], (uint32_t)gi};
+                            src = src_hi;
+                        }
+                        gk.clear();
+                        gk.shrink_to_fit();
+                    }
+                };
+                std::vector<std::thread> ct;
+                for (unsigned t = 0; t < host_threads(); ++t) ct.emplace_back(cwork);
+                for (auto& t : ct) t.join();
+            }
+            {
+                std::atomic<int> bnext{0};
+                auto swork = [&]() {
+                    for (;;) {
+                        int b = bnext.fetch_add(1);
+                        if (b >= NB) return;
+                        std::sort(pbuf.get() + bbase[b], pbuf.get() + bbase[b + 1],
+                                  kc_less);
+                    }
+                };
+                std::vector<std::thread> st;
+                for (unsigned t = 0; t < host_threads(); ++t) st.emplace_back(swork);
+                for (auto& t : st) t.join();
             }
         }
-        PAR_SORT(pairs.begin(), pairs.end(), [](const KC& a, const KC& b) {
-            return a.kmer < b.kmer || (a.kmer == b.kmer && a.color < b.color);
-        });
+        KC* const pairs = pbuf.get();
 
         // intern this pass's kmers (appends in globally sorted order).
         // Phase 1 (parallel): chunk the pair stream at kmer boundaries and
@@ -500,7 +613,7 @@ static int build_ccdbg_core(const char* paths, int num_files, int k, int num_pas
         // copying happens in phase 1 (reference pipelines its encoding the
         // same way, include/builders/builder.hpp:74-153).
         {
-            size_t n = pairs.size();
+            size_t n = pn;
             int nthreads = (int)std::min<unsigned>(
                 host_threads(), 16);
             std::vector<size_t> bounds(nthreads + 1, n);
@@ -510,9 +623,12 @@ static int build_ccdbg_core(const char* paths, int num_files, int k, int num_pas
                 while (e < n && e > 0 && pairs[e].kmer == pairs[e - 1].kmer) ++e;
                 bounds[t] = e;
             }
+            // colors are read strided out of `pairs` via (start, size) —
+            // the earlier contiguous `cat` copy cost another 4 B/pair of
+            // peak while pairs were still alive
             struct Chunk {
                 std::vector<uint64_t> kmers;
-                std::vector<uint32_t> cat;
+                std::vector<size_t> starts;
                 std::vector<uint32_t> sizes;
                 std::vector<uint64_t> hashes;
             };
@@ -522,27 +638,31 @@ static int build_ccdbg_core(const char* paths, int num_files, int k, int num_pas
                 ths.emplace_back([&, t]() {
                     Chunk& ck = chunks[t];
                     size_t i = bounds[t], e = bounds[t + 1];
+                    std::vector<uint32_t> scratch;
                     while (i < e) {
                         size_t j = i + 1;
                         while (j < e && pairs[j].kmer == pairs[i].kmer) ++j;
                         ck.kmers.push_back(pairs[i].kmer);
-                        size_t base = ck.cat.size();
-                        for (size_t q = i; q < j; ++q) ck.cat.push_back(pairs[q].color);
+                        scratch.resize(j - i);
+                        for (size_t q = i; q < j; ++q) scratch[q - i] = pairs[q].color;
+                        ck.starts.push_back(i);
                         ck.sizes.push_back((uint32_t)(j - i));
-                        ck.hashes.push_back(fnv64(&ck.cat[base], (j - i) * 4));
+                        ck.hashes.push_back(fnv64(scratch.data(), (j - i) * 4));
                         i = j;
                     }
                 });
             }
             for (auto& t : ths) t.join();
+            std::vector<uint32_t> scratch;
             for (int t = 0; t < nthreads; ++t) {
                 Chunk& ck = chunks[t];
-                size_t pos = 0;
                 for (size_t r = 0; r < ck.kmers.size(); ++r) {
                     g.kmers.push_back(ck.kmers[r]);
                     uint32_t sz = ck.sizes[r];
-                    const uint32_t* content = &ck.cat[pos];
-                    pos += sz;
+                    size_t st = ck.starts[r];
+                    scratch.resize(sz);
+                    for (uint32_t q = 0; q < sz; ++q) scratch[q] = pairs[st + q].color;
+                    const uint32_t* content = scratch.data();
                     auto& cand = table[ck.hashes[r]];
                     uint32_t sid = UINT32_MAX;
                     for (uint32_t c : cand) {

@@ -1008,7 +1008,7 @@ def _window_prep(codes, k: int, m: int):
 def _probe_entries(slots, text32, sec_table, minval, iL, iR, flo, fhi, rlo,
                    rhi, usable, *, k: int, m: int, num_slots: int, gate=None,
                    want_entry: bool = False, vb: int | None = None,
-                   sc: int | None = None):
+                   sc: int | None = None, stage1: bool = False):
     """Full per-lane probe: slot-window candidate screen, text verify, skew
     route. Semantics == lookup_host_device_sem per lane (at the default
     budgets).
@@ -1025,7 +1025,10 @@ def _probe_entries(slots, text32, sec_table, minval, iL, iR, flo, fhi, rlo,
     costs ~22 ms and each skew candidate ~70 ms of a 465 ms/32k-batch
     probe, so the engine's main kernels run (4, 2) and the redo kernel
     (8, 4).
-    -> (hit, val, ovf[, entry])."""
+    stage1: stop after the slot-window verifies and return
+    (hit, val, cnt, need_sec) — the staged probe's cheap first pass (no
+    skew gathers on the full lane grid at all; see _probe_staged).
+    -> (hit, val, ovf[, entry]) or the stage1 4-tuple."""
     import jax.numpy as jnp
 
     from .lookup import mix32, mulhi32
@@ -1127,6 +1130,9 @@ def _probe_entries(slots, text32, sec_table, minval, iL, iR, flo, fhi, rlo,
             )
         hit = hit | okv
 
+    if stage1:
+        return hit, val, cnt, need_sec
+
     # ---- skew route (covered/heavy-minimizer k-mers), gathered only where
     # gated — everyone else coalesces onto row/slot 0 ----
     gate2 = use & ~hit & need_sec
@@ -1179,6 +1185,110 @@ def _probe_per_window(slots, text32, sec_table, prep, k, m, num_slots,
         slots, text32, sec_table, minval, iL, iR, flo, fhi, rlo, rhi, usable,
         k=k, m=m, num_slots=num_slots, vb=vb, sc=sc,
     )
+
+
+def lookup_minidict2_staged_packed(slots, text32, sec_table, codes2, bad, *,
+                                   width: int, k: int, m: int, num_slots: int,
+                                   vb1: int = 2, vb2: int = 8, sc: int = 4,
+                                   RU: int = 16):
+    """Staged-verify per-window lookup from packed stream buffers (the
+    probe-cost lever identified in DESIGN-NOTES §17/§18):
+
+      stage A   every lane: slot-window screen + vb1 text verifies, NO skew
+                gathers anywhere (the skew route alone was 41% of the
+                one-pass probe, and 4 of 6 verify extracts go unused on
+                typical lanes).
+      tier B1   per read, up to RU undecided windows (cnt > vb1, or a
+                covered/parked fingerprint needing the skew table) compact
+                into (B, RU) lanes and run the FULL probe (vb2, sc).
+      tier B2   reads with MORE than RU undecided windows (covered-region
+                reads: every window of a heavy-minimizer stretch needs the
+                skew table, so a per-window budget would flood — §17's
+                error-flood lesson) gather WHOLE into a (B//8, Wk) sub-
+                batch for the full probe; reads past that sub-batch budget
+                report ovf and redo via the engine's exact fallback.
+
+    Exactness contract unchanged: a hit is text-verified, a non-ovf miss
+    exhausted every candidate; staged == one-pass(vb2, sc) wherever ovf is
+    False. -> (hit, csid, ovf)."""
+    words, badw = words_from_packed(codes2, bad)
+    prep = _window_prep_from_words(words, badw, width, k, m)
+    return _probe_staged(slots, text32, sec_table, prep, k, m, num_slots,
+                         vb1, vb2, sc, RU)
+
+
+def _probe_staged(slots, text32, sec_table, prep, k, m, num_slots,
+                  vb1, vb2, sc, RU):
+    import jax
+    import jax.numpy as jnp
+
+    from .intersect import mask_positions
+
+    (minval, iL, iR, _pL, _pR, flo, fhi, rlo, rhi, usable) = prep
+    B, Wk = minval.shape
+    RU = min(RU, Wk)
+    BH = max(1, B // 8)
+
+    # ---- stage A: screen + vb1 verifies on every lane ----
+    hit, val, cnt, need_sec = _probe_entries(
+        slots, text32, sec_table, minval, iL, iR, flo, fhi, rlo, rhi, usable,
+        k=k, m=m, num_slots=num_slots, vb=vb1, stage1=True,
+    )
+    undec = usable & ~hit & ((cnt > vb1) | need_sec)
+    nU = jnp.sum(undec.astype(jnp.int32), axis=1)
+    heavy = nU > RU
+    light_undec = undec & ~heavy[:, None]
+
+    # ---- tier B1: per-read window compaction ----
+    totU, posU = mask_positions(light_undec, RU)
+    laneU = jnp.broadcast_to(
+        jax.lax.broadcasted_iota(jnp.int32, (1, RU), 1), (B, RU))
+    validU = laneU < totU[:, None]
+
+    def gU(a):
+        return jnp.take_along_axis(a, posU, axis=1)
+
+    hitU, valU, ovfU = _probe_entries(
+        slots, text32, sec_table, gU(minval), gU(iL), gU(iR), gU(flo),
+        gU(fhi), gU(rlo), gU(rhi), validU,
+        k=k, m=m, num_slots=num_slots, gate=validU, vb=vb2, sc=sc,
+    )
+    urank = jnp.cumsum(light_undec.astype(jnp.int32), axis=1) - 1
+    ur = jnp.clip(urank, 0, RU - 1)
+    hitU_w = jnp.take_along_axis(hitU, ur, axis=1) & light_undec
+    valU_w = jnp.take_along_axis(valU, ur, axis=1)
+    ovfU_w = jnp.take_along_axis(ovfU, ur, axis=1) & light_undec
+
+    # ---- tier B2: whole-read compaction for heavy (covered-region) reads
+    totH, posH = mask_positions(heavy[None, :], BH)
+    posH = posH[0]
+    validH = jnp.arange(BH, dtype=jnp.int32) < totH[0]
+
+    def gH(a):
+        return jnp.take(a, posH, axis=0)
+
+    useH = gH(undec) & validH[:, None]
+    hitH, valH, ovfH = _probe_entries(
+        slots, text32, sec_table, gH(minval), gH(iL), gH(iR), gH(flo),
+        gH(fhi), gH(rlo), gH(rhi), useH,
+        k=k, m=m, num_slots=num_slots, gate=useH, vb=vb2, sc=sc,
+    )
+    hrank = jnp.cumsum(heavy.astype(jnp.int32)) - 1
+    in_h = heavy & (hrank < BH)
+    hr = jnp.clip(hrank, 0, BH - 1)
+    sel_h = in_h[:, None] & undec
+    hitH_w = jnp.take(hitH, hr, axis=0) & sel_h
+    valH_w = jnp.take(valH, hr, axis=0)
+    ovfH_w = (jnp.take(ovfH, hr, axis=0) & sel_h) | (
+        (heavy & (hrank >= BH))[:, None] & undec)
+
+    hit_f = hit | hitU_w | hitH_w
+    val_f = jnp.where(hit, val,
+                      jnp.where(hitU_w, valU_w,
+                                jnp.where(hitH_w, valH_w,
+                                          jnp.uint32(INVALID_U32))))
+    ovf = ovfU_w | ovfH_w
+    return hit_f, val_f, ovf
 
 
 def anchor_budget(Wk: int, k: int, m: int) -> int:

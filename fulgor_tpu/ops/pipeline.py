@@ -100,7 +100,13 @@ def dict_probe_packed(table, codes2, bad, width: int, k: int, dparams,
                       probe_budget=None):
     """dict_probe for host-packed (codes2, bad) stream buffers: the mini
     backend's prep consumes the packed words directly (no device unpack);
-    the cuckoo backend unpacks as before."""
+    the cuckoo backend unpacks as before.
+
+    probe_budget: None -> one-pass at the default budgets; a 2-tuple
+    (vb, sc) -> one-pass trimmed; a 4-tuple (vb1, vb2, sc, RU) -> the
+    STAGED probe (minidict2.lookup_minidict2_staged_packed: vb1 verifies
+    on every lane + compacted full-budget second pass) — the engine picks
+    it on skew-light dictionaries."""
     if dparams is None:
         codes = unpack_reads(codes2, bad, width)
         hit, csid = lookup_batch(table, codes, k)
@@ -108,6 +114,7 @@ def dict_probe_packed(table, codes2, bad, width: int, k: int, dparams,
     from .minidict2 import (
         lookup_minidict2_anchored_packed,
         lookup_minidict2_packed,
+        lookup_minidict2_staged_packed,
     )
 
     m, num_slots = dparams
@@ -116,6 +123,12 @@ def dict_probe_packed(table, codes2, bad, width: int, k: int, dparams,
         return lookup_minidict2_anchored_packed(
             slots, text32, sec, codes2, bad, width=width, k=k, m=m,
             num_slots=num_slots
+        )
+    if probe_budget is not None and len(probe_budget) == 4:
+        vb1, vb2, sc, ru = probe_budget
+        return lookup_minidict2_staged_packed(
+            slots, text32, sec, codes2, bad, width=width, k=k, m=m,
+            num_slots=num_slots, vb1=vb1, vb2=vb2, sc=sc, RU=ru,
         )
     return lookup_minidict2_packed(
         slots, text32, sec, codes2, bad, width=width, k=k, m=m,
@@ -298,12 +311,20 @@ def query_runs_tu_packed(table, codes2, bad, *, k: int, width: int,
 @partial(jax.jit, static_argnames=("k", "width", "R", "dparams", "probe_budget"))
 def query_distinct_runs_packed(table, codes2, bad, *, k: int, width: int,
                                R: int, dparams=None, probe_budget=None):
-    """--deduplicate fetch: compacted (possibly duplicated) run csids per
-    read; the host derives the distinct-set key from <=R entries instead of
-    W window csids. -> (run_csid (B,R) u32, ovf (B,) bool)."""
+    """Distinct-set fetch (FI runs path + --deduplicate): compacted
+    (possibly duplicated) run csids per read; the host derives the
+    distinct-set key from <=R entries instead of W window csids.
+
+    The two overflow causes return SEPARATELY because their recoveries
+    differ by ~1000x: run-budget overflow (>R distinct runs) means the
+    probe DECIDED every window — the full per-window csid array (kept on
+    device; INVALID where no hit) is exact and the host just gathers the
+    few overflowed rows — while probe overflow needs a full-budget
+    re-probe. -> (run_csid (B,R) u32, probe_ovf (B,) bool, run_ovf (B,)
+    bool, csid (B,Wk) u32 device-resident)."""
     hit, csid, ovf = dict_probe_packed(table, codes2, bad, width, k, dparams, probe_budget)
     run_csid, _cnt, rovf = compact_runs(hit, csid, R)
-    return run_csid, rovf | jnp.any(ovf, axis=1)
+    return run_csid, jnp.any(ovf, axis=1), rovf, csid
 
 
 def _pack_hits(hit):

@@ -218,18 +218,21 @@ def make_sharded_conservation_runs(mesh: Mesh, k: int, width: int, R: int,
 
 def make_sharded_distinct_runs(mesh: Mesh, k: int, width: int, R: int,
                                dparams=None):
+    """Same 4-tuple contract as ops.pipeline.query_distinct_runs_packed
+    (probe_ovf and run_ovf split; full per-window csids stay device-
+    resident, sharded over reads, for the run-overflow gather)."""
     def step(table, codes2, bad):
         hit, csid, dovf = dict_probe_packed(table, codes2, bad, width, k,
                                             dparams)
         rc, _cnt, rovf = compact_runs(hit, csid, R)
-        return rc, rovf | jnp.any(dovf, axis=1)
+        return rc, jnp.any(dovf, axis=1), rovf, csid
 
     dp = P(("data", "color"), None)
     sm = jax.shard_map(
         step,
         mesh=mesh,
         in_specs=(P(), dp, dp),
-        out_specs=(dp, P(("data", "color"))),
+        out_specs=(dp, P(("data", "color")), P(("data", "color")), dp),
     )
     return jax.jit(sm)
 

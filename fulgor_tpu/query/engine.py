@@ -7,12 +7,17 @@ The reference's thread-pool-of-readers becomes a streaming pipeline:
     ->  host fetch + native formatting (runs while the device computes the
         next chunks)
 
-Batch widths come from a small ladder so jit compiles stay bounded; reads
-longer than the widest rung take an exact host path whose lines are appended
-at the end (the reference's output order across worker threads is explicitly
-nondeterministic — README.md:220 — ours is in-order except those stragglers).
-All device paths are exact; the host mirrors (_host_*) exist for tooling,
-long reads, and tests.
+Batch widths come from a small ladder so jit compiles stay bounded.
+
+Output is strictly in READ-ID ORDER: reads the device path cannot decide
+exactly (probe/run-budget overflow, or longer than the widest ladder rung)
+are redone INLINE while their batch is being consumed — small-bucket device
+re-probe first, exact host mirror for the rest — and their results merged
+back into the batch at their positions. This is what makes the single-device,
+mesh, and multi-host engines byte-identical for the same input (the
+reference's own thread-pool order is nondeterministic, README.md:220; ours
+is stronger so equality is testable). The host mirrors (_host_*) also serve
+tooling and tests.
 """
 
 from __future__ import annotations
@@ -219,6 +224,13 @@ class QueryEngine:
         # + selective row fetches).
         self.use_runs_fetch = large_c and (runs_ok or not dense_ok)
         self._runs_ok = runs_ok
+        if self.use_runs_fetch and dense_ok:
+            # the runs-path host stage reads color rows per distinct key;
+            # when the dense matrix FITS, materialize it up front so
+            # color_rows is one fancy-index instead of the memo-dict decode
+            # (profiled on pansal4546: 17 s of a 44 s host stage was the
+            # memo fan-out loop)
+            self.idx.dense_color_bits()
         self.use_tu_bits = (
             self.mesh is None
             and dense_ok
@@ -251,9 +263,29 @@ class QueryEngine:
                        | covb).sum())
             covn = int(covb.sum())
             self._covered_frac = covn / max(1, occ)
-            self._pb = (4, 2) if self._covered_frac < 0.45 else (6, 3)
+            # skew-LIGHT dictionaries take the STAGED probe (4-tuple:
+            # 2 verifies on every lane, full (8, 4) + skew only on the
+            # compacted undecided lanes — dict_probe_packed). The gate is
+            # DELIBERATELY strict: the occupancy covered_frac UNDERSTATES
+            # the read-weighted skew need (covered entries are covered
+            # because their minimizers are popular — reads hit them
+            # disproportionately). Measured on pansal4546: occupancy 0.26
+            # but 48% of read windows need the skew table, so stage A left
+            # 51% of windows undecided, 88% of reads exceeded the RU=16
+            # tier, and the 0.45 gate produced a 77%-of-reads redo flood
+            # (1.1k reads/s). Only genuinely skew-light dictionaries
+            # (salmonella: 0.05 occupancy -> ~5% read-weighted) stay under
+            # the staged tiers; everything else runs the one-pass probe.
+            self._pb = ((2, 8, 4, 16) if self._covered_frac < 0.10
+                        else (6, 3))
         self._pb_redo = tuple(int(x) for x in _os.environ.get(
             "FULGOR_PROBE_BUDGET_REDO", "8,4").split(","))
+        # FULGOR_SELFCHECK=N: runtime oracle (the reference's Debug-build
+        # asserts, include/util.hpp:106-208) — every batch, reads whose
+        # global id is divisible by N recompute through the exact host
+        # mirror and must match the device result byte-for-byte. N=1 checks
+        # every read; 0/unset disables.
+        self._selfcheck = int(_os.environ.get("FULGOR_SELFCHECK", "0"))
 
     @property
     def bits(self):
@@ -372,11 +404,17 @@ class QueryEngine:
         out: list = [None] * len(rows)
         fit = [i for i, r in enumerate(rows) if len(r) <= MAX_STREAM_WIDTH]
         k = self.k
-        for i0 in range(0, len(fit), self.batch):
-            sel = fit[i0: i0 + self.batch]
+        # small pow2 dispatch buckets: inline per-batch redos are a handful
+        # of reads, so padding to the full stream batch would cost a whole
+        # extra batch-probe per affected batch. Bucket sizes are determined
+        # by the (deterministic) overflow counts, so compile variants stay
+        # few and the bench warm-up run compiles them all.
+        B = min(self.batch, max(256, 1 << (max(1, len(fit)) - 1).bit_length()))
+        for i0 in range(0, len(fit), B):
+            sel = fit[i0: i0 + B]
             maxl = max(len(rows[i]) for i in sel)
             W = self._width_for(maxl)
-            chunk = np.full((self.batch, W), 4, dtype=np.uint8)
+            chunk = np.full((B, W), 4, dtype=np.uint8)
             for j, i in enumerate(sel):
                 chunk[j, : len(rows[i])] = rows[i]
             codes2, bad = pack_reads_host(chunk)
@@ -407,6 +445,64 @@ class QueryEngine:
                 break
         return acc.astype(np.uint32)
 
+    def _fi_rows_from_keys(self, keys: list) -> np.ndarray:
+        """Vectorized full-intersection for MANY reads at once: keys[i] is
+        read i's sorted-unique csid array (int64, no INVALID). One
+        color_rows gather + one bitwise_and.reduceat over the concatenation
+        replaces per-read intersect1d chains (~2.4 ms/read -> ~5 us/read at
+        redo-batch sizes; the round-4 redo flood spent 160+ s here).
+        -> (len(keys), words_per_set) u32 bitset rows."""
+        words = self.idx.words_per_set
+        res = np.zeros((len(keys), words), dtype=np.uint32)
+        if not keys:
+            return res
+        sizes = np.fromiter((len(u) for u in keys), dtype=np.int64,
+                            count=len(keys))
+        nz = np.flatnonzero(sizes > 0)
+        if len(nz):
+            flat = np.concatenate([keys[i] for i in nz])
+            starts = np.concatenate([[0], np.cumsum(sizes[nz])])[:-1]
+            res[nz] = np.bitwise_and.reduceat(
+                self.idx.color_rows(flat), starts, axis=0
+            )
+        return res
+
+    def _fi_rows_from_csid_matrix(self, rows_cs: np.ndarray,
+                                  wlim: np.ndarray) -> np.ndarray:
+        """Vectorized FI over a (n, Wk) window-csid matrix (INVALID where
+        negative; windows past wlim[i] ignored): row-wise sort + dup mask
+        replaces per-read np.unique, one reduceat intersects everything.
+        -> (n, words_per_set) u32 bitset rows."""
+        n, Wk = rows_cs.shape
+        v = rows_cs.copy()
+        v[np.arange(Wk)[None, :] >= np.asarray(wlim)[:, None]] = \
+            np.uint32(INVALID_U32)
+        s = np.sort(v, axis=1)
+        keep = s != np.uint32(INVALID_U32)
+        keep[:, 1:] &= s[:, 1:] != s[:, :-1]
+        sizes = keep.sum(axis=1).astype(np.int64)
+        res = np.zeros((n, self.idx.words_per_set), dtype=np.uint32)
+        nz = np.flatnonzero(sizes > 0)
+        if len(nz):
+            flat = s[keep].astype(np.int64)
+            starts = np.concatenate([[0], np.cumsum(sizes[nz])])[:-1]
+            res[nz] = np.bitwise_and.reduceat(
+                self.idx.color_rows(flat), starts, axis=0
+            )
+        return res
+
+    def _fi_lists_from_csids_many(self, csids_list: list) -> list:
+        """Exact FI color lists for many reads from their window-csid
+        arrays (INVALID entries = negative windows), vectorized through
+        _fi_rows_from_keys."""
+        keys = []
+        for c in csids_list:
+            c = np.asarray(c)
+            keys.append(np.unique(c[c != INVALID_U32]).astype(np.int64))
+        rows = self._fi_rows_from_keys(keys)
+        lists, _ = self._bits_to_lists(rows, self.idx.num_colors)
+        return lists
+
     def _tu_from_csids(self, csids: np.ndarray, threshold: float) -> np.ndarray:
         cat, offs = self._cs_cache
         pos = csids[csids != INVALID_U32]
@@ -417,6 +513,66 @@ class QueryEngine:
             scores[cat[offs[sid] : offs[sid + 1]].astype(np.int64)] += 1
         min_score = int(len(pos) * threshold)
         return np.flatnonzero(scores >= min_score).astype(np.uint32)
+
+    def _redo_csids_inline(self, qid0, chunk, lens, js, query_path):
+        """Exact per-window csids for batch rows `js` (overflow / too-long),
+        used by the consume callbacks to merge exact results back into the
+        batch IN PLACE so output stays in read-id order. Rows within the
+        stream ladder re-probe from the chunk codes (no file re-parse);
+        longer rows selectively re-parse from the file. -> list aligned
+        with js."""
+        from ..native import lib as native
+
+        rows = []
+        long_js = [int(j) for j in js if lens[j] > MAX_STREAM_WIDTH]
+        long_map = {}
+        if long_js:
+            seqs, _names = native.parse_reads_select(
+                query_path, [qid0 + j for j in long_js])
+            long_map = dict(zip(long_js, seqs))
+        for j in js:
+            if lens[j] > MAX_STREAM_WIDTH:
+                rows.append(np.asarray(long_map[int(j)], dtype=np.uint8))
+            else:
+                rows.append(chunk[j, : lens[j]])
+        csids = self._device_csids_many(rows)
+        left = [i for i, c in enumerate(csids) if c is None]
+        if left:
+            for i, c in zip(left, self._host_csids_many([rows[i] for i in left])):
+                csids[i] = c
+        return csids
+
+    def _selfcheck_batch(self, qid0, chunk, lens, n, get_colors, threshold):
+        """FULGOR_SELFCHECK runtime oracle: for sampled reads, the color
+        list about to be written must equal the exact host mirror's.
+        get_colors(j) -> the final sorted uint32 list for batch row j."""
+        period = self._selfcheck
+        if not period:
+            return
+        start = (-qid0) % period
+        for j in range(start, n, period):
+            if lens[j] > MAX_STREAM_WIDTH:
+                continue  # long reads already go through the host mirror
+            row = chunk[j, : lens[j]]
+            want = (self._host_full_intersection(row) if threshold is None
+                    else self._host_threshold(row, threshold))
+            got = np.asarray(get_colors(j), dtype=np.uint32)
+            if not np.array_equal(got, np.asarray(want, dtype=np.uint32)):
+                raise RuntimeError(
+                    f"FULGOR_SELFCHECK: read {qid0 + j} device result "
+                    f"({len(got)} colors) != host mirror ({len(want)})"
+                )
+
+    @staticmethod
+    def _colors_to_bits_row(colors, words: int) -> np.ndarray:
+        """Sorted color-id list -> one (words,) u32 little-endian bitset row
+        (the device result layout the bits formatters consume)."""
+        row = np.zeros(words, dtype=np.uint32)
+        if len(colors):
+            c = np.asarray(colors, dtype=np.int64)
+            np.bitwise_or.at(
+                row, c >> 5, np.uint32(1) << (c & 31).astype(np.uint32))
+        return row
 
     def _host_full_intersection(self, row_codes: np.ndarray) -> np.ndarray:
         return self._fi_from_csids(self._host_csids(row_codes))
@@ -596,7 +752,7 @@ class QueryEngine:
     def _stream(self, query_path: str, dispatch, consume, need_names=False,
                 progress=False, shard=None):
         """Streaming driver: parse chunk -> dispatch(chunk)->device handles
-        (<=2 in flight) -> consume(qid0, n, lens, names, handle).
+        (<=2 in flight) -> consume(qid0, n, lens, names, handle, chunk).
         Returns (num_reads_total, long_read_qids, parse_sec). progress: log
         a counter every 2^20 reads (reference src/ps_utils.cpp:421-428).
 
@@ -686,7 +842,7 @@ class QueryEngine:
                 handle = dispatch(chunk)
                 inflight.append((
                     base + lo, n_sub, lens[lo:lo + n_sub],
-                    names[lo:lo + n_sub] if need_names else None, handle,
+                    names[lo:lo + n_sub] if need_names else None, handle, chunk,
                 ))
                 if len(inflight) > 2:
                     consume(*inflight.popleft())
@@ -707,8 +863,6 @@ class QueryEngine:
         deduplicate: bool = False,
         shard=None,
     ):
-        from ..native import lib as native
-
         C = self.idx.num_colors
         t0 = time.perf_counter()
 
@@ -723,7 +877,8 @@ class QueryEngine:
         num_reads = 0
         query_sec = 0.0
         host_sec = 0.0  # host-side result reduction (dedup-intersect etc.)
-        ovf_ids: list[int] = []  # reads needing the exact host redo (rare)
+        num_redo = 0  # reads redone inline (overflow / past the ladder)
+        redo_sec = 0.0
 
         runs_fetch = (self.use_runs_fetch and fmtr.has_bits
                       and threshold is None and not self.use_lists)
@@ -801,7 +956,27 @@ class QueryEngine:
                 dparams=self.dparams, color_runs=cr, probe_budget=self._pb,
             )
 
-        def consume_lists(qid0, n, lens, _names, handle):
+        def exact_lists(qid0, chunk, lens, js):
+            """Inline redo: exact color lists for batch rows js -> {j: list}.
+            Keeps output in read-id order (module docstring)."""
+            nonlocal num_redo, redo_sec
+            if not len(js):
+                return {}
+            tr = time.perf_counter()
+            csids = self._redo_csids_inline(qid0, chunk, lens, js, query_path)
+            if threshold is None:
+                out = dict(zip((int(j) for j in js),
+                               self._fi_lists_from_csids_many(csids)))
+            else:
+                out = {
+                    int(j): self._tu_from_csids(c, threshold)
+                    for j, c in zip(js, csids)
+                }
+            num_redo += len(js)
+            redo_sec += time.perf_counter() - tr
+            return out
+
+        def consume_lists(qid0, n, lens, _names, handle, chunk):
             nonlocal num_reads, query_sec
             tq = time.perf_counter()
             cnt = np.asarray(handle[0][:n])
@@ -812,24 +987,20 @@ class QueryEngine:
             rows_over = self._fetch_rows(handle[2], over)
             tw = time.perf_counter()
             query_sec += tw - tq
-            om = {}
+            om = exact_lists(qid0, chunk, lens, np.flatnonzero(~keep))
             if len(over):
                 over_lists, _ = self._bits_to_lists(rows_over, C)
-                om = dict(zip(over.tolist(), over_lists))
-            if ovf.any():
-                ovf_ids.extend(
-                    (qid0 + np.flatnonzero(ovf & (lens <= MAX_STREAM_WIDTH))).tolist()
-                )
-            ids, colors = [], []
-            for j in np.flatnonzero(keep):
-                ids.append(qid0 + j)
-                colors.append(
-                    om[j] if j in om else lists[j, : cnt[j]].astype(np.uint32)
-                )
-            fmtr.write_batch(ids, colors)
+                om.update(zip(over.tolist(), over_lists))
+            colors = [
+                om[j] if j in om else lists[j, : cnt[j]].astype(np.uint32)
+                for j in range(n)
+            ]
+            self._selfcheck_batch(qid0, chunk, lens, n,
+                                  lambda j: colors[j], threshold)
+            fmtr.write_batch(range(qid0, qid0 + n), colors)
             num_reads += n
 
-        def consume(qid0, n, lens, _names, handle):
+        def consume(qid0, n, lens, _names, handle, chunk):
             nonlocal num_reads, query_sec
             tq = time.perf_counter()
             if threshold is None:
@@ -841,19 +1012,23 @@ class QueryEngine:
             tw = time.perf_counter()
             query_sec += tw - tq
             keep = (lens <= MAX_STREAM_WIDTH) & ~ovf
-            if ovf.any():
-                ovf_ids.extend((qid0 + np.flatnonzero(ovf & (lens <= MAX_STREAM_WIDTH))).tolist())
+            exact = exact_lists(qid0, chunk, lens, np.flatnonzero(~keep))
             num_reads += n
             if threshold is None and fmtr.has_bits:
                 # fast path: native bits->ascii straight from the device's
-                # result layout, no per-read list expansion (dropped rows —
-                # overflow/long reads — are re-emitted by the exact redo)
-                if keep.all():
-                    ids, rows = np.arange(qid0, qid0 + n, dtype=np.uint32), fetched
-                else:
-                    kj = np.flatnonzero(keep)
-                    ids, rows = (qid0 + kj).astype(np.uint32), fetched[kj]
-                fmtr.write_batch_bits(ids, rows)
+                # result layout, no per-read list expansion (redone rows are
+                # packed back into their bitset slots)
+                if exact:
+                    fetched = np.array(fetched)
+                    for j, colors in exact.items():
+                        fetched[j] = self._colors_to_bits_row(
+                            colors, fetched.shape[1])
+                self._selfcheck_batch(
+                    qid0, chunk, lens, n,
+                    lambda j: self._bits_to_lists(fetched[j : j + 1], C)[0][0],
+                    threshold)
+                fmtr.write_batch_bits(
+                    np.arange(qid0, qid0 + n, dtype=np.uint32), fetched)
                 return
             if threshold is None:
                 lists, _counts = self._bits_to_lists(fetched, C)
@@ -861,27 +1036,41 @@ class QueryEngine:
                 lists, _counts = self._scores_to_lists(
                     fetched[0].astype(np.int64), fetched[1], threshold
                 )
-            if keep.all():
-                fmtr.write_batch(range(qid0, qid0 + n), lists)
-            else:
-                ids = qid0 + np.flatnonzero(keep)
-                fmtr.write_batch(ids, [lists[j] for j in np.flatnonzero(keep)])
+            for j, colors in exact.items():
+                lists[j] = colors
+            self._selfcheck_batch(qid0, chunk, lens, n,
+                                  lambda j: lists[j], threshold)
+            fmtr.write_batch(range(qid0, qid0 + n), lists)
 
-        def consume_runs(qid0, n, lens, _names, handle):
+        def consume_runs(qid0, n, lens, _names, handle, chunk):
             # FI via distinct run csids: normalize each read's <=R csids to a
             # sorted-unique key, intersect once per DISTINCT key on the host
             # dense rows, fan results back out as bitset rows
-            nonlocal num_reads, query_sec, host_sec
+            nonlocal num_reads, num_redo, query_sec, host_sec, redo_sec
             tq = time.perf_counter()
             runs = np.asarray(handle[0][:n])
-            ovf = np.asarray(handle[1][:n])
+            povf = np.asarray(handle[1][:n])
+            rovf = np.asarray(handle[2][:n])
             th = time.perf_counter()
             query_sec += th - tq
-            keep = (lens <= MAX_STREAM_WIDTH) & ~ovf
-            if ovf.any():
-                ovf_ids.extend(
-                    (qid0 + np.flatnonzero(ovf & (lens <= MAX_STREAM_WIDTH))).tolist()
-                )
+            fit = lens <= MAX_STREAM_WIDTH
+            keep = fit & ~povf & ~rovf
+            # run-budget-only overflow (>R distinct runs, probe decided all
+            # windows): the device-resident per-window csids are EXACT —
+            # gather just those rows and intersect them like any other key.
+            # No re-probe, no per-read host path (the round-4 flood: 12% of
+            # pansal4546 reads exceeded R=48 and burned 160+ s here).
+            ro = np.flatnonzero(fit & rovf & ~povf)
+            ro_res = None
+            if len(ro):
+                tr = time.perf_counter()
+                rows_cs = self._fetch_rows(handle[3], ro)
+                wlim = np.maximum(0, lens[ro].astype(np.int64) - self.k + 1)
+                ro_res = self._fi_rows_from_csid_matrix(rows_cs, wlim)
+                num_redo += len(ro)
+                redo_sec += time.perf_counter() - tr
+            exact = exact_lists(qid0, chunk, lens,
+                                np.flatnonzero(~fit | (povf & fit)))
             num_reads += n
             s = np.sort(runs, axis=1)
             dup = np.zeros_like(s, dtype=bool)
@@ -908,37 +1097,56 @@ class QueryEngine:
                 res[nz] = np.bitwise_and.reduceat(
                     self.idx.color_rows(flat), starts, axis=0
                 )
+            # run-overflow and redone rows join as extra bodies so the whole
+            # batch writes once, in id order
+            full_inv = np.empty(n, dtype=np.int32)
+            full_inv[kj] = inv.astype(np.int32)
+            if ro_res is not None:
+                full_inv[ro] = len(res) + np.arange(len(ro), dtype=np.int32)
+                res = np.vstack([res, ro_res])
+            if exact:
+                extra = np.empty((len(exact), res.shape[1]), dtype=np.uint32)
+                for t, (j, colors) in enumerate(sorted(exact.items())):
+                    full_inv[j] = len(res) + t
+                    extra[t] = self._colors_to_bits_row(colors, res.shape[1])
+                res = np.vstack([res, extra])
+            ids = np.arange(qid0, qid0 + n, dtype=np.uint32)
+            self._selfcheck_batch(
+                qid0, chunk, lens, n,
+                lambda j: self._bits_to_lists(
+                    res[full_inv[j]][None, :], C)[0][0],
+                threshold)
             if getattr(fmtr, "has_grouped", False):
                 # each DISTINCT result body formats once (reads in a batch
                 # heavily share full-intersection results)
-                fmtr.write_batch_bits_grouped(
-                    (qid0 + kj).astype(np.uint32), res, inv.astype(np.int32)
-                )
+                fmtr.write_batch_bits_grouped(ids, res, full_inv)
             else:
-                fmtr.write_batch_bits((qid0 + kj).astype(np.uint32), res[inv])
+                fmtr.write_batch_bits(ids, res[full_inv])
             host_sec += time.perf_counter() - th
 
-        def consume_tubits(qid0, n, lens, _names, handle):
+        def consume_tubits(qid0, n, lens, _names, handle, chunk):
             nonlocal num_reads, query_sec
             tq = time.perf_counter()
             maskbits = np.asarray(handle[2][:n])
             ovf = np.asarray(handle[3][:n])
             query_sec += time.perf_counter() - tq
             keep = (lens <= MAX_STREAM_WIDTH) & ~ovf
-            if ovf.any():
-                ovf_ids.extend(
-                    (qid0 + np.flatnonzero(ovf & (lens <= MAX_STREAM_WIDTH))).tolist()
-                )
+            exact = exact_lists(qid0, chunk, lens, np.flatnonzero(~keep))
             num_reads += n
-            if keep.all():
-                fmtr.write_batch_bits(
-                    np.arange(qid0, qid0 + n, dtype=np.uint32), maskbits
-                )
-            else:
-                kj = np.flatnonzero(keep)
-                fmtr.write_batch_bits((qid0 + kj).astype(np.uint32), maskbits[kj])
+            if exact:
+                maskbits = np.array(maskbits)
+                for j, colors in exact.items():
+                    maskbits[j] = self._colors_to_bits_row(
+                        colors, maskbits.shape[1])
+            self._selfcheck_batch(
+                qid0, chunk, lens, n,
+                lambda j: self._bits_to_lists(maskbits[j : j + 1], C)[0][0],
+                threshold)
+            fmtr.write_batch_bits(
+                np.arange(qid0, qid0 + n, dtype=np.uint32), maskbits
+            )
 
-        def consume_tu_runs(qid0, n, lens, _names, handle):
+        def consume_tu_runs(qid0, n, lens, _names, handle, chunk):
             # TU without any dense matrix: host scores each read's (csid,
             # count) runs against on-demand decoded member lists (reference
             # merge semantics, src/ps_threshold_union.cpp:354-399)
@@ -951,16 +1159,15 @@ class QueryEngine:
             th = time.perf_counter()
             query_sec += th - tq
             keep = (lens <= MAX_STREAM_WIDTH) & ~ovf
-            if ovf.any():
-                ovf_ids.extend(
-                    (qid0 + np.flatnonzero(ovf & (lens <= MAX_STREAM_WIDTH))).tolist()
-                )
+            exact = exact_lists(qid0, chunk, lens, np.flatnonzero(~keep))
             num_reads += n
             cat, offs = self._cs_cache
-            ids, lists = [], []
+            lists = []
             scores = np.zeros(C, dtype=np.int64)
-            for j in np.flatnonzero(keep):
-                ids.append(qid0 + j)
+            for j in range(n):
+                if j in exact:
+                    lists.append(exact[j])
+                    continue
                 v = rc[j] != np.uint32(INVALID_U32)
                 if npos[j] <= 0 or not v.any():
                     lists.append(np.empty(0, dtype=np.uint32))
@@ -971,7 +1178,9 @@ class QueryEngine:
                     scores[cat[offs[sid] : offs[sid + 1]].astype(np.int64)] += w
                 ms = int(float(npos[j]) * threshold)
                 lists.append(np.flatnonzero(scores >= ms).astype(np.uint32))
-            fmtr.write_batch(ids, lists)
+            self._selfcheck_batch(qid0, chunk, lens, n,
+                                  lambda j: lists[j], threshold)
+            fmtr.write_batch(range(qid0, qid0 + n), lists)
             host_sec += time.perf_counter() - th
 
         if runs_fetch:
@@ -983,29 +1192,8 @@ class QueryEngine:
         elif self.use_lists:
             consume = consume_lists
 
-        total, long_ids, parse_sec, _own = self._stream(
+        total, _long_ids, parse_sec, _own = self._stream(
             query_path, dispatch, consume, progress=verbose, shard=shard)
-        redo = sorted(set(long_ids) | set(ovf_ids))
-        redo_sec = time.perf_counter()
-        if redo:
-            # redo pass (ragged selective re-parse: never materializes the
-            # whole file densely). Most redo reads only exceeded the COLOR
-            # run budget — their window csids re-derive on DEVICE at batch
-            # speed; the exact host probe serves only reads past the
-            # stream ladder or with probe-lane overflow.
-            seqs, _names = native.parse_reads_select(query_path, redo)
-            all_csids = self._device_csids_many(seqs)
-            host_left = [i for i, c in enumerate(all_csids) if c is None]
-            if host_left:
-                for i, c in zip(host_left, self._host_csids_many(
-                        [seqs[i] for i in host_left])):
-                    all_csids[i] = c
-            if threshold is None:
-                extra = [self._fi_from_csids(c) for c in all_csids]
-            else:
-                extra = [self._tu_from_csids(c, threshold) for c in all_csids]
-            fmtr.write_batch(redo, extra)
-        redo_sec = time.perf_counter() - redo_sec
         fmtr.close()
         num_mapped = fmtr.mapped
 
@@ -1021,7 +1209,7 @@ class QueryEngine:
             query_sec=query_sec,
             host_sec=host_sec,
             write_sec=fmtr.busy_sec,
-            num_redo=len(redo),
+            num_redo=num_redo,
             redo_sec=redo_sec,
         )
         if verbose:
@@ -1063,18 +1251,27 @@ class QueryEngine:
                 probe_budget=self._pb,
             )
 
-        def consume(qid0, n, lens, _names, handle):
-            runs, ovf = handle
-            runs = np.asarray(runs[:n])
-            ovf_any = np.asarray(ovf[:n])
+        def consume(qid0, n, lens, _names, handle, _chunk):
+            runs = np.asarray(handle[0][:n])
+            povf = np.asarray(handle[1][:n])
+            rovf = np.asarray(handle[2][:n])
             s = np.sort(runs, axis=1)
             uniq = np.concatenate(
                 [np.ones((n, 1), dtype=bool), s[:, 1:] != s[:, :-1]], axis=1
             ) & (s != INVALID_U32)
-            keep = (lens <= MAX_STREAM_WIDTH) & ~ovf_any
-            ovf_ids.extend(
-                (qid0 + np.flatnonzero(ovf_any & (lens <= MAX_STREAM_WIDTH))).tolist()
-            )
+            fit = lens <= MAX_STREAM_WIDTH
+            keep = fit & ~povf & ~rovf
+            # run-budget-only overflow: gather the exact device-resident
+            # window csids for those rows (same recovery as consume_runs)
+            ro = np.flatnonzero(fit & rovf & ~povf)
+            if len(ro):
+                rows_cs = self._fetch_rows(handle[3], ro)
+                wlim = np.maximum(0, lens[ro].astype(np.int64) - self.k + 1)
+                for t, j in enumerate(ro):
+                    u = rows_cs[t, : wlim[t]]
+                    u = np.unique(u[u != np.uint32(INVALID_U32)])
+                    groups.setdefault(u.tobytes(), []).append(qid0 + int(j))
+            ovf_ids.extend((qid0 + np.flatnonzero(povf & fit)).tolist())
             for j in range(n):
                 if not keep[j]:
                     continue
@@ -1091,20 +1288,14 @@ class QueryEngine:
                 groups.setdefault(key, []).append(qid)
 
         results: list = [None] * total
-        for key, readlist in groups.items():
-            sids = np.frombuffer(key, dtype=np.uint32)
-            if len(sids) == 0:
-                colors = np.empty(0, dtype=np.uint32)
-            else:
-                # on-demand row decode (no dense matrix at large C)
-                rows = self.idx.color_rows(sids.astype(np.int64))
-                word = rows[0].copy()
-                for r in rows[1:]:
-                    word &= r
-                colors = np.flatnonzero(
-                    np.unpackbits(word.view(np.uint8), bitorder="little")[:C]
-                ).astype(np.uint32)
-            for ridx in readlist:
+        # one vectorized gather+reduceat over every distinct key (on-demand
+        # row decode: no dense matrix needed at large C)
+        gkeys = list(groups.keys())
+        key_arrs = [np.frombuffer(kb, dtype=np.uint32).astype(np.int64)
+                    for kb in gkeys]
+        lists, _ = self._bits_to_lists(self._fi_rows_from_keys(key_arrs), C)
+        for kb, colors in zip(gkeys, lists):
+            for ridx in groups[kb]:
                 results[ridx] = colors
         fmtr = make_formatter(fmt, out_path, C)
         B = 1 << 16
@@ -1145,6 +1336,7 @@ class QueryEngine:
         from ..native import lib as native
 
         f = open(out_path, "wb", buffering=1 << 20)
+        num_redo = 0
 
         def write_one(name, hit, csid):
             triples = conservation_runs(hit, csid)
@@ -1153,8 +1345,6 @@ class QueryEngine:
                 f.write(f"{name}\t{len(triples)}\t{body}\n".encode())
             else:
                 f.write(f"{name}\t0\n".encode())
-
-        ovf_ids: list[int] = []
 
         def dispatch(chunk):
             # device-side run extraction: fetch <=R (csid, start, len)
@@ -1178,45 +1368,53 @@ class QueryEngine:
                 probe_budget=self._pb,
             )
 
-        def consume(qid0, n, lens, names, handle):
+        def consume(qid0, n, lens, names, handle, chunk):
+            nonlocal num_redo
             rc = np.asarray(handle[0][:n])
             rs = np.asarray(handle[1][:n]).astype(np.uint32)
             rl = np.asarray(handle[2][:n]).astype(np.uint32)
             ovf_any = np.asarray(handle[3][:n])
             keep = (lens <= MAX_STREAM_WIDTH) & ~ovf_any
-            ovf_ids.extend(
-                (qid0 + np.flatnonzero(ovf_any & (lens <= MAX_STREAM_WIDTH))).tolist()
-            )
-            kj = np.flatnonzero(keep)
-            if not len(kj):
-                return
-            # row-major boolean flatten keeps per-read run order
-            v = rc[kj] != INVALID_U32
-            run_offs = np.zeros(len(kj) + 1, dtype=np.int64)
-            np.cumsum(v.sum(axis=1), out=run_offs[1:])
-            f.write(
-                native.format_kc(
-                    [names[j] for j in kj],
-                    rs[kj][v], rl[kj][v], rc[kj][v],
+            bad = np.flatnonzero(~keep)
+            num_redo += len(bad)
+            # inline redo (id-ordered output): exact window csids for
+            # overflow/long rows, interleaved between the kept segments
+            exact = {}
+            if len(bad):
+                for j, c in zip(bad, self._redo_csids_inline(
+                        qid0, chunk, lens, bad, query_path)):
+                    exact[int(j)] = c
+            if not len(bad):
+                kj = np.arange(n)
+                # row-major boolean flatten keeps per-read run order
+                v = rc[kj] != INVALID_U32
+                run_offs = np.zeros(len(kj) + 1, dtype=np.int64)
+                np.cumsum(v.sum(axis=1), out=run_offs[1:])
+                f.write(native.format_kc(
+                    [names[j] for j in kj], rs[kj][v], rl[kj][v], rc[kj][v],
                     run_offs,
-                )
-            )
+                ))
+                return
+            seg_start = 0
+            for j in list(bad) + [n]:
+                kj = np.arange(seg_start, j)
+                if len(kj):
+                    v = rc[kj] != INVALID_U32
+                    run_offs = np.zeros(len(kj) + 1, dtype=np.int64)
+                    np.cumsum(v.sum(axis=1), out=run_offs[1:])
+                    f.write(native.format_kc(
+                        [names[jj] for jj in kj],
+                        rs[kj][v], rl[kj][v], rc[kj][v], run_offs,
+                    ))
+                if j < n:
+                    c = exact[int(j)]
+                    write_one(names[j], c != INVALID_U32, c)
+                seg_start = j + 1
 
-        total, long_ids, _psec, _own = self._stream(
+        total, _long_ids, _psec, _own = self._stream(
             query_path, dispatch, consume, need_names=True, progress=verbose)
-        redo = sorted(set(long_ids) | set(ovf_ids))
-        if redo:
-            # run-budget overflow redoes on DEVICE (window csids re-derive
-            # at batch speed); host-exact only for probe-lane ovf/long reads
-            seqs, names = native.parse_reads_select(query_path, redo)
-            all_csids = self._device_csids_many(seqs)
-            for i, (row, name) in enumerate(zip(seqs, names)):
-                c = all_csids[i]
-                if c is None:
-                    c = self._host_csids(row)
-                write_one(name, c != INVALID_U32, c)
         f.close()
-        return dict(num_reads=total)
+        return dict(num_reads=total, num_redo=num_redo)
 
     def kmer_matches_file(self, query_path: str, out_path: str, verbose=False):
         from ..native import lib as native
@@ -1225,6 +1423,7 @@ class QueryEngine:
         C = self.idx.num_colors
         f = open(out_path, "wb", buffering=1 << 20)
         f.write(f"num_colors={C}\n".encode())
+        num_redo = 0
 
         def write_one(name, hit, csid):
             counts = np.zeros(C, dtype=np.int64)
@@ -1239,8 +1438,6 @@ class QueryEngine:
                     [name], hw, np.array([len(hit)], np.int32), counts[None, :]
                 )
             )
-
-        ovf_ids: list[int] = []
 
         def dispatch(chunk):
             W = chunk.shape[1]
@@ -1264,7 +1461,8 @@ class QueryEngine:
                 probe_budget=self._pb,
             )
 
-        def consume(qid0, n, lens, names, handle):
+        def consume(qid0, n, lens, names, handle, chunk):
+            nonlocal num_redo
             hitw = np.ascontiguousarray(np.asarray(handle[0][:n]))
             # keep the device's count dtype (u16): format_km has a direct
             # u16 path, skipping a (batch, C) int64 conversion
@@ -1272,35 +1470,32 @@ class QueryEngine:
             ovf_any = np.asarray(handle[2][:n])
             widths = np.maximum(0, lens.astype(np.int64) - self.k + 1)
             Wcap = hitw.shape[1] * 32
-            keep = np.flatnonzero((widths <= Wcap) & ~ovf_any)
-            ovf_ids.extend(
-                (qid0 + np.flatnonzero(ovf_any & (widths <= Wcap))).tolist()
-            )
-            if len(keep):
-                f.write(
-                    native.format_km(
-                        [names[j] for j in keep],
-                        hitw[keep],
-                        widths[keep].astype(np.int32),
-                        counts[keep],
-                    )
-                )
+            bad = np.flatnonzero((widths > Wcap) | ovf_any)
+            num_redo += len(bad)
+            exact = {}
+            if len(bad):
+                for j, c in zip(bad, self._redo_csids_inline(
+                        qid0, chunk, lens, bad, query_path)):
+                    exact[int(j)] = c
+            seg_start = 0
+            for j in list(bad) + [n]:
+                kj = np.arange(seg_start, j)
+                if len(kj):
+                    f.write(native.format_km(
+                        [names[jj] for jj in kj],
+                        hitw[kj],
+                        widths[kj].astype(np.int32),
+                        counts[kj],
+                    ))
+                if j < n:
+                    c = exact[int(j)]
+                    write_one(names[j], c != INVALID_U32, c)
+                seg_start = j + 1
 
-        total, long_ids, _psec, _own = self._stream(
+        total, _long_ids, _psec, _own = self._stream(
             query_path, dispatch, consume, need_names=True, progress=verbose)
-        redo = sorted(set(long_ids) | set(ovf_ids))
-        if redo:
-            # run-budget overflow redoes on DEVICE (window csids re-derive
-            # at batch speed); host-exact only for probe-lane ovf/long reads
-            seqs, names = native.parse_reads_select(query_path, redo)
-            all_csids = self._device_csids_many(seqs)
-            for i, (row, name) in enumerate(zip(seqs, names)):
-                c = all_csids[i]
-                if c is None:
-                    c = self._host_csids(row)
-                write_one(name, c != INVALID_U32, c)
         f.close()
-        return dict(num_reads=total)
+        return dict(num_reads=total, num_redo=num_redo)
 
 
 def conservation_runs(hit: np.ndarray, csid: np.ndarray):

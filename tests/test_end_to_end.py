@@ -292,64 +292,47 @@ def test_runs_fetch_equals_dense(built, tmp_path):
         o2 = str(tmp_path / "runs.tsv")
         dense.pseudoalign_file(qfile, o1, **kw)
         runs.pseudoalign_file(qfile, o2, **kw)
-        # line SETS must match (overflow/long reads re-emit at the end in
-        # possibly different order)
-        assert sorted(open(o1).read().splitlines()) == sorted(
-            open(o2).read().splitlines()
-        ), f"mismatch for {kw}"
+        # byte-identical: every fetch strategy redoes overflow/long reads
+        # INLINE, so output is strictly in read-id order
+        assert open(o1).read() == open(o2).read(), f"mismatch for {kw}"
 
 
 def test_runs_overflow_host_fallback(built, tmp_path, monkeypatch):
     """When the per-read run budget actually overflows (forced tiny here),
-    the exact host redo must recover those reads: output line sets equal the
-    dense-path golden for pseudoalign AND kmer-conservation, and the redo
-    path must really have fired."""
-    from fulgor_tpu.native import lib as native
+    the INLINE exact redo must recover those reads: output byte-identical
+    to the dense-path golden for pseudoalign AND kmer-conservation (the
+    redo merges results back in read-id order), and stats must show the
+    redo really fired."""
     from fulgor_tpu.query import engine as E
     from fulgor_tpu.query.engine import QueryEngine
 
     tmp, index_path, qfile, reads, _ = built
     idx = Index.load(index_path)
 
-    redo_calls = []
-    real_select = native.parse_reads_select
-
-    def spy(path, ids):
-        redo_calls.append(len(ids))
-        return real_select(path, ids)
-
-    monkeypatch.setattr(native, "parse_reads_select", spy)
-
     # pseudoalign: budget 2 distinct run-csids per read -> most reads ovf
     golden = QueryEngine(idx, use_mesh=False)
     o1 = str(tmp_path / "dense.tsv")
-    golden.pseudoalign_file(qfile, o1)
+    s0 = golden.pseudoalign_file(qfile, o1)
     # the dense path may redo a FEW reads (trimmed main probe budgets
     # raise ovf for multi-candidate windows; the redo is exact), never many
-    assert sum(redo_calls) <= 20, redo_calls
-    redo_calls.clear()
+    assert s0["num_redo"] <= 20, s0
     monkeypatch.setattr(E, "RUNS_FI_BUDGET", 2)
     eng = E.QueryEngine(idx, use_mesh=False)
     eng.use_runs_fetch = True
     o2 = str(tmp_path / "runs_ovf.tsv")
-    eng.pseudoalign_file(qfile, o2)
-    assert redo_calls and redo_calls[-1] > 0, "overflow never fired"
-    assert sorted(open(o1).read().splitlines()) == sorted(
-        open(o2).read().splitlines()
-    )
+    s1 = eng.pseudoalign_file(qfile, o2)
+    assert s1["num_redo"] > 0, "overflow never fired"
+    assert open(o1).read() == open(o2).read()
 
     # kmer-conservation: same discipline via its per-width run budget
     k1 = str(tmp_path / "kc_golden.tsv")
     golden.kmer_conservation_file(qfile, k1)
-    n_before = len(redo_calls)
     monkeypatch.setattr(E, "_runs_budget", lambda W: 2)
     eng2 = E.QueryEngine(idx, use_mesh=False)
     k2 = str(tmp_path / "kc_ovf.tsv")
-    eng2.kmer_conservation_file(qfile, k2)
-    assert len(redo_calls) > n_before and redo_calls[-1] > 0, "kc overflow never fired"
-    assert sorted(open(k1).read().splitlines()) == sorted(
-        open(k2).read().splitlines()
-    )
+    s2 = eng2.kmer_conservation_file(qfile, k2)
+    assert s2["num_redo"] > 0, "kc overflow never fired"
+    assert open(k1).read() == open(k2).read()
 
 
 def test_long_reads_and_long_names(built, tmp_path):

@@ -166,6 +166,62 @@ def test_anchored_probe_contract(built):
         np.testing.assert_array_equal(csC[i][h], ce[h])
 
 
+def test_staged_probe_contract(built):
+    """Staged-verify probe soundness (the (vb1, vb2, sc, RU) 4-tuple
+    budget): every non-ovf window agrees EXACTLY with the one-pass probe
+    at (vb2, sc) — same hit, same csid — hits are never flagged ovf, and
+    every ovf window is resolvable by the exact host probe. Tiny RU / B
+    force the heavy-read tier (B2) and its sub-batch overflow path."""
+    import jax.numpy as jnp
+
+    from fulgor_tpu.ops.lookup import pack_reads_host
+
+    idx, d, genomes, rng, _paths, k_len, m_len = built
+    L = 64
+    reads = _reads(rng, genomes, 46, L)
+    batch = np.stack(reads).astype(np.uint8)
+    codes2, bad = pack_reads_host(batch)
+    args = (
+        jnp.asarray(d.slots), jnp.asarray(d.text32), jnp.asarray(d.sec_table),
+        jnp.asarray(codes2), jnp.asarray(bad),
+    )
+    kw = dict(width=L, k=k_len, m=m_len, num_slots=d.num_slots)
+    # one-pass reference at the staged second-stage budgets
+    hit1, cs1, ovf1 = map(
+        np.asarray,
+        M2.lookup_minidict2_packed(*args, **kw, probe_budget=(8, 4)),
+    )
+    exact = [M2.lookup_host_exact(d, row) for row in reads]
+    for vb1, ru in ((2, 16), (2, 2), (1, 1)):
+        hitS, csS, ovfS = map(
+            np.asarray,
+            M2.lookup_minidict2_staged_packed(*args, **kw, vb1=vb1, vb2=8,
+                                              sc=4, RU=ru),
+        )
+        assert not (hitS & ovfS).any(), f"RU={ru}: hit & ovf overlap"
+        ok = ~ovfS
+        np.testing.assert_array_equal(hitS[ok & ~ovf1], hit1[ok & ~ovf1],
+                                      err_msg=f"RU={ru} hit")
+        both = hitS & hit1
+        np.testing.assert_array_equal(csS[both], cs1[both],
+                                      err_msg=f"RU={ru} csid")
+        for i, (he, ce) in enumerate(exact):
+            okw = ok[i]
+            np.testing.assert_array_equal(hitS[i][okw], he[okw],
+                                          err_msg=f"RU={ru} read {i} hit")
+            h = hitS[i] & okw
+            np.testing.assert_array_equal(csS[i][h], ce[h],
+                                          err_msg=f"RU={ru} read {i} csid")
+        if ru == 16:
+            # this fixture's random mini-corpus is skew-HEAVY (many reads
+            # exceed RU undecided windows, and the B2 sub-batch is only
+            # B//8 = 6 rows at B=48), so a loose cap is the right check —
+            # the engine picks staged only on skew-LIGHT dictionaries,
+            # where the bench measures the real ovf rate
+            assert ovfS.mean() <= 0.35, (
+                f"staged default-budget ovf rate {ovfS.mean():.4f}")
+
+
 def test_mini_index_end_to_end(built, tmp_path):
     """mini-backend Index: build, check, save/load roundtrip, and engine
     results equal to the cuckoo backend on the same reads."""
