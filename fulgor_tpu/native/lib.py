@@ -182,6 +182,11 @@ def _load():
             ct.c_int64, ct.c_int64, ct.POINTER(ct.c_uint32),
         ]
         lib.fn_dense_bits.restype = None
+        lib.fn_and_reduce_rows.argtypes = [
+            ct.POINTER(ct.c_uint32), ct.c_int64, ct.POINTER(ct.c_int64),
+            ct.POINTER(ct.c_int64), ct.c_int64, ct.POINTER(ct.c_uint32),
+        ]
+        lib.fn_and_reduce_rows.restype = None
         lib.fn_pack_patterns.argtypes = [
             ct.POINTER(ct.c_uint64), ct.POINTER(ct.c_uint64), ct.c_int64,
             ct.POINTER(ct.c_uint64),
@@ -389,6 +394,24 @@ def _bytes_at(buf, size: int) -> bytes:
         return b""
     return bytes((ct.c_char * size).from_address(
         ct.addressof(buf.contents)))
+
+
+def _emit(buf, size: int, sink):
+    """Dispose of a malloc'd native buffer: with a sink callable, write a
+    zero-copy memoryview straight to it (the copy through Python bytes was
+    ~4.4 s of a pansal4546 run) and return the byte count; without one,
+    return a bytes copy. Frees the buffer either way."""
+    lib = _load()
+    try:
+        if size <= 0:
+            return 0 if sink is not None else b""
+        arr = (ct.c_char * size).from_address(ct.addressof(buf.contents))
+        if sink is not None:
+            sink(memoryview(arr))
+            return size
+        return bytes(arr)
+    finally:
+        lib.fn_free(buf)
 
 
 def format_psa_ascii(qids: np.ndarray, colors_cat: np.ndarray, offs: np.ndarray) -> bytes:
@@ -641,6 +664,27 @@ def dense_bits(cat: np.ndarray, starts: np.ndarray, ends: np.ndarray,
     return out
 
 
+def and_reduce_rows(dense: np.ndarray, ids: np.ndarray,
+                    starts: np.ndarray) -> np.ndarray:
+    """(len(starts)-1, W) u32: segment s = AND of dense rows ids[starts[s]:
+    starts[s+1]] (empty segment -> zeros). Parallel over segments; no
+    (total_ids, W) intermediate (vs numpy gather + bitwise_and.reduceat)."""
+    lib = _load()
+    assert dense.dtype == np.uint32 and dense.flags.c_contiguous
+    ids = np.ascontiguousarray(ids, dtype=np.int64)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    nseg = len(starts) - 1
+    out = np.empty((nseg, dense.shape[1]), dtype=np.uint32)
+    if nseg:
+        lib.fn_and_reduce_rows(
+            dense.ctypes.data_as(ct.POINTER(ct.c_uint32)), dense.shape[1],
+            ids.ctypes.data_as(ct.POINTER(ct.c_int64)),
+            starts.ctypes.data_as(ct.POINTER(ct.c_int64)),
+            nseg, out.ctypes.data_as(ct.POINTER(ct.c_uint32)),
+        )
+    return out
+
+
 def symdiff_segments_ind(cat_a, starts_a, ends_a, cat_b, starts_b, ends_b):
     """symdiff_segments with per-side arbitrary [start, end) slices: segment
     s = setxor1d(a[starts_a[s]:ends_a[s]], b[starts_b[s]:ends_b[s]]). Reads
@@ -672,9 +716,10 @@ def symdiff_segments_ind(cat_a, starts_a, ends_a, cat_b, starts_b, ends_b):
     return _take(out_ptr, int(out_offs[n]), np.uint32), out_offs
 
 
-def format_psa_ascii_bits(qids: np.ndarray, bits: np.ndarray):
+def format_psa_ascii_bits(qids: np.ndarray, bits: np.ndarray, sink=None):
     """ascii pseudoalignment block straight from (n, C32) u32 bitset rows.
-    -> (bytes, num_mapped). Avoids materializing per-read color lists."""
+    -> (bytes, num_mapped), or (bytes_written, num_mapped) with a zero-copy
+    `sink` callable. Avoids materializing per-read color lists."""
     lib = _load()
     qids = np.ascontiguousarray(qids, dtype=np.uint32)
     bits = np.ascontiguousarray(bits, dtype=np.uint32)
@@ -690,15 +735,14 @@ def format_psa_ascii_bits(qids: np.ndarray, bits: np.ndarray):
     )
     if rc != 0:
         raise RuntimeError("format_psa_ascii_bits failed")
-    out = _bytes_at(buf, blen.value)
-    lib.fn_free(buf)
-    return out, int(mapped.value)
+    return _emit(buf, blen.value, sink), int(mapped.value)
 
 
-def format_psa_ascii_bits_grouped(qids, rows, inv):
+def format_psa_ascii_bits_grouped(qids, rows, inv, sink=None):
     """ascii pseudoalignment block where read i's result is DISTINCT row
     inv[i] of `rows` (G, c32): each distinct body is formatted once and
-    memcpy'd per read. -> (bytes, num_mapped)."""
+    memcpy'd per read. -> (bytes, num_mapped), or (bytes_written,
+    num_mapped) with a zero-copy `sink` callable."""
     lib = _load()
     qids = np.ascontiguousarray(qids, dtype=np.uint32)
     rows = np.ascontiguousarray(rows, dtype=np.uint32)
@@ -716,9 +760,7 @@ def format_psa_ascii_bits_grouped(qids, rows, inv):
     )
     if rc != 0:
         raise RuntimeError("format_psa_ascii_bits_grouped failed")
-    out = _bytes_at(buf, blen.value)
-    lib.fn_free(buf)
-    return out, int(mapped.value)
+    return _emit(buf, blen.value, sink), int(mapped.value)
 
 
 class ReadsStream:

@@ -111,6 +111,22 @@ class AsyncWriter:
 WIDTH_LADDER = (64, 96, 128, 160, 192, 256, 384, 512, 768, 1024)
 MAX_STREAM_WIDTH = WIDTH_LADDER[-1]
 
+
+def _prefetch(handle, skip=()):
+    """Start async device->host copies for a dispatch result's (small)
+    outputs so the transfer overlaps the current batch's host stage — the
+    tunnel's ~30 ms round-trip latency otherwise serializes into every
+    np.asarray at consume time (profiled: 15 s of a 24 s pansal4546 run
+    was synchronous _value transfers). skip: indices to keep
+    device-resident (e.g. the full per-window csid array)."""
+    for i, a in enumerate(handle):
+        if i not in skip:
+            try:
+                a.copy_to_host_async()
+            except AttributeError:
+                pass
+    return handle
+
 import os as _os
 
 # Device-side result compaction kicks in when the dense (B, C32) result
@@ -224,6 +240,13 @@ class QueryEngine:
         # + selective row fetches).
         self.use_runs_fetch = large_c and (runs_ok or not dense_ok)
         self._runs_ok = runs_ok
+        # adaptive runs-fetch budget: starts at RUNS_FI_BUDGET; if a batch
+        # shows >2% of reads past it (heavy distinct-run tails — pansal4546
+        # sits at p90=50/p99=63 vs the default 48), later dispatches double
+        # it (one extra jit variant; the fetch bytes are prefetched and
+        # overlap the host stage, so the larger R is nearly free while the
+        # per-batch overflow recovery is not)
+        self._runs_R = RUNS_FI_BUDGET
         if self.use_runs_fetch and dense_ok:
             # the runs-path host stage reads color rows per distinct key;
             # when the dense matrix FITS, materialize it up front so
@@ -263,20 +286,26 @@ class QueryEngine:
                        | covb).sum())
             covn = int(covb.sum())
             self._covered_frac = covn / max(1, occ)
-            # skew-LIGHT dictionaries take the STAGED probe (4-tuple:
-            # 2 verifies on every lane, full (8, 4) + skew only on the
-            # compacted undecided lanes — dict_probe_packed). The gate is
-            # DELIBERATELY strict: the occupancy covered_frac UNDERSTATES
-            # the read-weighted skew need (covered entries are covered
-            # because their minimizers are popular — reads hit them
-            # disproportionately). Measured on pansal4546: occupancy 0.26
-            # but 48% of read windows need the skew table, so stage A left
-            # 51% of windows undecided, 88% of reads exceeded the RU=16
-            # tier, and the 0.45 gate produced a 77%-of-reads redo flood
-            # (1.1k reads/s). Only genuinely skew-light dictionaries
-            # (salmonella: 0.05 occupancy -> ~5% read-weighted) stay under
-            # the staged tiers; everything else runs the one-pass probe.
-            self._pb = ((2, 8, 4, 16) if self._covered_frac < 0.10
+            # One-pass probe budgets by skew band. The STAGED probe
+            # (FULGOR_PROBE_BUDGET=vb1,vb2,sc,RU — 2 verifies on every
+            # lane, full budget + skew only on per-read compacted
+            # undecided lanes) stays OPT-IN ONLY: both its tiers flood on
+            # real inputs. Read-weighted skew need far exceeds occupancy
+            # covered_frac (pansal4546: occupancy 0.26 but 48% of windows
+            # need the skew table -> 88% of reads past RU=16), and read
+            # ERRORS undecide ~2(k-m) windows each, so at 0.5%/bp the 53%
+            # of reads with >=1 error are all "heavy" even on skew-light
+            # salmonella (measured: 16% of reads redone, 71.7k -> 35.5k
+            # reads/s). Bands:
+            #  <0.10 skew-light (salmonella): trimmed (4, 2), the round-3
+            #        winner; the rare overflow reads take the host mirror.
+            #  0.10-0.45 mid (pansal4546 runs-fetch regime): the host is
+            #        the wall and the chip has slack — full (8, 4) cuts
+            #        probe-overflow reads ~6x vs (6, 3).
+            #  >=0.45 skew-heavy (pan1k shredded graphs): device-bound,
+            #        (6, 3) balances probe cost vs overflow rate.
+            self._pb = ((4, 2) if self._covered_frac < 0.10
+                        else (8, 4) if self._covered_frac < 0.45
                         else (6, 3))
         self._pb_redo = tuple(int(x) for x in _os.environ.get(
             "FULGOR_PROBE_BUDGET_REDO", "8,4").split(","))
@@ -445,27 +474,45 @@ class QueryEngine:
                 break
         return acc.astype(np.uint32)
 
+    def _intersect_segments(self, flat: np.ndarray,
+                            sizes: np.ndarray) -> np.ndarray:
+        """Segmented full-intersection: row i = AND of the index color rows
+        flat[sum(sizes[:i]) : +sizes[i]] (zeros when empty — no positive
+        k-mers). Native parallel AND-reduce when the dense matrix is
+        materialized (no (total_ids, W) intermediate, all cores); numpy
+        gather + reduceat on the on-demand row path (150k-color regime)."""
+        sizes = np.asarray(sizes, dtype=np.int64)
+        starts_full = np.zeros(len(sizes) + 1, dtype=np.int64)
+        np.cumsum(sizes, out=starts_full[1:])
+        if self.idx._dense_bits is not None:
+            from ..native import lib as native
+
+            return native.and_reduce_rows(
+                self.idx.dense_color_bits(),
+                np.asarray(flat, dtype=np.int64), starts_full)
+        res = np.zeros((len(sizes), self.idx.words_per_set), dtype=np.uint32)
+        nz = np.flatnonzero(sizes > 0)
+        if len(nz):
+            res[nz] = np.bitwise_and.reduceat(
+                self.idx.color_rows(np.asarray(flat, dtype=np.int64)),
+                starts_full[nz], axis=0
+            )
+        return res
+
     def _fi_rows_from_keys(self, keys: list) -> np.ndarray:
         """Vectorized full-intersection for MANY reads at once: keys[i] is
         read i's sorted-unique csid array (int64, no INVALID). One
-        color_rows gather + one bitwise_and.reduceat over the concatenation
-        replaces per-read intersect1d chains (~2.4 ms/read -> ~5 us/read at
-        redo-batch sizes; the round-4 redo flood spent 160+ s here).
+        segmented AND-reduce over the concatenation replaces per-read
+        intersect1d chains (~2.4 ms/read -> ~5 us/read at redo-batch
+        sizes; the round-4 redo flood spent 160+ s here).
         -> (len(keys), words_per_set) u32 bitset rows."""
-        words = self.idx.words_per_set
-        res = np.zeros((len(keys), words), dtype=np.uint32)
         if not keys:
-            return res
+            return np.zeros((0, self.idx.words_per_set), dtype=np.uint32)
         sizes = np.fromiter((len(u) for u in keys), dtype=np.int64,
                             count=len(keys))
-        nz = np.flatnonzero(sizes > 0)
-        if len(nz):
-            flat = np.concatenate([keys[i] for i in nz])
-            starts = np.concatenate([[0], np.cumsum(sizes[nz])])[:-1]
-            res[nz] = np.bitwise_and.reduceat(
-                self.idx.color_rows(flat), starts, axis=0
-            )
-        return res
+        flat = (np.concatenate(keys) if sizes.sum()
+                else np.empty(0, dtype=np.int64))
+        return self._intersect_segments(flat, sizes)
 
     def _fi_rows_from_csid_matrix(self, rows_cs: np.ndarray,
                                   wlim: np.ndarray) -> np.ndarray:
@@ -481,15 +528,7 @@ class QueryEngine:
         keep = s != np.uint32(INVALID_U32)
         keep[:, 1:] &= s[:, 1:] != s[:, :-1]
         sizes = keep.sum(axis=1).astype(np.int64)
-        res = np.zeros((n, self.idx.words_per_set), dtype=np.uint32)
-        nz = np.flatnonzero(sizes > 0)
-        if len(nz):
-            flat = s[keep].astype(np.int64)
-            starts = np.concatenate([[0], np.cumsum(sizes[nz])])[:-1]
-            res[nz] = np.bitwise_and.reduceat(
-                self.idx.color_rows(flat), starts, axis=0
-            )
-        return res
+        return self._intersect_segments(s[keep].astype(np.int64), sizes)
 
     def _fi_lists_from_csids_many(self, csids_list: list) -> list:
         """Exact FI color lists for many reads from their window-csid
@@ -535,6 +574,14 @@ class QueryEngine:
                 rows.append(np.asarray(long_map[int(j)], dtype=np.uint8))
             else:
                 rows.append(chunk[j, : lens[j]])
+        # small redo sets take the HOST exact probe: a device re-probe is a
+        # synchronous round trip that queues BEHIND the ~2 prefetched batch
+        # programs already on the chip (~1.2 s of queue-wait per batch —
+        # measured 20.8 s for 330 redo reads), while the vectorized host
+        # mirror costs ~1 ms/read and touches no device state. Large redo
+        # floods (shape regressions) still go through the device kernel.
+        if len(rows) <= 256:
+            return self._host_csids_many(rows)
         csids = self._device_csids_many(rows)
         left = [i for i, c in enumerate(csids) if c is None]
         if left:
@@ -896,10 +943,10 @@ class QueryEngine:
                 # count (exact, no overflow) — only reached in the
                 # dense-infeasible x shredded corner.
                 codes2, bad = pack_reads_host(chunk)
-                R = (min(RUNS_FI_BUDGET, W - self.k + 1) if self._runs_ok
+                R = (min(self._runs_R, W - self.k + 1) if self._runs_ok
                      else W - self.k + 1)
                 if self.mesh is not None:
-                    key = ("fi_runs" if runs_fetch else "tu_runs", W)
+                    key = ("fi_runs" if runs_fetch else "tu_runs", W, R)
                     if key not in self._mesh_fns:
                         mk = (self._mesh_mod.make_sharded_distinct_runs
                               if runs_fetch
@@ -908,16 +955,17 @@ class QueryEngine:
                                                  dparams=self.dparams)
                     codes2, bad = self._mesh_mod.place_packed(self.mesh,
                                                               codes2, bad)
-                    return self._mesh_fns[key](self.table, codes2, bad)
+                    out = self._mesh_fns[key](self.table, codes2, bad)
+                    return _prefetch(out, skip=(3,) if runs_fetch else ())
                 if runs_fetch:
-                    return query_distinct_runs_packed(
+                    return _prefetch(query_distinct_runs_packed(
                         self.table, codes2, bad, k=self.k, width=W, R=R,
                         dparams=self.dparams, probe_budget=self._pb,
-                    )
-                return query_runs_tu_packed(
+                    ), skip=(3,))
+                return _prefetch(query_runs_tu_packed(
                     self.table, codes2, bad, k=self.k, width=W, R=R,
                     dparams=self.dparams, probe_budget=self._pb,
-                )
+                ))
             if self.mesh is not None:
                 return self._mesh_dispatch(chunk, threshold, C)
             codes2, bad = pack_reads_host(chunk)
@@ -925,36 +973,36 @@ class QueryEngine:
             if tu_bits:
                 # threshold union: >= min_score moved on device, ship the
                 # passing-color lists instead of (C,) scores
-                return query_tu_lists_packed(
+                return _prefetch(query_tu_lists_packed(
                     self.table, self.bits, codes2, bad,
                     self._minscore_tab(threshold, W - self.k + 1),
                     k=self.k, width=W, num_colors=C, T=T_LIST,
                     dparams=self.dparams, color_runs=cr, probe_budget=self._pb,
-                )
+                ))
             if self.use_lists:
                 if threshold is None:
-                    return query_fi_lists_packed(
+                    return _prefetch(query_fi_lists_packed(
                         self.table, self.bits, codes2, bad, k=self.k, width=W,
                         T=T_LIST, dparams=self.dparams, color_runs=cr,
                         probe_budget=self._pb,
-                    )
-                return query_tu_lists_packed(
+                    ))
+                return _prefetch(query_tu_lists_packed(
                     self.table, self.bits, codes2, bad,
                     self._minscore_tab(threshold, W - self.k + 1),
                     k=self.k, width=W, num_colors=C, T=T_LIST,
                     dparams=self.dparams, color_runs=cr, probe_budget=self._pb,
-                )
+                ))
             if threshold is None:
-                return query_full_intersection_packed(
+                return _prefetch(query_full_intersection_packed(
                     self.table, self.bits, codes2, bad, k=self.k,
                     width=W, dparams=self.dparams, color_runs=cr,
                     probe_budget=self._pb,
-                )
-            return query_threshold_union_packed(
+                ))
+            return _prefetch(query_threshold_union_packed(
                 self.table, self.bits, codes2, bad,
                 k=self.k, width=W, num_colors=C,
                 dparams=self.dparams, color_runs=cr, probe_budget=self._pb,
-            )
+            ))
 
         def exact_lists(qid0, chunk, lens, js):
             """Inline redo: exact color lists for batch rows js -> {j: list}.
@@ -1053,6 +1101,8 @@ class QueryEngine:
             rovf = np.asarray(handle[2][:n])
             th = time.perf_counter()
             query_sec += th - tq
+            if rovf.mean() > 0.02 and self._runs_R == RUNS_FI_BUDGET:
+                self._runs_R = 2 * RUNS_FI_BUDGET  # escalate later batches
             fit = lens <= MAX_STREAM_WIDTH
             keep = fit & ~povf & ~rovf
             # run-budget-only overflow (>R distinct runs, probe decided all
@@ -1086,17 +1136,11 @@ class QueryEngine:
             v = sk.view([("", sk.dtype, sk.shape[1])]).ravel()
             _, kidx, inv = np.unique(v, return_index=True, return_inverse=True)
             keys = sk[kidx]
-            ksz = (keys != np.uint32(INVALID_U32)).sum(axis=1).astype(np.int64)
-            res = np.zeros((len(keys), self.idx.words_per_set), dtype=np.uint32)
-            nz = np.flatnonzero(ksz > 0)
-            if len(nz):
-                flat = keys[nz][keys[nz] != np.uint32(INVALID_U32)].astype(np.int64)
-                starts = np.concatenate([[0], np.cumsum(ksz[nz])])[:-1]
-                # on-demand row decode: at 150k-color scale no dense matrix
-                # exists on host or device — only touched sets decode
-                res[nz] = np.bitwise_and.reduceat(
-                    self.idx.color_rows(flat), starts, axis=0
-                )
+            kvalid = keys != np.uint32(INVALID_U32)
+            ksz = kvalid.sum(axis=1).astype(np.int64)
+            # segmented AND-reduce (native when the dense matrix exists;
+            # on-demand row decode at 150k-color scale)
+            res = self._intersect_segments(keys[kvalid].astype(np.int64), ksz)
             # run-overflow and redone rows join as extra bodies so the whole
             # batch writes once, in id order
             full_inv = np.empty(n, dtype=np.int32)
@@ -1362,11 +1406,11 @@ class QueryEngine:
                     )
                 codes2, bad = self._mesh_mod.place_packed(self.mesh, codes2, bad)
                 return self._mesh_fns[key](self.table, codes2, bad)
-            return query_conservation_runs_packed(
+            return _prefetch(query_conservation_runs_packed(
                 self.table, codes2, bad, k=self.k, width=W,
                 R=_runs_budget(W), dparams=self.dparams,
                 probe_budget=self._pb,
-            )
+            ))
 
         def consume(qid0, n, lens, names, handle, chunk):
             nonlocal num_redo
@@ -1454,12 +1498,12 @@ class QueryEngine:
                     self.table, self.bits, codes2, bad
                 )
                 return hitw, scores[:, :C], ovf
-            return query_kmer_matches_packed2(
+            return _prefetch(query_kmer_matches_packed2(
                 self.table, self.bits, codes2, bad,
                 k=self.k, width=W, num_colors=C,
                 dparams=self.dparams, color_runs=self._color_runs(W),
                 probe_budget=self._pb,
-            )
+            ))
 
         def consume(qid0, n, lens, names, handle, chunk):
             nonlocal num_redo

@@ -58,8 +58,8 @@ class AsciiFormatter:
         the bits->lists expansion entirely."""
         from ..native import lib as native
 
-        out, mapped = native.format_psa_ascii_bits(qids, bits)
-        self.f.write(out)
+        _nbytes, mapped = native.format_psa_ascii_bits(
+            qids, bits, sink=self.f.write)
         return mapped
 
     def write_batch_bits_grouped(self, qids, rows, inv) -> int:
@@ -68,8 +68,8 @@ class AsciiFormatter:
         pipeline's dedup structure, reference tools/pseudoalign.cpp:91-226)."""
         from ..native import lib as native
 
-        out, mapped = native.format_psa_ascii_bits_grouped(qids, rows, inv)
-        self.f.write(out)
+        _nbytes, mapped = native.format_psa_ascii_bits_grouped(
+            qids, rows, inv, sink=self.f.write)
         return mapped
 
     def close(self):
