@@ -780,24 +780,43 @@ def skew_probe_device(skew, flat_slots, flo, fhi, rlo, rhi, iL, iR, gate,
         sp = ((ms >> 8) & jnp.uint32(0x7F)).astype(jnp.int32)
         mo = (ms & jnp.uint32(0xFF)).astype(jnp.int32)
         mpos = wlo + mo
-        for rc, (q, wl, wh) in (
-            (False, (mpos - iL, flo, fhi)),
-            (True, (mpos - (k - m) + iR, rlo, rhi)),
-        ):
-            cand = has & (sp > 0) & (q >= wlo) & (q < wlo + sp) & ~hit
-            tlo, thi = extract33(jnp.where(cand, q, 0))
-            okv = cand & ((tlo & lo_mask) == wl) & ((thi & hi_mask) == wh)
-            new = okv & ~hit
-            val = jnp.where(new, cs, val)
-            if entry is not None:
-                e_q, e_rc, e_wlo, e_sp = entry
-                entry = (
-                    jnp.where(new, q, e_q),
-                    jnp.where(new, rc, e_rc),
-                    jnp.where(new, wlo, e_wlo),
-                    jnp.where(new, sp, e_sp),
-                )
-            hit = hit | okv
+        # Orientation-fused verify (the two text extracts were ~2/3 of the
+        # ~70 ms/candidate skew cost): the fwd- and rc-derived candidate
+        # positions are usually not BOTH in-span, so extract once at the
+        # fwd position where fwd is in-span (rc position otherwise) and
+        # re-extract only on the rare lanes where both were in-span and fwd
+        # failed — those coalesce to row 0 everywhere else. Probe order
+        # (fwd before rc) matches the unfused loop, so semantics are
+        # unchanged.
+        q_f = mpos - iL
+        q_r = mpos - (k - m) + iR
+        span_ok = has & (sp > 0)
+        cand_f = span_ok & (q_f >= wlo) & (q_f < wlo + sp)
+        cand_r = span_ok & (q_r >= wlo) & (q_r < wlo + sp)
+        cand1 = cand_f | cand_r
+        q1 = jnp.where(cand_f, q_f, q_r)
+        tlo, thi = extract33(jnp.where(cand1, q1, 0))
+        want_lo = jnp.where(cand_f, flo, rlo)
+        want_hi = jnp.where(cand_f, fhi, rhi)
+        ok1 = cand1 & ((tlo & lo_mask) == want_lo) & (
+            (thi & hi_mask) == want_hi)
+        cand2 = cand_f & cand_r & ~ok1
+        tlo2, thi2 = extract33(jnp.where(cand2, q_r, 0))
+        ok2 = cand2 & ((tlo2 & lo_mask) == rlo) & ((thi2 & hi_mask) == rhi)
+        okv = ok1 | ok2
+        new = okv & ~hit
+        val = jnp.where(new, cs, val)
+        if entry is not None:
+            e_q, e_rc, e_wlo, e_sp = entry
+            rc_new = jnp.where(ok1, ~cand_f, True)
+            q_new = jnp.where(ok1, q1, q_r)
+            entry = (
+                jnp.where(new, q_new, e_q),
+                jnp.where(new, rc_new, e_rc),
+                jnp.where(new, wlo, e_wlo),
+                jnp.where(new, sp, e_sp),
+            )
+        hit = hit | okv
     return hit, val, cnt2, entry
 
 

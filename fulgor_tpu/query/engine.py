@@ -1381,6 +1381,8 @@ class QueryEngine:
 
         f = open(out_path, "wb", buffering=1 << 20)
         num_redo = 0
+        query_sec = 0.0  # result fetch wait
+        host_sec = 0.0   # run flatten + native format + file write
 
         def write_one(name, hit, csid):
             triples = conservation_runs(hit, csid)
@@ -1413,11 +1415,14 @@ class QueryEngine:
             ))
 
         def consume(qid0, n, lens, names, handle, chunk):
-            nonlocal num_redo
+            nonlocal num_redo, query_sec, host_sec
+            tq = time.perf_counter()
             rc = np.asarray(handle[0][:n])
             rs = np.asarray(handle[1][:n]).astype(np.uint32)
             rl = np.asarray(handle[2][:n]).astype(np.uint32)
             ovf_any = np.asarray(handle[3][:n])
+            th = time.perf_counter()
+            query_sec += th - tq
             keep = (lens <= MAX_STREAM_WIDTH) & ~ovf_any
             bad = np.flatnonzero(~keep)
             num_redo += len(bad)
@@ -1438,6 +1443,7 @@ class QueryEngine:
                     [names[j] for j in kj], rs[kj][v], rl[kj][v], rc[kj][v],
                     run_offs,
                 ))
+                host_sec += time.perf_counter() - th
                 return
             seg_start = 0
             for j in list(bad) + [n]:
@@ -1454,11 +1460,13 @@ class QueryEngine:
                     c = exact[int(j)]
                     write_one(names[j], c != INVALID_U32, c)
                 seg_start = j + 1
+            host_sec += time.perf_counter() - th
 
-        total, _long_ids, _psec, _own = self._stream(
+        total, _long_ids, parse_sec, _own = self._stream(
             query_path, dispatch, consume, need_names=True, progress=verbose)
         f.close()
-        return dict(num_reads=total, num_redo=num_redo)
+        return dict(num_reads=total, num_redo=num_redo, parse_sec=parse_sec,
+                    query_sec=query_sec, host_sec=host_sec)
 
     def kmer_matches_file(self, query_path: str, out_path: str, verbose=False):
         from ..native import lib as native
