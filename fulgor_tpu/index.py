@@ -266,8 +266,8 @@ class Index:
             arrays["dict.slots"] = self.mini_slots
             arrays["dict.skew"] = self.mini_sec
             meta["dict_num_slots"] = self.mini_num_slots
-            meta["dict_version"] = 2  # 2 = skew pointer table (not the
-            # retired per-k-mer 2-choice exact table)
+            meta["dict_version"] = 3  # 3 = 15-bit fingerprint + strand
+            # bit (2 = skew pointer table with 16-bit fingerprints)
         for name, arr in cs_arrays.items():
             arrays["cs." + name] = arr
         container.save(
@@ -283,9 +283,23 @@ class Index:
             c.extra["color_store"], lambda name: c.array("cs." + name)
         )
         dict_kind = meta.get("dict_kind", "cuckoo")
-        if dict_kind == "mini" and meta.get("dict_version", 1) != 2:
+        dict_version = meta.get("dict_version", 1)
+        mini_slots = c.array("dict.slots") if dict_kind == "mini" else None
+        if dict_kind == "mini" and dict_version == 2:
+            # v2 -> v3 upgrade on load: the 15 low fingerprint bits are
+            # layout-identical; only the strand bit (bit 31) is recomputed
+            # from the dictionary's own text (ops/minidict2.py docstring).
+            from .ops.minidict2 import text32_from_packed, upgrade_slots_v2_to_v3
+
+            mini_slots = upgrade_slots_v2_to_v3(
+                mini_slots,
+                text32_from_packed(c.array("unitig_seq"),
+                                   int(c.array("unitig_offs")[-1])),
+                meta["m"],
+            )
+        elif dict_kind == "mini" and dict_version != 3:
             raise ValueError(
-                f"{path}: mini-dictionary format v{meta.get('dict_version', 1)} "
+                f"{path}: mini-dictionary format v{dict_version} "
                 "predates the skew pointer table; rebuild the index"
             )
         idx = cls(
@@ -301,7 +315,7 @@ class Index:
             u2c_csid=c.array("u2c_csid"),
             color_store=store,
             dict_kind=dict_kind,
-            mini_slots=c.array("dict.slots") if dict_kind == "mini" else None,
+            mini_slots=mini_slots,
             mini_sec=c.array("dict.skew") if dict_kind == "mini" else None,
             mini_num_slots=meta.get("dict_num_slots", 0),
         )

@@ -13,9 +13,13 @@ text extracts each. v2 removes the bucket array entirely:
     or after their bucket; a minimizer group that cannot fit entirely
     inside the probe's SCAN-slot window is PARKED in arbitrary free slots
     (covered bit set) and reached through the skew table instead;
-  * each entry carries a 16-bit fingerprint of the minimizer hash, so the
-    probe screens SCAN slots with pure register compares and text-verifies
-    only the (typically 0-1) fingerprint+in-span survivors;
+  * each entry carries a 15-bit fingerprint of the minimizer hash plus a
+    STRAND bit (is the text m-mer at the stored minimizer position the
+    canonical form?), so the probe screens SCAN slots with pure register
+    compares, resolves candidate orientation WITHOUT trying both (odd m:
+    no palindromic m-mers, so strand mismatch proves the text compare
+    would fail), and text-verifies only the (typically 0-1)
+    fingerprint+strand+in-span survivors;
   * heavy minimizer groups (>= COVER_GROUP entries — pangenomes of many
     near-identical genomes produce thousands of these) get one SKEW TABLE
     slot per COVERED K-MER: a u32 (fp8 | primary_slot_id+1) pointer keyed
@@ -184,6 +188,35 @@ def skew_build(klo: np.ndarray, khi: np.ndarray, slot_ids: np.ndarray) -> np.nda
     return rows
 
 
+def upgrade_slots_v2_to_v3(slots: np.ndarray, text32: np.ndarray,
+                           m: int) -> np.ndarray:
+    """Upgrade a v2 slot array (16-bit fingerprints) to the v3 strand-bit
+    layout: the low 15 fingerprint bits are IDENTICAL in both formats
+    (fp = key & 0x7FFF), so only bit 31 changes — recomputed as the entry's
+    text-strand bit (is the m-mer at wlo+moff canonical?) from the
+    dictionary's own text. Tombstones/empty slots get bit 31 = 0."""
+    flat = slots.reshape(-1, 3).copy()
+    # reconstruct the base codes from the stride-32 overlapping text rows
+    words = np.empty(2 * len(text32) + 2, dtype=np.uint32)
+    words[: 2 * len(text32) : 2] = text32[:, 0]
+    words[1 : 2 * len(text32) : 2] = text32[:, 1]
+    words[-2:] = text32[-1, 2:4]
+    shifts = (2 * np.arange(16, dtype=np.uint32))[None, :]
+    codes = ((words[:, None] >> shifts) & np.uint32(3)).astype(np.uint8).ravel()
+    km, _v = K.pack_kmers(codes, m)
+    tf = np.zeros(len(codes), dtype=bool)
+    if len(km):
+        tf[: len(km)] = km <= K.revcomp_packed(km, m)
+    ms = flat[:, 2]
+    sp = (ms >> np.uint32(8)) & np.uint32(0x7F)
+    real = sp > 0
+    mpos = (flat[:, 0] + (ms & np.uint32(0xFF))).astype(np.int64)
+    sigma = np.zeros(len(flat), dtype=np.uint32)
+    sigma[real] = tf[np.clip(mpos[real], 0, len(tf) - 1)]
+    flat[:, 2] = (ms & np.uint32(0x7FFFFFFF)) | (sigma << np.uint32(31))
+    return flat.reshape(slots.shape)
+
+
 def skew_candidates_host(skew: np.ndarray, klo: np.ndarray, khi: np.ndarray):
     """All fp8-matching (key_index, primary_slot_id) pairs in probe order
     (row1 slots, then row2 slots), plus the per-key match count. Exact host
@@ -330,18 +363,28 @@ def _minimizer_runs(unitig_codes, unitig_offs, unitig_cs, k, m):
     jj = j[starts][sub_of_run]
     moff = jj - wlo
     assert len(wlo) == 0 or ((moff >= 0).all() and (moff <= 255).all())
+    # per-entry strand bit: is the TEXT m-mer at the stored minimizer
+    # position the canonical form? (probe-side orientation filter)
+    km, _mv = K.pack_kmers(codes, m)
+    tf = np.ones(total, dtype=bool)
+    if len(km):
+        tf[: len(km)] = km <= K.revcomp_packed(km, m)
     return dict(
         wlo=wlo.astype(np.int64),
         span=span.astype(np.int64),
         moff=moff.astype(np.int64),
         csid=ucs[uid_k[starts]][sub_of_run],
         hash=h[jj],
+        sigma=tf[jj],
         codes=codes,
     )
 
 
 def build_minidict2(unitig_codes, unitig_offs, unitig_cs, k, m,
                     verbose=False) -> MiniDict2:
+    assert m % 2 == 1, (
+        "minidict2 requires odd m: the per-entry strand bit relies on "
+        "m-mers never being their own reverse complement")
     r = _minimizer_runs(unitig_codes, unitig_offs, unitig_cs, k, m)
     NE = len(r["wlo"])
     M = max(16, int(np.ceil(NE / LOAD)))
@@ -393,11 +436,12 @@ def build_minidict2(unitig_codes, unitig_offs, unitig_cs, k, m,
     sel = np.flatnonzero(ent_placed)
     covered_g = g_sizes >= COVER_GROUP
     ent_covered = np.repeat(covered_g, g_sizes)
-    fp = (key_s & np.uint32(0xFFFF)).astype(np.uint32)
+    fp = (key_s & np.uint32(0x7FFF)).astype(np.uint32)
     wlo_s = r["wlo"][order]
     span_s = r["span"][order]
     moff_s = r["moff"][order]
     csid_s = r["csid"][order]
+    sigma_s = r["sigma"][order]
     flat[slot_of, 0] = wlo_s[sel].astype(np.uint32)
     flat[slot_of, 1] = csid_s[sel]
     flat[slot_of, 2] = (
@@ -405,6 +449,7 @@ def build_minidict2(unitig_codes, unitig_offs, unitig_cs, k, m,
         | (span_s[sel].astype(np.uint32) << np.uint32(8))
         | (ent_covered[sel].astype(np.uint32) << np.uint32(15))
         | (fp[sel] << np.uint32(16))
+        | (sigma_s[sel].astype(np.uint32) << np.uint32(31))
     )
 
     # tombstones: every SPILLED group leaves a (sp=0, covered=1, fp) marker
@@ -416,7 +461,7 @@ def build_minidict2(unitig_codes, unitig_offs, unitig_cs, k, m,
     occupied = np.zeros(MR * ROWW, dtype=bool)
     occupied[slot_of] = True
     ts_g = np.flatnonzero(~placed)
-    ts_fp = (key_s[g_new][ts_g] & np.uint32(0xFFFF)).astype(np.uint32)
+    ts_fp = (key_s[g_new][ts_g] & np.uint32(0x7FFF)).astype(np.uint32)
     ts_lo = lo_b[ts_g]
     for i in range(len(ts_g)):
         base = int(ts_lo[i])
@@ -447,6 +492,7 @@ def build_minidict2(unitig_codes, unitig_offs, unitig_cs, k, m,
         | (span_s[unplaced_sel].astype(np.uint32) << np.uint32(8))
         | (np.uint32(1) << np.uint32(15))
         | (fp[unplaced_sel] << np.uint32(16))
+        | (sigma_s[unplaced_sel].astype(np.uint32) << np.uint32(31))
     )
     slots = flat.reshape(-1, 3 * ROWW)
 
@@ -502,16 +548,21 @@ def _window_minimizers(codes: np.ndarray, k: int, m: int):
     return minval, left, right
 
 
-def _probe_candidates(d: MiniDict2, p, minval, left, right):
+def _probe_candidates(d: MiniDict2, p, minval, left, right, tf=None):
     """In-slot-order (entry, orientation) candidates for window p:
     fingerprint-matching, in-span, NOT covered (covered entries are reached
     via the skew table). -> (cands [(q, csid, orient)], gated) where gated
     mirrors the device's need_sec rule (covered/marker fp match, or window
-    full). Shared by both host probes."""
+    full). Shared by both host probes.
+
+    tf: per-position take_f (fwd m-mer == canonical) array — when given,
+    candidates whose orientation is strand-incompatible with the entry's
+    stored strand bit are dropped (the device-sem budget filter); the
+    exact probe passes None and verifies both orientations."""
     k, m = d.k, d.m
     kk = probe_key(np.array([minval[p]], np.uint32))
     b = int(_fastrange32(kk, d.num_slots)[0])
-    fp = np.uint32(int(kk[0]) & 0xFFFF)
+    fp = np.uint32(int(kk[0]) & 0x7FFF)
     flat = d.slots.reshape(-1, 3)
     base = b & ~(ROWW - 1)
     cands = []
@@ -521,18 +572,22 @@ def _probe_candidates(d: MiniDict2, p, minval, left, right):
         wlo, cs, ms = flat[sidx]
         sp = (int(ms) >> 8) & 0x7F
         cov = (int(ms) >> 15) & 1
+        efp = np.uint32((int(ms) >> 16) & 0x7FFF)
+        st = (int(ms) >> 31) & 1
         n_occ += int(sp > 0 or cov)
-        if cov and np.uint32(int(ms) >> 16) == fp:
+        if cov and efp == fp:
             gated = True
-        if sp == 0 or np.uint32(int(ms) >> 16) != fp or cov:
+        if sp == 0 or efp != fp or cov:
             continue
         mo = int(ms) & 0xFF
         mpos = int(wlo) + mo
         qf = mpos - int(left[p])
-        if int(wlo) <= qf < int(wlo) + sp:
+        if int(wlo) <= qf < int(wlo) + sp and (
+                tf is None or int(tf[p + int(left[p])]) == st):
             cands.append((qf, int(cs), 0))
         qr = mpos - (k - m) + int(right[p])
-        if int(wlo) <= qr < int(wlo) + sp:
+        if int(wlo) <= qr < int(wlo) + sp and (
+                tf is None or int(tf[p + int(right[p])]) != st):
             cands.append((qr, int(cs), 1))
     if n_occ >= SCAN:
         gated = True
@@ -557,12 +612,17 @@ def _probe_read(d: MiniDict2, codes: np.ndarray, budget):
         return hit, out, ovf
     minval, left, right = _window_minimizers(codes, k, m)
     flo, fhi, rlo, rhi, okw = window_packings_lsb(codes, k)
+    km_m, _mv = K.pack_kmers(codes, m)
+    tf = np.ones(len(codes), dtype=bool)
+    if len(km_m):
+        tf[: len(km_m)] = km_m <= K.revcomp_packed(km_m, m)
     lo_mask = np.uint32(0xFFFFFFFF) if 2 * k >= 32 else np.uint32((1 << (2 * k)) - 1)
     hi_mask = np.uint32((1 << (2 * k - 32)) - 1) if 2 * k > 32 else np.uint32(0)
     for p in range(Wk):
         if not okw[p] or minval[p] == 0xFFFFFFFF:
             continue
-        cands, gated = _probe_candidates(d, p, minval, left, right)
+        cands, gated = _probe_candidates(
+            d, p, minval, left, right, tf if budget is not None else None)
         nv = len(cands) if budget is None else min(budget, len(cands))
         for q, cs, orient in cands[:nv]:
             if _verify(d, q, orient, flo[p], fhi[p], rlo[p], rhi[p], lo_mask, hi_mask):
@@ -579,23 +639,44 @@ def _probe_read(d: MiniDict2, codes: np.ndarray, budget):
             if budget is not None:
                 sids = sids[:SKEW_CAND]
             flat = d.slots.reshape(-1, 3)
+            tie = False
             for sid in sids:
                 wlo, cs, ms = flat[sid]
                 sp = (int(ms) >> 8) & 0x7F
                 mo = int(ms) & 0xFF
+                st = (int(ms) >> 31) & 1
                 mpos = int(wlo) + mo
-                for orient, q in (
-                    (0, mpos - int(left[p])),
-                    (1, mpos - (k - m) + int(right[p])),
-                ):
-                    if sp > 0 and int(wlo) <= q < int(wlo) + sp and not hit[p]:
-                        if _verify(d, q, orient, flo[p], fhi[p], rlo[p],
-                                   rhi[p], lo_mask, hi_mask):
-                            hit[p], out[p] = True, int(cs)
-                if hit[p]:
+                qf = mpos - int(left[p])
+                qr = mpos - (k - m) + int(right[p])
+                if budget is None:
+                    # exact: verify both orientations, no strand filter
+                    for orient, q in ((0, qf), (1, qr)):
+                        if (sp > 0 and int(wlo) <= q < int(wlo) + sp
+                                and not hit[p]):
+                            if _verify(d, q, orient, flo[p], fhi[p], rlo[p],
+                                       rhi[p], lo_mask, hi_mask):
+                                hit[p], out[p] = True, int(cs)
+                    if hit[p]:
+                        break
+                    continue
+                # device-sem mirror: strand filter + fused single verify
+                # (fwd-derived candidate probed first; an unprobed viable
+                # rc on the same candidate reports `tie` -> ovf)
+                cand_f = (sp > 0 and int(wlo) <= qf < int(wlo) + sp
+                          and int(tf[p + int(left[p])]) == st)
+                cand_r = (sp > 0 and int(wlo) <= qr < int(wlo) + sp
+                          and int(tf[p + int(right[p])]) != st)
+                if not (cand_f or cand_r):
+                    continue
+                orient, q = (0, qf) if cand_f else (1, qr)
+                if _verify(d, q, orient, flo[p], fhi[p], rlo[p], rhi[p],
+                           lo_mask, hi_mask):
+                    hit[p], out[p] = True, int(cs)
                     break
+                if cand_f and cand_r:
+                    tie = True
             if (not hit[p] and budget is not None and gated
-                    and int(cnt2[0]) > SKEW_CAND):
+                    and (int(cnt2[0]) > SKEW_CAND or tie)):
                 ovf[p] = True
         if not hit[p] and budget is not None and len(cands) > budget:
             ovf[p] = True
@@ -639,7 +720,7 @@ def probe_windows_host(d: MiniDict2, codes: np.ndarray):
 
     kk = probe_key(minval)
     base = _fastrange32(kk, d.num_slots) & ~np.int64(ROWW - 1)
-    fp = (kk & np.uint32(0xFFFF)).astype(np.uint32)
+    fp = (kk & np.uint32(0x7FFF)).astype(np.uint32)
     flat = d.slots.reshape(-1, 3)
     left64 = left.astype(np.int64)
     right64 = right.astype(np.int64)
@@ -650,7 +731,8 @@ def probe_windows_host(d: MiniDict2, codes: np.ndarray):
         ms = rows[:, 2]
         sp = ((ms >> np.uint32(8)) & np.uint32(0x7F)).astype(np.int64)
         cov = (ms >> np.uint32(15)) & np.uint32(1)
-        okc = usable & (sp > 0) & ((ms >> np.uint32(16)) == fp) & (cov == 0)
+        okc = usable & (sp > 0) & (
+            ((ms >> np.uint32(16)) & np.uint32(0x7FFF)) == fp) & (cov == 0)
         mo = (ms & np.uint32(0xFF)).astype(np.int64)
         mpos = wlo + mo
         for q, wl, wh in (
@@ -736,13 +818,18 @@ def _make_extract33(text32):
     return extract33
 
 
-def skew_probe_device(skew, flat_slots, flo, fhi, rlo, rhi, iL, iR, gate,
+def skew_probe_device(skew, flat_slots, flo, fhi, rlo, rhi, iL, iR,
+                      sigL, sigR, gate,
                       hit, val, *, k: int, m: int, lo_mask, hi_mask,
                       extract33, entry=None, sc: int | None = None):
     """Device skew route (mirror of the SKEW_CAND-capped host semantics):
     select the first SKEW_CAND fp8-matching pointers in probe order, gather
-    their primary entries, text-verify the in-span orientations.
-    -> (hit, val, skew_cnt, entry). Non-gated lanes gather row/slot 0.
+    their primary entries, text-verify the strand-compatible in-span
+    orientation (ONE extract per candidate; see the strand-bit notes in
+    _probe_entries). -> (hit, val, skew_cnt, tie, entry): `tie` marks lanes
+    where some candidate had BOTH orientations viable and the probed one
+    missed — the caller overflows those to the exact fallback. Non-gated
+    lanes gather row/slot 0.
     entry: optional (q, rc, wlo, sp) winning-candidate tracking arrays,
     updated where this route lands a NEW hit (run-anchored probing)."""
     import jax.numpy as jnp
@@ -759,6 +846,7 @@ def skew_probe_device(skew, flat_slots, flo, fhi, rlo, rhi, iL, iR, gate,
     if sc is None:
         sc = SKEW_CAND
     cnt2 = jnp.zeros(klo.shape, jnp.int32)
+    tie = jnp.zeros(klo.shape, bool)
     sid = [jnp.zeros(klo.shape, jnp.int32) for _ in range(sc)]
     for h in (h1, h2):
         r = jnp.where(gate, mulhi32(h, NR).astype(jnp.int32), 0)
@@ -778,46 +866,39 @@ def skew_probe_device(skew, flat_slots, flo, fhi, rlo, rhi, iL, iR, gate,
         cs = ent[..., 1]
         ms = ent[..., 2]
         sp = ((ms >> 8) & jnp.uint32(0x7F)).astype(jnp.int32)
+        st = (ms >> 31) == 1
         mo = (ms & jnp.uint32(0xFF)).astype(jnp.int32)
         mpos = wlo + mo
-        # Orientation-fused verify (the two text extracts were ~2/3 of the
-        # ~70 ms/candidate skew cost): the fwd- and rc-derived candidate
-        # positions are usually not BOTH in-span, so extract once at the
-        # fwd position where fwd is in-span (rc position otherwise) and
-        # re-extract only on the rare lanes where both were in-span and fwd
-        # failed — those coalesce to row 0 everywhere else. Probe order
-        # (fwd before rc) matches the unfused loop, so semantics are
-        # unchanged.
+        # ONE text extract per candidate: the strand filter (see
+        # _probe_entries) leaves at most one viable orientation except for
+        # inverted-repeat minimizers (both in-span AND strand-compatible);
+        # the fwd derivation is probed first (host mirror order) and the
+        # unprobed-rc case reports `tie` for the caller's ovf.
         q_f = mpos - iL
         q_r = mpos - (k - m) + iR
         span_ok = has & (sp > 0)
-        cand_f = span_ok & (q_f >= wlo) & (q_f < wlo + sp)
-        cand_r = span_ok & (q_r >= wlo) & (q_r < wlo + sp)
+        cand_f = span_ok & (q_f >= wlo) & (q_f < wlo + sp) & (sigL == st)
+        cand_r = span_ok & (q_r >= wlo) & (q_r < wlo + sp) & (sigR != st)
         cand1 = cand_f | cand_r
         q1 = jnp.where(cand_f, q_f, q_r)
         tlo, thi = extract33(jnp.where(cand1, q1, 0))
         want_lo = jnp.where(cand_f, flo, rlo)
         want_hi = jnp.where(cand_f, fhi, rhi)
-        ok1 = cand1 & ((tlo & lo_mask) == want_lo) & (
+        okv = cand1 & ((tlo & lo_mask) == want_lo) & (
             (thi & hi_mask) == want_hi)
-        cand2 = cand_f & cand_r & ~ok1
-        tlo2, thi2 = extract33(jnp.where(cand2, q_r, 0))
-        ok2 = cand2 & ((tlo2 & lo_mask) == rlo) & ((thi2 & hi_mask) == rhi)
-        okv = ok1 | ok2
+        tie = tie | (cand_f & cand_r & ~okv)
         new = okv & ~hit
         val = jnp.where(new, cs, val)
         if entry is not None:
             e_q, e_rc, e_wlo, e_sp = entry
-            rc_new = jnp.where(ok1, ~cand_f, True)
-            q_new = jnp.where(ok1, q1, q_r)
             entry = (
-                jnp.where(new, q_new, e_q),
-                jnp.where(new, rc_new, e_rc),
+                jnp.where(new, q1, e_q),
+                jnp.where(new, ~cand_f, e_rc),
                 jnp.where(new, wlo, e_wlo),
                 jnp.where(new, sp, e_sp),
             )
         hit = hit | okv
-    return hit, val, cnt2, entry
+    return hit, val, cnt2, tie, entry
 
 
 def _rev2_32(x):
@@ -988,19 +1069,27 @@ def _window_prep_from_words(words, badw, L: int, k: int, m: int):
     h = jnp.where(ok_m, h, jnp.uint32(0xFFFFFFFF))
 
     # ---- sliding min + leftmost/rightmost argmin ----
+    # The scan also carries take_f (fwd m-mer == canonical) at the argmin:
+    # the strand of the winning minimizer occurrence resolves candidate
+    # orientation against the entry's stored strand bit, so each slot entry
+    # spawns ONE oriented candidate instead of two (halving the verify
+    # budget the probe needs for the same coverage).
     pos = jnp.broadcast_to(jax.lax.broadcasted_iota(jnp.int32, (1, Wm), 1), (B, Wm))
-    vL, pL, vR, pR = h, pos, h, pos
+    vL, pL, sL, vR, pR, sR = h, pos, take_f, h, pos, take_f
     span = 1
     while span < w:
         step = min(span, w - span)
-        bvL, bpL = vL[:, step:], pL[:, step:]
-        avL, apL = vL[:, : vL.shape[1] - step], pL[:, : pL.shape[1] - step]
+        bvL, bpL, bsL = vL[:, step:], pL[:, step:], sL[:, step:]
+        nL = vL.shape[1] - step
+        avL, apL, asL = vL[:, :nL], pL[:, :nL], sL[:, :nL]
         tL = (bvL < avL) | ((bvL == avL) & (bpL < apL))
         vL, pL = jnp.where(tL, bvL, avL), jnp.where(tL, bpL, apL)
-        bvR, bpR = vR[:, step:], pR[:, step:]
-        avR, apR = vR[:, : vR.shape[1] - step], pR[:, : pR.shape[1] - step]
+        sL = jnp.where(tL, bsL, asL)
+        bvR, bpR, bsR = vR[:, step:], pR[:, step:], sR[:, step:]
+        avR, apR, asR = vR[:, :nL], pR[:, :nL], sR[:, :nL]
         tR = (bvR < avR) | ((bvR == avR) & (bpR > apR))
         vR, pR = jnp.where(tR, bvR, avR), jnp.where(tR, bpR, apR)
+        sR = jnp.where(tR, bsR, asR)
         span += step
     minval = vL[:, :Wk]
     kpos = jnp.broadcast_to(jax.lax.broadcasted_iota(jnp.int32, (1, Wk), 1), (B, Wk))
@@ -1008,24 +1097,30 @@ def _window_prep_from_words(words, badw, L: int, k: int, m: int):
     pRabs = pR[:, :Wk]
     iL = pLabs - kpos
     iR = pRabs - kpos
+    sigL = sL[:, :Wk]
+    sigR = sR[:, :Wk]
 
     usable = okw & (minval != jnp.uint32(0xFFFFFFFF))
-    return minval, iL, iR, pLabs, pRabs, flo, fhi, rlo, rhi, usable
+    return (minval, iL, iR, pLabs, pRabs, sigL, sigR, flo, fhi, rlo, rhi,
+            usable)
 
 
 def _window_prep(codes, k: int, m: int):
     """Per-window minimizer + packing preamble shared by the probe variants.
 
-    -> (minval, iL, iR, pLabs, pRabs, flo, fhi, rlo, rhi, usable), all
-    (B, Wk); pLabs/pRabs are the ABSOLUTE read positions of the leftmost /
-    rightmost minimal m-mer in each window (run anchoring keys off them)."""
+    -> (minval, iL, iR, pLabs, pRabs, sigL, sigR, flo, fhi, rlo, rhi,
+    usable), all (B, Wk); pLabs/pRabs are the ABSOLUTE read positions of the
+    leftmost / rightmost minimal m-mer in each window (run anchoring keys
+    off them); sigL/sigR are take_f (fwd == canonical) at those positions
+    (the strand filter's read side)."""
     B, L = codes.shape
     words, badw = _device_pack_codes(codes)
     return _window_prep_from_words(words, badw, L, k, m)
 
 
-def _probe_entries(slots, text32, sec_table, minval, iL, iR, flo, fhi, rlo,
-                   rhi, usable, *, k: int, m: int, num_slots: int, gate=None,
+def _probe_entries(slots, text32, sec_table, minval, iL, iR, sigL, sigR,
+                   flo, fhi, rlo, rhi, usable, *, k: int, m: int,
+                   num_slots: int, gate=None,
                    want_entry: bool = False, vb: int | None = None,
                    sc: int | None = None, stage1: bool = False):
     """Full per-lane probe: slot-window candidate screen, text verify, skew
@@ -1059,10 +1154,11 @@ def _probe_entries(slots, text32, sec_table, minval, iL, iR, flo, fhi, rlo,
     use = usable if gate is None else (usable & gate)
     B, Wk = minval.shape
 
-    # ---- probe key, bucket, fingerprint ----
+    # ---- probe key, bucket, fingerprint (15 bits; bit 31 of the meta
+    # word is the entry's text-strand bit) ----
     kk = mix32(minval)
     b = mulhi32(kk, num_slots).astype(jnp.int32)
-    fp = kk & jnp.uint32(0xFFFF)
+    fp = kk & jnp.uint32(0x7FFF)
     rsh = ROWW.bit_length() - 1
     baseR = (b >> rsh)  # row of (b & ~(ROWW-1)); SCAN/ROWW row gathers
 
@@ -1097,14 +1193,22 @@ def _probe_entries(slots, text32, sec_table, minval, iL, iR, flo, fhi, rlo,
         ms = row[..., off + 2]
         sp = ((ms >> 8) & jnp.uint32(0x7F)).astype(jnp.int32)
         cov = (ms >> 15) & jnp.uint32(1)
-        efp = ms >> 16
+        efp = (ms >> 16) & jnp.uint32(0x7FFF)
+        st = (ms >> 31) == 1
         need_sec = need_sec | ((cov == 1) & (efp == fp))
         n_occ = n_occ + ((sp > 0) | (cov == 1)).astype(jnp.int32)
         okc = use & (sp > 0) & (efp == fp) & (cov == 0)
         mo = (ms & jnp.uint32(0xFF)).astype(jnp.int32)
         mpos = wlo + mo
-        for orient, q in ((False, mpos - iL), (True, mpos - (k - m) + iR)):
-            cand = okc & (q >= wlo) & (q < wlo + sp)
+        # strand filter: a fwd candidate can only match when the window's
+        # winning minimizer occurrence has the same strand as the entry's
+        # stored occurrence (odd m: no palindromic m-mers, so strand
+        # mismatch PROVES the text compare would fail)
+        for orient, q, sok in (
+            (False, mpos - iL, sigL == st),
+            (True, mpos - (k - m) + iR, sigR != st),
+        ):
+            cand = okc & sok & (q >= wlo) & (q < wlo + sp)
             for j in range(vb):
                 upd = cand & (cnt == j)
                 q_sel[j] = jnp.where(upd, q, q_sel[j])
@@ -1156,14 +1260,20 @@ def _probe_entries(slots, text32, sec_table, minval, iL, iR, flo, fhi, rlo,
     # gated — everyone else coalesces onto row/slot 0 ----
     gate2 = use & ~hit & need_sec
     flat_slots = slots.reshape(-1, 3)
-    hit, val, cnt2, entry = skew_probe_device(
-        sec_table, flat_slots, flo, fhi, rlo, rhi, iL, iR, gate2, hit, val,
+    hit, val, cnt2, tie, entry = skew_probe_device(
+        sec_table, flat_slots, flo, fhi, rlo, rhi, iL, iR, sigL, sigR,
+        gate2, hit, val,
         k=k, m=m, lo_mask=lo_mask, hi_mask=hi_mask, extract33=extract33,
         entry=entry, sc=sc,
     )
 
+    # tie: both orientations of some skew candidate were strand-compatible
+    # and in-span (an inverted-repeat minimizer — vanishingly rare) and the
+    # probed one missed; the lane cannot prove absence without the second
+    # extract the fused route no longer performs, so it overflows to the
+    # exact fallback instead.
     ovf = (use & ~hit & (cnt > vb)) | (
-        gate2 & ~hit & (cnt2 > sc)
+        gate2 & ~hit & ((cnt2 > sc) | tie)
     )
     val = jnp.where(hit, val, jnp.uint32(INVALID_U32))
     if want_entry:
@@ -1198,10 +1308,12 @@ def lookup_minidict2_packed(slots, text32, sec_table, codes2, bad, *,
 
 def _probe_per_window(slots, text32, sec_table, prep, k, m, num_slots,
                       probe_budget=None):
-    (minval, iL, iR, _pL, _pR, flo, fhi, rlo, rhi, usable) = prep
+    (minval, iL, iR, _pL, _pR, sigL, sigR, flo, fhi, rlo, rhi,
+     usable) = prep
     vb, sc = probe_budget if probe_budget is not None else (None, None)
     return _probe_entries(
-        slots, text32, sec_table, minval, iL, iR, flo, fhi, rlo, rhi, usable,
+        slots, text32, sec_table, minval, iL, iR, sigL, sigR, flo, fhi,
+        rlo, rhi, usable,
         k=k, m=m, num_slots=num_slots, vb=vb, sc=sc,
     )
 
@@ -1243,14 +1355,16 @@ def _probe_staged(slots, text32, sec_table, prep, k, m, num_slots,
 
     from .intersect import mask_positions
 
-    (minval, iL, iR, _pL, _pR, flo, fhi, rlo, rhi, usable) = prep
+    (minval, iL, iR, _pL, _pR, sigL, sigR, flo, fhi, rlo, rhi,
+     usable) = prep
     B, Wk = minval.shape
     RU = min(RU, Wk)
     BH = max(1, B // 8)
 
     # ---- stage A: screen + vb1 verifies on every lane ----
     hit, val, cnt, need_sec = _probe_entries(
-        slots, text32, sec_table, minval, iL, iR, flo, fhi, rlo, rhi, usable,
+        slots, text32, sec_table, minval, iL, iR, sigL, sigR, flo, fhi,
+        rlo, rhi, usable,
         k=k, m=m, num_slots=num_slots, vb=vb1, stage1=True,
     )
     undec = usable & ~hit & ((cnt > vb1) | need_sec)
@@ -1268,8 +1382,8 @@ def _probe_staged(slots, text32, sec_table, prep, k, m, num_slots,
         return jnp.take_along_axis(a, posU, axis=1)
 
     hitU, valU, ovfU = _probe_entries(
-        slots, text32, sec_table, gU(minval), gU(iL), gU(iR), gU(flo),
-        gU(fhi), gU(rlo), gU(rhi), validU,
+        slots, text32, sec_table, gU(minval), gU(iL), gU(iR), gU(sigL),
+        gU(sigR), gU(flo), gU(fhi), gU(rlo), gU(rhi), validU,
         k=k, m=m, num_slots=num_slots, gate=validU, vb=vb2, sc=sc,
     )
     urank = jnp.cumsum(light_undec.astype(jnp.int32), axis=1) - 1
@@ -1288,8 +1402,8 @@ def _probe_staged(slots, text32, sec_table, prep, k, m, num_slots,
 
     useH = gH(undec) & validH[:, None]
     hitH, valH, ovfH = _probe_entries(
-        slots, text32, sec_table, gH(minval), gH(iL), gH(iR), gH(flo),
-        gH(fhi), gH(rlo), gH(rhi), useH,
+        slots, text32, sec_table, gH(minval), gH(iL), gH(iR), gH(sigL),
+        gH(sigR), gH(flo), gH(fhi), gH(rlo), gH(rhi), useH,
         k=k, m=m, num_slots=num_slots, gate=useH, vb=vb2, sc=sc,
     )
     hrank = jnp.cumsum(heavy.astype(jnp.int32)) - 1
@@ -1384,7 +1498,8 @@ def _probe_anchored(slots, text32, sec_table, prep, k, m, num_slots, RA, RU):
 
     from .intersect import mask_positions
 
-    (minval, iL, iR, pLabs, pRabs, flo, fhi, rlo, rhi, usable) = prep
+    (minval, iL, iR, pLabs, pRabs, sigL, sigR, flo, fhi, rlo, rhi,
+     usable) = prep
     B, Wk = minval.shape
     if RA is None:
         RA = anchor_budget(Wk, k, m)
@@ -1423,8 +1538,8 @@ def _probe_anchored(slots, text32, sec_table, prep, k, m, num_slots, RA, RU):
 
     laneok = jnp.concatenate([validS, probeE], axis=1)
     hitA, valA, ovfA, (qA, rcA, wloA, spA) = _probe_entries(
-        slots, text32, sec_table, gA(minval), gA(iL), gA(iR), gA(flo),
-        gA(fhi), gA(rlo), gA(rhi), laneok,
+        slots, text32, sec_table, gA(minval), gA(iL), gA(iR), gA(sigL),
+        gA(sigR), gA(flo), gA(fhi), gA(rlo), gA(rhi), laneok,
         k=k, m=m, num_slots=num_slots, gate=laneok, want_entry=True,
     )
 
@@ -1489,8 +1604,8 @@ def _probe_anchored(slots, text32, sec_table, prep, k, m, num_slots, RA, RU):
         return jnp.take_along_axis(a, posU, axis=1)
 
     hitU, valU, ovfU = _probe_entries(
-        slots, text32, sec_table, gU(minval), gU(iL), gU(iR), gU(flo),
-        gU(fhi), gU(rlo), gU(rhi), validU,
+        slots, text32, sec_table, gU(minval), gU(iL), gU(iR), gU(sigL),
+        gU(sigR), gU(flo), gU(fhi), gU(rlo), gU(rhi), validU,
         k=k, m=m, num_slots=num_slots, gate=validU,
     )
     urank = jnp.cumsum(undec.astype(jnp.int32), axis=1) - 1

@@ -297,16 +297,20 @@ class QueryEngine:
             # of reads with >=1 error are all "heavy" even on skew-light
             # salmonella (measured: 16% of reads redone, 71.7k -> 35.5k
             # reads/s). Bands:
-            #  <0.10 skew-light (salmonella): trimmed (4, 2), the round-3
-            #        winner; the rare overflow reads take the host mirror.
+            #  <0.10 skew-light (salmonella): trimmed, the round-3 winner;
+            #        the rare overflow reads take the host mirror.
             #  0.10-0.45 mid (pansal4546 runs-fetch regime): the host is
-            #        the wall and the chip has slack — full (8, 4) cuts
-            #        probe-overflow reads ~6x vs (6, 3).
+            #        the wall and the chip has slack — the full budget cuts
+            #        probe-overflow reads ~6x vs the mid trim.
             #  >=0.45 skew-heavy (pan1k shredded graphs): device-bound,
-            #        (6, 3) balances probe cost vs overflow rate.
-            self._pb = ((4, 2) if self._covered_frac < 0.10
-                        else (8, 4) if self._covered_frac < 0.45
-                        else (6, 3))
+            #        mid budgets balance probe cost vs overflow rate.
+            # Verify budgets are HALF the round-3 bands: the strand-bit
+            # entry layout spawns one oriented candidate per slot entry
+            # instead of two, so candidate pressure halved (skew budgets
+            # stay — pointer counts are strand-independent).
+            self._pb = ((2, 2) if self._covered_frac < 0.10
+                        else (4, 4) if self._covered_frac < 0.45
+                        else (3, 3))
         self._pb_redo = tuple(int(x) for x in _os.environ.get(
             "FULGOR_PROBE_BUDGET_REDO", "8,4").split(","))
         # FULGOR_SELFCHECK=N: runtime oracle (the reference's Debug-build
