@@ -263,6 +263,14 @@ class QueryEngine:
         # against on-demand decoded sets (no dense matrix anywhere)
         self.use_tu_runs = not dense_ok
         self._ms_tabs: dict = {}
+        # cross-batch FI result cache for the runs path: distinct-csid key
+        # bytes -> intersected (C32,) row. Clonal corpora repeat a small
+        # set of hot keys across every batch (reads inside one core-gene
+        # region all share a key), so later batches skip the row gather +
+        # AND-reduce entirely. Bounded; cleared when full.
+        self._fi_key_cache: dict = {}
+        self._fi_key_cache_cap = int(
+            _os.environ.get("FULGOR_FI_KEY_CACHE", "200000"))
         # probe budgets (VERIFY_BUDGET, SKEW_CAND): the MAIN kernels run
         # trimmed budgets when the dictionary is skew-LIGHT — each verify
         # candidate costs ~22 ms and each skew candidate ~70 ms of a
@@ -1140,11 +1148,32 @@ class QueryEngine:
             v = sk.view([("", sk.dtype, sk.shape[1])]).ravel()
             _, kidx, inv = np.unique(v, return_index=True, return_inverse=True)
             keys = sk[kidx]
-            kvalid = keys != np.uint32(INVALID_U32)
-            ksz = kvalid.sum(axis=1).astype(np.int64)
-            # segmented AND-reduce (native when the dense matrix exists;
-            # on-demand row decode at 150k-color scale)
-            res = self._intersect_segments(keys[kvalid].astype(np.int64), ksz)
+            # cross-batch cache: only MISSING keys pay the segmented
+            # AND-reduce (native when the dense matrix exists; on-demand
+            # row decode at 150k-color scale)
+            cache = self._fi_key_cache
+            kb = keys.tobytes()
+            rowlen = keys.shape[1] * 4
+            res = np.empty((len(keys), self.idx.words_per_set),
+                           dtype=np.uint32)
+            miss = []
+            for i in range(len(keys)):
+                r = cache.get(kb[i * rowlen: (i + 1) * rowlen])
+                if r is None:
+                    miss.append(i)
+                else:
+                    res[i] = r
+            if miss:
+                mk = keys[miss]
+                mvalid = mk != np.uint32(INVALID_U32)
+                msz = mvalid.sum(axis=1).astype(np.int64)
+                mres = self._intersect_segments(
+                    mk[mvalid].astype(np.int64), msz)
+                res[miss] = mres
+                if len(cache) + len(miss) > self._fi_key_cache_cap:
+                    cache.clear()
+                for i, row in zip(miss, mres):
+                    cache[kb[i * rowlen: (i + 1) * rowlen]] = row
             # run-overflow and redone rows join as extra bodies so the whole
             # batch writes once, in id order
             full_inv = np.empty(n, dtype=np.int32)
