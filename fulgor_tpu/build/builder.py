@@ -150,7 +150,7 @@ def estimate_build_passes(filenames: list[str], ram_gib: float | None) -> int:
 
 
 def build_index(
-    filenames: list[str], k: int = 31, m: int = 20, verbose: bool = False,
+    filenames: list[str], k: int = 31, m: int = 19, verbose: bool = False,
     ram_gib: float | None = None, dict_kind: str = "mini",
     spill_dir: str | None = None,
 ) -> Index:
@@ -160,20 +160,42 @@ def build_index(
     None = measure the host's available RAM);
     spill_dir switches the multi-pass partitioning from per-pass re-parsing
     to a single parse spilling partition streams to temp files there
-    (reference -d temp-dir semantics, GGCAT.hpp:42-50)."""
+    (reference -d temp-dir semantics, GGCAT.hpp:42-50). When passes > 1 and
+    no spill_dir is given, a temp dir is created automatically (single-parse
+    is the default: re-parsing a multi-GB gz corpus per pass dominated the
+    4,546-genome build wall-clock)."""
+    import shutil
+    import tempfile
     import time
 
     from ..native import lib as native
 
+    if dict_kind == "mini" and m % 2 == 0:
+        # the mini dictionary's per-entry strand bit is only sound when no
+        # m-mer can equal its own reverse complement, i.e. odd m; the
+        # minimizer length is an internal space/speed knob (results are
+        # exact either way), so quietly use the next odd value down
+        if verbose:
+            print(f"note: mini dictionary needs odd m; using m={m - 1}")
+        m -= 1
+
     passes = estimate_build_passes(filenames, ram_gib)
+    _auto_spill = None
+    if spill_dir is None and passes > 1:
+        _auto_spill = tempfile.mkdtemp(prefix="fulgor_spill_")
+        spill_dir = _auto_spill
     t0 = time.perf_counter()
     if verbose:
         mode = f"spill to {spill_dir}" if spill_dir and passes > 1 else "re-parse"
         print(
             f"step 1+2. building ccdBG over {len(filenames)} references "
-            f"(k={k}, passes={passes}, {mode})..."
+            f"(k={k}, passes={passes}, {mode})...", flush=True
         )
-    g = native.build_ccdbg(filenames, k, num_passes=passes, spill_dir=spill_dir)
+    try:
+        g = native.build_ccdbg(filenames, k, num_passes=passes, spill_dir=spill_dir)
+    finally:
+        if _auto_spill is not None:
+            shutil.rmtree(_auto_spill, ignore_errors=True)
     t1 = time.perf_counter()
     if verbose:
         print(

@@ -267,7 +267,7 @@ def main(argv=None):
     b.add_argument("-l", dest="filenames_list", required=True, help="list of FASTA(.gz) files")
     b.add_argument("-o", dest="output", required=True, help="output index basename")
     b.add_argument("-k", dest="k", type=int, default=31)
-    b.add_argument("-m", dest="m", type=int, default=20)
+    b.add_argument("-m", dest="m", type=int, default=19)
     b.add_argument("-d", dest="tmp_dir", default=".",
                    help="temp dir for external-memory (disk-spill) multi-pass "
                         "construction; with the default '.', multi-pass "
@@ -354,7 +354,7 @@ def main(argv=None):
     ld = sub.add_parser("load", help="build an index from dump files (GGCAT-free)")
     ld.add_argument("-i", dest="input_basename", required=True)
     ld.add_argument("-o", dest="output", required=True)
-    ld.add_argument("-m", dest="m", type=int, default=20)
+    ld.add_argument("-m", dest="m", type=int, default=19)
     ld.set_defaults(fn=cmd_load)
 
     ck = sub.add_parser("check", help="self-check an index (optionally vs a base index)")

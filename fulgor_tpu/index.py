@@ -289,6 +289,15 @@ class Index:
             # v2 -> v3 upgrade on load: the 15 low fingerprint bits are
             # layout-identical; only the strand bit (bit 31) is recomputed
             # from the dictionary's own text (ops/minidict2.py docstring).
+            # Soundness requires odd m (no m-mer equals its own reverse
+            # complement); even-m v2 indexes cannot take the strand filter
+            # and must be rebuilt (build_index now forces odd m).
+            if int(meta["m"]) % 2 == 0:
+                raise ValueError(
+                    f"{path}: v2 mini dictionary built with even m="
+                    f"{meta['m']} cannot be upgraded to the strand-bit "
+                    "layout (palindromic m-mers); rebuild the index"
+                )
             from .ops.minidict2 import text32_from_packed, upgrade_slots_v2_to_v3
 
             mini_slots = upgrade_slots_v2_to_v3(

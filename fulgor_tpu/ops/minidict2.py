@@ -204,15 +204,20 @@ def upgrade_slots_v2_to_v3(slots: np.ndarray, text32: np.ndarray,
     shifts = (2 * np.arange(16, dtype=np.uint32))[None, :]
     codes = ((words[:, None] >> shifts) & np.uint32(3)).astype(np.uint8).ravel()
     km, _v = K.pack_kmers(codes, m)
-    tf = np.zeros(len(codes), dtype=bool)
+    # match the build path's tf init (_minimizer_runs: np.ones) so an
+    # upgraded index is bit-identical to a fresh v3 build
+    tf = np.ones(len(codes), dtype=bool)
     if len(km):
         tf[: len(km)] = km <= K.revcomp_packed(km, m)
     ms = flat[:, 2]
     sp = (ms >> np.uint32(8)) & np.uint32(0x7F)
     real = sp > 0
     mpos = (flat[:, 0] + (ms & np.uint32(0xFF))).astype(np.int64)
+    assert not real.any() or (
+        int(mpos[real].max()) + m <= len(tf) and int(mpos[real].min()) >= 0
+    ), "v2 slot entry minimizer position outside dictionary text (corrupt index)"
     sigma = np.zeros(len(flat), dtype=np.uint32)
-    sigma[real] = tf[np.clip(mpos[real], 0, len(tf) - 1)]
+    sigma[real] = tf[mpos[real]]
     flat[:, 2] = (ms & np.uint32(0x7FFFFFFF)) | (sigma << np.uint32(31))
     return flat.reshape(slots.shape)
 

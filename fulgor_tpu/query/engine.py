@@ -269,8 +269,17 @@ class QueryEngine:
         # region all share a key), so later batches skip the row gather +
         # AND-reduce entirely. Bounded; cleared when full.
         self._fi_key_cache: dict = {}
+        # cap by BYTES, not entries: each value is a (words_per_set,) u32
+        # row plus a key of similar order, so at 150k colors (~4.7k words)
+        # an entry-count cap would let the cache grow to GiBs exactly in
+        # the memory-tight no-dense-matrix regime. Entry cap derived from
+        # the byte budget; FULGOR_FI_KEY_CACHE (entries) still wins if set.
+        _cache_bytes = int(
+            _os.environ.get("FULGOR_FI_KEY_CACHE_BYTES", str(256 << 20)))
+        _per_entry = max(64, 8 * index.words_per_set)  # value + typical key
         self._fi_key_cache_cap = int(
-            _os.environ.get("FULGOR_FI_KEY_CACHE", "200000"))
+            _os.environ.get("FULGOR_FI_KEY_CACHE",
+                            str(max(1024, _cache_bytes // _per_entry))))
         # probe budgets (VERIFY_BUDGET, SKEW_CAND): the MAIN kernels run
         # trimmed budgets when the dictionary is skew-LIGHT — each verify
         # candidate costs ~22 ms and each skew candidate ~70 ms of a
