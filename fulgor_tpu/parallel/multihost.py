@@ -77,21 +77,36 @@ def barrier(name: str = "fulgor"):
 # ----------------------------------------------------------------- merge
 
 
-def _iter_ascii_records(path: str):
-    """Yield (qid, line_bytes) from an ascii psa fragment, id-sorted.
+# Every fragment stream below is id-ASCENDING by construction: sharded
+# pseudoalign_file writes batches in file order and diverts deferred-redo
+# stragglers to a `.redo` side fragment (engine.pseudoalign_file
+# straggler sink), whose flushes are also ascending. The merge is thus a
+# pure k-way heap merge over sequential readers — memory is O(num
+# fragments), never O(file) (round-3/4 versions buffered whole fragments,
+# which does not scale to the baseline's 6.58M reads x 4,546 colors).
 
-    Fragments are in-order EXCEPT host-redo stragglers appended at the
-    end (same contract as single-host output), so a sort by id is cheap
-    (nearly sorted) and makes the merged file fully id-ordered."""
+
+def _checked_ascending(it, path: str):
+    last = -1
+    for qid, payload in it:
+        if qid < last:
+            raise ValueError(
+                f"{path}: fragment records not id-ascending ({qid} after "
+                f"{last}); was it written by a pre-streaming-merge build?")
+        last = qid
+        yield qid, payload
+
+
+def _iter_ascii_records(path: str):
+    """Yield (qid, line_bytes) from an ascii psa fragment, sequentially."""
     with open(path, "rb") as f:
-        lines = f.readlines()
-    recs = [(int(ln.split(b"\t", 1)[0]), ln) for ln in lines if ln.strip()]
-    recs.sort(key=lambda r: r[0])
-    return recs
+        for ln in f:
+            if ln.strip():
+                yield int(ln.split(b"\t", 1)[0]), ln
 
 
 def merge_psa_ascii(parts: list[str], out_path: str):
-    streams = [_iter_ascii_records(p) for p in parts]
+    streams = [_checked_ascending(_iter_ascii_records(p), p) for p in parts]
     with open(out_path, "wb", buffering=1 << 20) as f:
         for _qid, line in heapq.merge(*streams, key=lambda r: r[0]):
             f.write(line)
@@ -99,46 +114,53 @@ def merge_psa_ascii(parts: list[str], out_path: str):
 
 def _iter_binary_records(path: str):
     """Yield (qid, record_bytes) from a binary psa fragment (u32 qid,
-    u32 n, u32 colors[n] little-endian), id-sorted."""
-    buf = np.fromfile(path, dtype=np.uint32)
-    recs = []
-    pos = 0
-    while pos < len(buf):
-        n = int(buf[pos + 1])
-        recs.append((int(buf[pos]), buf[pos: pos + 2 + n].tobytes()))
-        pos += 2 + n
-    recs.sort(key=lambda r: r[0])
-    return recs
+    u32 n, u32 colors[n] little-endian), sequentially."""
+    with open(path, "rb", buffering=1 << 20) as f:
+        while True:
+            head = f.read(8)
+            if not head:
+                return
+            assert len(head) == 8, f"{path}: truncated record header"
+            qid, n = np.frombuffer(head, dtype=np.uint32)
+            body = f.read(4 * int(n))
+            assert len(body) == 4 * int(n), f"{path}: truncated record body"
+            yield int(qid), head + body
 
 
 def merge_psa_binary(parts: list[str], out_path: str):
-    streams = [_iter_binary_records(p) for p in parts]
+    streams = [_checked_ascending(_iter_binary_records(p), p) for p in parts]
     with open(out_path, "wb", buffering=1 << 20) as f:
         for _qid, rec in heapq.merge(*streams, key=lambda r: r[0]):
             f.write(rec)
 
 
 def merge_psa_compressed(parts: list[str], out_path: str):
-    """Decode fragments, re-encode id-ordered. The compressed stream
-    delta-codes qids within flush frames (query/formatters.py), so a
-    merged file must re-frame; output is a valid CompressedFormatter
-    file with identical decoded content."""
-    from ..query.formatters import CompressedFormatter, read_compressed_psa
+    """Stream-decode fragments frame-at-a-time, re-encode id-ordered. The
+    compressed stream groups records into flush frames
+    (query/formatters.py), so a merged file must re-frame; output is a
+    valid CompressedFormatter file with identical decoded content."""
+    from ..query.formatters import (CompressedFormatter,
+                                    compressed_psa_num_colors,
+                                    iter_compressed_psa)
 
-    num_colors = None
-    allrec: dict[int, np.ndarray] = {}
-    for p in parts:
-        nc, recs = read_compressed_psa(p)
-        if num_colors is None:
-            num_colors = nc
-        assert nc == num_colors, "fragment num_colors mismatch"
-        allrec.update(recs)
-    fmtr = CompressedFormatter(out_path, int(num_colors or 0))
-    qids = sorted(allrec)
+    ncs = [compressed_psa_num_colors(p) for p in parts]
+    num_colors = ncs[0] if ncs else 0
+    assert all(nc == num_colors for nc in ncs), "fragment num_colors mismatch"
+    streams = [
+        _checked_ascending(iter_compressed_psa(p, num_colors), p)
+        for p in parts
+    ]
+    fmtr = CompressedFormatter(out_path, int(num_colors))
     STEP = 1 << 15
-    for i in range(0, len(qids), STEP):
-        batch = qids[i: i + STEP]
-        fmtr.write_batch(batch, [allrec[q] for q in batch])
+    qids, lists = [], []
+    for qid, cols in heapq.merge(*streams, key=lambda r: r[0]):
+        qids.append(qid)
+        lists.append(cols)
+        if len(qids) >= STEP:
+            fmtr.write_batch(qids, lists)
+            qids, lists = [], []
+    if qids:
+        fmtr.write_batch(qids, lists)
     fmtr.close()
 
 
@@ -147,6 +169,20 @@ _MERGERS = {
     "binary": merge_psa_binary,
     "compressed": merge_psa_compressed,
 }
+
+
+def merge_fragments(parts: list[str], out_path: str, fmt: str) -> list[str]:
+    """Merge main fragments plus their `.redo` straggler side fragments
+    (deferred-redo output under sharding) into out_path; returns the list
+    of fragment files actually consumed (for cleanup)."""
+    full = []
+    for p in parts:
+        full.append(p)
+        if os.path.exists(p + ".redo"):
+            full.append(p + ".redo")
+    full = [p for p in full if os.path.exists(p)]
+    _MERGERS[fmt](full, out_path)
+    return full
 
 
 # ---------------------------------------------------------------- driver
@@ -186,9 +222,9 @@ def pseudoalign_multihost(
                                     shard=(proc_id, num_procs))
     barrier("psa-fragments")
     if proc_id == 0:
-        parts = [f"{out_path}.part{p}" for p in range(num_procs)]
-        _MERGERS[fmt](parts, out_path)
-        for p in parts:
+        used = merge_fragments(
+            [f"{out_path}.part{p}" for p in range(num_procs)], out_path, fmt)
+        for p in used:
             os.remove(p)
     barrier("psa-merged")
     return stats

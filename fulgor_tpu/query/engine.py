@@ -575,12 +575,10 @@ class QueryEngine:
         return np.flatnonzero(scores >= min_score).astype(np.uint32)
 
     def _redo_csids_inline(self, qid0, chunk, lens, js, query_path):
-        """Exact per-window csids for batch rows `js` (overflow / too-long),
-        used by the consume callbacks to merge exact results back into the
-        batch IN PLACE so output stays in read-id order. Rows within the
-        stream ladder re-probe from the chunk codes (no file re-parse);
-        longer rows selectively re-parse from the file. -> list aligned
-        with js."""
+        """Exact per-window csids for batch rows `js` (overflow / too-long).
+        Rows within the stream ladder re-probe from the chunk codes (no
+        file re-parse); longer rows selectively re-parse from the file.
+        -> list aligned with js."""
         from ..native import lib as native
 
         rows = []
@@ -595,12 +593,17 @@ class QueryEngine:
                 rows.append(np.asarray(long_map[int(j)], dtype=np.uint8))
             else:
                 rows.append(chunk[j, : lens[j]])
-        # small redo sets take the HOST exact probe: a device re-probe is a
-        # synchronous round trip that queues BEHIND the ~2 prefetched batch
-        # programs already on the chip (~1.2 s of queue-wait per batch —
-        # measured 20.8 s for 330 redo reads), while the vectorized host
-        # mirror costs ~1 ms/read and touches no device state. Large redo
-        # floods (shape regressions) still go through the device kernel.
+        return self._redo_csids_rows(rows)
+
+    def _redo_csids_rows(self, rows) -> list:
+        """Exact per-window csids for materialized ragged rows. Small sets
+        take the HOST exact probe: a device re-probe is a synchronous round
+        trip that queues BEHIND the ~2 prefetched batch programs already on
+        the chip (~1.2 s of queue-wait per dispatch — measured 20.8 s for
+        330 redo reads), while the vectorized host mirror costs ~1 ms/read
+        and touches no device state. Large pools (the deferred-redo flush)
+        amortize that round trip over one big device dispatch; rows the
+        device cannot decide exactly fall back to the host mirror."""
         if len(rows) <= 256:
             return self._host_csids_many(rows)
         csids = self._device_csids_many(rows)
@@ -610,16 +613,19 @@ class QueryEngine:
                 csids[i] = c
         return csids
 
-    def _selfcheck_batch(self, qid0, chunk, lens, n, get_colors, threshold):
+    def _selfcheck_batch(self, qid0, chunk, lens, n, get_colors, threshold,
+                         skip=()):
         """FULGOR_SELFCHECK runtime oracle: for sampled reads, the color
         list about to be written must equal the exact host mirror's.
-        get_colors(j) -> the final sorted uint32 list for batch row j."""
+        get_colors(j) -> the final sorted uint32 list for batch row j.
+        skip: batch rows deferred to the exact redo flush (which IS the
+        host mirror, so checking them here would be circular anyway)."""
         period = self._selfcheck
         if not period:
             return
         start = (-qid0) % period
         for j in range(start, n, period):
-            if lens[j] > MAX_STREAM_WIDTH:
+            if lens[j] > MAX_STREAM_WIDTH or j in skip:
                 continue  # long reads already go through the host mirror
             row = chunk[j, : lens[j]]
             want = (self._host_full_intersection(row) if threshold is None
@@ -1025,25 +1031,68 @@ class QueryEngine:
                 dparams=self.dparams, color_runs=cr, probe_budget=self._pb,
             ))
 
-        def exact_lists(qid0, chunk, lens, js):
-            """Inline redo: exact color lists for batch rows js -> {j: list}.
-            Keeps output in read-id order (module docstring)."""
-            nonlocal num_redo, redo_sec
-            if not len(js):
-                return {}
-            tr = time.perf_counter()
-            csids = self._redo_csids_inline(qid0, chunk, lens, js, query_path)
-            if threshold is None:
-                out = dict(zip((int(j) for j in js),
-                               self._fi_lists_from_csids_many(csids)))
-            else:
-                out = {
-                    int(j): self._tu_from_csids(c, threshold)
-                    for j, c in zip(js, csids)
-                }
-            num_redo += len(js)
-            redo_sec += time.perf_counter() - tr
+        # DEFERRED redo pool: overflow / too-long reads are stashed here and
+        # resolved in one amortized exact dispatch per FLUSH boundary instead
+        # of a synchronous per-batch device round trip (round-4 pan1k:
+        # 16.4 s of the 17.9 s run was per-batch redo queue-wait — each
+        # round trip waited behind the ~2 prefetched batch programs).
+        # Stragglers therefore trail in the output (module contract:
+        # in-order except overflow/long-read stragglers).
+        deferred: list = []  # (global read id, codes u8 | None = re-parse)
+        flush_at = int(_os.environ.get("FULGOR_REDO_FLUSH", "8192"))
+        # under multihost sharding, stragglers go to a `.redo` side
+        # fragment so the MAIN fragment stays strictly id-ascending and
+        # the cross-host merge can stream (parallel/multihost.py)
+        redo_fmtr = None
+
+        def redo_sink():
+            nonlocal redo_fmtr
+            if shard is None:
+                return fmtr
+            if redo_fmtr is None:
+                redo_fmtr = AsyncWriter(
+                    make_formatter(fmt, out_path + ".redo", C))
+            return redo_fmtr
+
+        def defer_reads(qid0, chunk, lens, js):
+            """Stash batch rows js for the next redo flush; -> set of js
+            for write exclusion."""
+            out = set()
+            for j in js:
+                j = int(j)
+                out.add(j)
+                if lens[j] > MAX_STREAM_WIDTH:
+                    deferred.append((qid0 + j, None))
+                else:
+                    deferred.append((qid0 + j, chunk[j, : lens[j]].copy()))
             return out
+
+        def flush_deferred(final=False):
+            nonlocal num_redo, redo_sec
+            if not deferred or (not final and len(deferred) < flush_at):
+                return
+            from ..native import lib as native
+
+            tr = time.perf_counter()
+            long_pos = [i for i, (_, r) in enumerate(deferred) if r is None]
+            if long_pos:
+                seqs, _nm = native.parse_reads_select(
+                    query_path, [deferred[i][0] for i in long_pos])
+                for i, s in zip(long_pos, seqs):
+                    deferred[i] = (deferred[i][0],
+                                   np.asarray(s, dtype=np.uint8))
+            ids = [q for q, _ in deferred]
+            rows = [r for _, r in deferred]
+            csids = self._redo_csids_rows(rows)
+            if threshold is None:
+                lists = self._fi_lists_from_csids_many(csids)
+            else:
+                lists = [self._tu_from_csids(np.asarray(c), threshold)
+                         for c in csids]
+            redo_sink().write_batch(ids, lists)
+            num_redo += len(rows)
+            redo_sec += time.perf_counter() - tr
+            deferred.clear()
 
         def consume_lists(qid0, n, lens, _names, handle, chunk):
             nonlocal num_reads, query_sec
@@ -1056,18 +1105,22 @@ class QueryEngine:
             rows_over = self._fetch_rows(handle[2], over)
             tw = time.perf_counter()
             query_sec += tw - tq
-            om = exact_lists(qid0, chunk, lens, np.flatnonzero(~keep))
+            dropped = defer_reads(qid0, chunk, lens, np.flatnonzero(~keep))
+            om = {}
             if len(over):
                 over_lists, _ = self._bits_to_lists(rows_over, C)
                 om.update(zip(over.tolist(), over_lists))
-            colors = [
-                om[j] if j in om else lists[j, : cnt[j]].astype(np.uint32)
-                for j in range(n)
-            ]
+            wr = np.flatnonzero(keep)
+            colors = {
+                int(j): om[j] if j in om else lists[j, : cnt[j]].astype(np.uint32)
+                for j in wr
+            }
             self._selfcheck_batch(qid0, chunk, lens, n,
-                                  lambda j: colors[j], threshold)
-            fmtr.write_batch(range(qid0, qid0 + n), colors)
+                                  lambda j: colors[j], threshold, skip=dropped)
+            fmtr.write_batch([qid0 + int(j) for j in wr],
+                             [colors[int(j)] for j in wr])
             num_reads += n
+            flush_deferred()
 
         def consume(qid0, n, lens, _names, handle, chunk):
             nonlocal num_reads, query_sec
@@ -1081,23 +1134,20 @@ class QueryEngine:
             tw = time.perf_counter()
             query_sec += tw - tq
             keep = (lens <= MAX_STREAM_WIDTH) & ~ovf
-            exact = exact_lists(qid0, chunk, lens, np.flatnonzero(~keep))
+            dropped = defer_reads(qid0, chunk, lens, np.flatnonzero(~keep))
+            wr = np.flatnonzero(keep)
             num_reads += n
             if threshold is None and fmtr.has_bits:
                 # fast path: native bits->ascii straight from the device's
-                # result layout, no per-read list expansion (redone rows are
-                # packed back into their bitset slots)
-                if exact:
-                    fetched = np.array(fetched)
-                    for j, colors in exact.items():
-                        fetched[j] = self._colors_to_bits_row(
-                            colors, fetched.shape[1])
+                # result layout, no per-read list expansion (deferred rows
+                # are excluded from the write and flushed later)
                 self._selfcheck_batch(
                     qid0, chunk, lens, n,
                     lambda j: self._bits_to_lists(fetched[j : j + 1], C)[0][0],
-                    threshold)
+                    threshold, skip=dropped)
                 fmtr.write_batch_bits(
-                    np.arange(qid0, qid0 + n, dtype=np.uint32), fetched)
+                    qid0 + wr.astype(np.uint32), fetched[wr])
+                flush_deferred()
                 return
             if threshold is None:
                 lists, _counts = self._bits_to_lists(fetched, C)
@@ -1105,11 +1155,11 @@ class QueryEngine:
                 lists, _counts = self._scores_to_lists(
                     fetched[0].astype(np.int64), fetched[1], threshold
                 )
-            for j, colors in exact.items():
-                lists[j] = colors
             self._selfcheck_batch(qid0, chunk, lens, n,
-                                  lambda j: lists[j], threshold)
-            fmtr.write_batch(range(qid0, qid0 + n), lists)
+                                  lambda j: lists[j], threshold, skip=dropped)
+            fmtr.write_batch([qid0 + int(j) for j in wr],
+                             [lists[j] for j in wr])
+            flush_deferred()
 
         def consume_runs(qid0, n, lens, _names, handle, chunk):
             # FI via distinct run csids: normalize each read's <=R csids to a
@@ -1140,8 +1190,8 @@ class QueryEngine:
                 ro_res = self._fi_rows_from_csid_matrix(rows_cs, wlim)
                 num_redo += len(ro)
                 redo_sec += time.perf_counter() - tr
-            exact = exact_lists(qid0, chunk, lens,
-                                np.flatnonzero(~fit | (povf & fit)))
+            dropped = defer_reads(qid0, chunk, lens,
+                                  np.flatnonzero(~fit | (povf & fit)))
             num_reads += n
             s = np.sort(runs, axis=1)
             dup = np.zeros_like(s, dtype=bool)
@@ -1183,32 +1233,33 @@ class QueryEngine:
                     cache.clear()
                 for i, row in zip(miss, mres):
                     cache[kb[i * rowlen: (i + 1) * rowlen]] = row
-            # run-overflow and redone rows join as extra bodies so the whole
-            # batch writes once, in id order
+            # run-overflow rows join as extra bodies so the batch writes
+            # once; deferred (probe-overflow / too-long) rows are excluded
+            # and flushed later
             full_inv = np.empty(n, dtype=np.int32)
             full_inv[kj] = inv.astype(np.int32)
             if ro_res is not None:
                 full_inv[ro] = len(res) + np.arange(len(ro), dtype=np.int32)
                 res = np.vstack([res, ro_res])
-            if exact:
-                extra = np.empty((len(exact), res.shape[1]), dtype=np.uint32)
-                for t, (j, colors) in enumerate(sorted(exact.items())):
-                    full_inv[j] = len(res) + t
-                    extra[t] = self._colors_to_bits_row(colors, res.shape[1])
-                res = np.vstack([res, extra])
+            wmask = np.zeros(n, dtype=bool)
+            wmask[kj] = True
+            if len(ro):
+                wmask[ro] = True
+            wr = np.flatnonzero(wmask)
             ids = np.arange(qid0, qid0 + n, dtype=np.uint32)
             self._selfcheck_batch(
                 qid0, chunk, lens, n,
                 lambda j: self._bits_to_lists(
                     res[full_inv[j]][None, :], C)[0][0],
-                threshold)
+                threshold, skip=dropped)
             if getattr(fmtr, "has_grouped", False):
                 # each DISTINCT result body formats once (reads in a batch
                 # heavily share full-intersection results)
-                fmtr.write_batch_bits_grouped(ids, res, full_inv)
+                fmtr.write_batch_bits_grouped(ids[wr], res, full_inv[wr])
             else:
-                fmtr.write_batch_bits(ids, res[full_inv])
+                fmtr.write_batch_bits(ids[wr], res[full_inv[wr]])
             host_sec += time.perf_counter() - th
+            flush_deferred()
 
         def consume_tubits(qid0, n, lens, _names, handle, chunk):
             nonlocal num_reads, query_sec
@@ -1217,20 +1268,15 @@ class QueryEngine:
             ovf = np.asarray(handle[3][:n])
             query_sec += time.perf_counter() - tq
             keep = (lens <= MAX_STREAM_WIDTH) & ~ovf
-            exact = exact_lists(qid0, chunk, lens, np.flatnonzero(~keep))
+            dropped = defer_reads(qid0, chunk, lens, np.flatnonzero(~keep))
+            wr = np.flatnonzero(keep)
             num_reads += n
-            if exact:
-                maskbits = np.array(maskbits)
-                for j, colors in exact.items():
-                    maskbits[j] = self._colors_to_bits_row(
-                        colors, maskbits.shape[1])
             self._selfcheck_batch(
                 qid0, chunk, lens, n,
                 lambda j: self._bits_to_lists(maskbits[j : j + 1], C)[0][0],
-                threshold)
-            fmtr.write_batch_bits(
-                np.arange(qid0, qid0 + n, dtype=np.uint32), maskbits
-            )
+                threshold, skip=dropped)
+            fmtr.write_batch_bits(qid0 + wr.astype(np.uint32), maskbits[wr])
+            flush_deferred()
 
         def consume_tu_runs(qid0, n, lens, _names, handle, chunk):
             # TU without any dense matrix: host scores each read's (csid,
@@ -1245,29 +1291,30 @@ class QueryEngine:
             th = time.perf_counter()
             query_sec += th - tq
             keep = (lens <= MAX_STREAM_WIDTH) & ~ovf
-            exact = exact_lists(qid0, chunk, lens, np.flatnonzero(~keep))
+            dropped = defer_reads(qid0, chunk, lens, np.flatnonzero(~keep))
+            wr = np.flatnonzero(keep)
             num_reads += n
             cat, offs = self._cs_cache
-            lists = []
+            lists = {}
             scores = np.zeros(C, dtype=np.int64)
-            for j in range(n):
-                if j in exact:
-                    lists.append(exact[j])
-                    continue
+            for j in wr:
+                j = int(j)
                 v = rc[j] != np.uint32(INVALID_U32)
                 if npos[j] <= 0 or not v.any():
-                    lists.append(np.empty(0, dtype=np.uint32))
+                    lists[j] = np.empty(0, dtype=np.uint32)
                     continue
                 scores[:] = 0
                 for sid, w in zip(rc[j][v].astype(np.int64),
                                   cnts[j][v].astype(np.int64)):
                     scores[cat[offs[sid] : offs[sid + 1]].astype(np.int64)] += w
                 ms = int(float(npos[j]) * threshold)
-                lists.append(np.flatnonzero(scores >= ms).astype(np.uint32))
+                lists[j] = np.flatnonzero(scores >= ms).astype(np.uint32)
             self._selfcheck_batch(qid0, chunk, lens, n,
-                                  lambda j: lists[j], threshold)
-            fmtr.write_batch(range(qid0, qid0 + n), lists)
+                                  lambda j: lists[j], threshold, skip=dropped)
+            fmtr.write_batch([qid0 + int(j) for j in wr],
+                             [lists[int(j)] for j in wr])
             host_sec += time.perf_counter() - th
+            flush_deferred()
 
         if runs_fetch:
             consume = consume_runs
@@ -1280,8 +1327,14 @@ class QueryEngine:
 
         total, _long_ids, parse_sec, _own = self._stream(
             query_path, dispatch, consume, progress=verbose, shard=shard)
+        flush_deferred(final=True)
         fmtr.close()
         num_mapped = fmtr.mapped
+        write_sec = fmtr.busy_sec
+        if redo_fmtr is not None:
+            redo_fmtr.close()
+            num_mapped += redo_fmtr.mapped
+            write_sec += redo_fmtr.busy_sec
 
         elapsed = time.perf_counter() - t0
         # per-stage busy times; stages overlap (parse on a prefetch thread,
@@ -1294,7 +1347,7 @@ class QueryEngine:
             parse_sec=parse_sec,
             query_sec=query_sec,
             host_sec=host_sec,
-            write_sec=fmtr.busy_sec,
+            write_sec=write_sec,
             num_redo=num_redo,
             redo_sec=redo_sec,
         )

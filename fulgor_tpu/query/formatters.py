@@ -137,6 +137,64 @@ class CompressedFormatter:
         self.f.close()
 
 
+def compressed_psa_num_colors(path: str) -> int:
+    """Read just the u64 num_colors header of a compressed psa file."""
+    with open(path, "rb") as f:
+        head = f.read(8)
+    assert len(head) == 8, "truncated compressed file (missing header)"
+    return int(np.frombuffer(head, dtype=np.uint64)[0])
+
+
+def iter_compressed_psa(path: str, num_colors: int | None = None):
+    """Stream (qid, sorted uint32 color array) records from a
+    CompressedFormatter file frame-at-a-time — bounded memory regardless
+    of file size (records are self-delimiting; frame framing mirrors the
+    reference's src/ps_utils.cpp:149-243)."""
+    from ..core.bitsx import BitReader
+
+    if num_colors is None:
+        num_colors = compressed_psa_num_colors(path)
+    sparse_thr, dense_thr = thresholds(num_colors)
+    with open(path, "rb") as f:
+        f.seek(8)
+        while True:
+            head = f.read(8)
+            if not head:
+                return
+            assert len(head) == 8, "truncated frame header"
+            nbits = int(np.frombuffer(head, dtype=np.uint64)[0])
+            nbytes = 8 * ((nbits + 63) // 64)
+            body = f.read(nbytes)
+            assert len(body) == nbytes, "truncated frame body"
+            words = np.frombuffer(body, dtype=np.uint64)
+            r = BitReader(words)
+            while r.pos < nbits:
+                qid = r.read_delta()
+                n = r.read_delta()
+                if n == 0:
+                    yield qid, np.empty(0, dtype=np.uint32)
+                    continue
+                if n < sparse_thr:
+                    vals = np.empty(n, dtype=np.int64)
+                    vals[0] = r.read_delta()
+                    for i in range(1, n):
+                        vals[i] = vals[i - 1] + r.read_delta() + 1
+                    yield qid, vals.astype(np.uint32)
+                elif n < dense_thr:
+                    bits = r.read_bitmap(num_colors)
+                    yield qid, np.flatnonzero(bits).astype(np.uint32)
+                else:
+                    nc = num_colors - n
+                    member = np.ones(num_colors, dtype=bool)
+                    if nc:
+                        prev = r.read_delta()
+                        member[prev] = False
+                        for _ in range(nc - 1):
+                            prev = prev + r.read_delta() + 1
+                            member[prev] = False
+                    yield qid, np.flatnonzero(member).astype(np.uint32)
+
+
 def read_compressed_psa(path: str):
     """Decode a CompressedFormatter file back to per-read color lists — the
     consumable counterpart the reference defines for its compressed output
@@ -145,49 +203,8 @@ def read_compressed_psa(path: str):
     hybrid sparse/bitmap/complement payload).
 
     -> (num_colors, dict qid -> sorted uint32 color array)."""
-    from ..core.bitsx import BitReader
-
-    raw = np.fromfile(path, dtype=np.uint8)
-    assert len(raw) >= 8, "truncated compressed file (missing header)"
-    num_colors = int(raw[:8].view(np.uint64)[0])
-    sparse_thr, dense_thr = thresholds(num_colors)
-    out: dict[int, np.ndarray] = {}
-    off = 8
-    while off < len(raw):
-        assert off + 8 <= len(raw), "truncated frame header"
-        nbits = int(raw[off : off + 8].view(np.uint64)[0])
-        off += 8
-        nbytes = 8 * ((nbits + 63) // 64)
-        assert off + nbytes <= len(raw), "truncated frame body"
-        words = raw[off : off + nbytes].view(np.uint64)
-        off += nbytes
-        r = BitReader(words)
-        while r.pos < nbits:
-            qid = r.read_delta()
-            n = r.read_delta()
-            if n == 0:
-                out[qid] = np.empty(0, dtype=np.uint32)
-                continue
-            if n < sparse_thr:
-                vals = np.empty(n, dtype=np.int64)
-                vals[0] = r.read_delta()
-                for i in range(1, n):
-                    vals[i] = vals[i - 1] + r.read_delta() + 1
-                out[qid] = vals.astype(np.uint32)
-            elif n < dense_thr:
-                bits = r.read_bitmap(num_colors)
-                out[qid] = np.flatnonzero(bits).astype(np.uint32)
-            else:
-                nc = num_colors - n
-                member = np.ones(num_colors, dtype=bool)
-                if nc:
-                    prev = r.read_delta()
-                    member[prev] = False
-                    for _ in range(nc - 1):
-                        prev = prev + r.read_delta() + 1
-                        member[prev] = False
-                out[qid] = np.flatnonzero(member).astype(np.uint32)
-    return num_colors, out
+    num_colors = compressed_psa_num_colors(path)
+    return num_colors, dict(iter_compressed_psa(path, num_colors))
 
 
 def make_formatter(fmt: str, path: str, num_colors: int):

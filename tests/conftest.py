@@ -33,6 +33,14 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "device: <5-min cold-cache smoke subset (tiny widths, one pass "
+        "through each query strategy's device graph); run with -m device",
+    )
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

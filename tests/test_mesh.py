@@ -111,9 +111,12 @@ def test_engine_mesh_equals_single(tmp_path):
     def run(eng, tag, method, **kw):
         out = str(tmp_path / f"{tag}.tsv")
         getattr(eng, method)(qfile, out, **kw)
-        return open(out).read()
+        # psa line ORDER is "in-order except deferred-redo stragglers"
+        # (engine module contract) and the straggler set differs between
+        # probe variants, so compare content id-sorted
+        return sorted(open(out).readlines())
 
-    # all four tools must match the single-device engine byte for byte
+    # all four tools must match the single-device engine line for line
     assert run(single, "s_fi", "pseudoalign_file") == run(meshed, "m_fi", "pseudoalign_file")
     assert run(single, "s_tu", "pseudoalign_file", threshold=0.8) == run(
         meshed, "m_tu", "pseudoalign_file", threshold=0.8

@@ -83,7 +83,7 @@ def test_shard_passes_merge_to_single_host_output(built, tmp_path, fmt):
         parts.append(part)
     assert own_total == n_reads  # shards partition the file
     merged = str(tmp_path / f"merged.{fmt}")
-    MH._MERGERS[fmt](parts, merged)
+    MH.merge_fragments(parts, merged, fmt)
 
     if fmt == "ascii":
         s = sorted(open(single, "rb").readlines())
@@ -160,3 +160,61 @@ def test_two_process_jax_distributed(built, tmp_path):
     assert len(lines) == n_reads
     ids = [int(ln.split(b"\t", 1)[0]) for ln in lines]
     assert ids == sorted(ids)
+
+
+@pytest.mark.parametrize("fmt", ["ascii", "binary", "compressed"])
+def test_streaming_merge_large_fragments(tmp_path, fmt):
+    """The k-way merge streams: fragments far larger than any in-RAM
+    buffer budget (200k records across 3 parts + straggler side files)
+    merge id-ordered and content-complete. Peak RSS is not asserted (too
+    platform-dependent) but the readers are sequential-only — a whole-
+    fragment materialization would be O(total), this is O(parts)."""
+    from fulgor_tpu.query.formatters import make_formatter, read_compressed_psa
+
+    rng = np.random.default_rng(5)
+    P, N, C = 3, 200_000, 64
+    expect = {}
+    parts = []
+    for p in range(P):
+        ids = np.arange(p, N, P, dtype=np.int64)
+        # ~1% stragglers diverted to the .redo side fragment, ascending
+        straggle = np.zeros(len(ids), dtype=bool)
+        straggle[rng.random(len(ids)) < 0.01] = True
+        part = str(tmp_path / f"big.{fmt}.part{p}")
+        parts.append(part)
+        main = make_formatter(fmt, part, C)
+        redo = make_formatter(fmt, part + ".redo", C)
+        lists = []
+        for q in ids:
+            n = int(rng.integers(0, 6))
+            cols = np.sort(rng.choice(C, size=n, replace=False)).astype(np.uint32)
+            lists.append(cols)
+            expect[int(q)] = cols
+        m = ~straggle
+        main.write_batch([int(q) for q in ids[m]],
+                         [lists[i] for i in np.flatnonzero(m)])
+        redo.write_batch([int(q) for q in ids[straggle]],
+                         [lists[i] for i in np.flatnonzero(straggle)])
+        main.close()
+        redo.close()
+    merged = str(tmp_path / f"big.{fmt}.merged")
+    MH.merge_fragments(parts, merged, fmt)
+    if fmt == "ascii":
+        got_ids = []
+        for qid, ln in MH._iter_ascii_records(merged):
+            got_ids.append(qid)
+            body = ln.rstrip(b"\n").split(b"\t")
+            np.testing.assert_array_equal(
+                np.array(body[2:], dtype=np.uint32), expect[qid])
+    elif fmt == "binary":
+        got_ids = []
+        for qid, rec in MH._iter_binary_records(merged):
+            got_ids.append(qid)
+            np.testing.assert_array_equal(
+                np.frombuffer(rec, dtype=np.uint32)[2:], expect[qid])
+    else:
+        _nc, recs = read_compressed_psa(merged)
+        got_ids = sorted(recs)
+        for q, cols in recs.items():
+            np.testing.assert_array_equal(cols, expect[q])
+    assert got_ids == list(range(N))
