@@ -446,33 +446,83 @@ static int build_ccdbg_core(const char* paths, int num_files, int k, int num_pas
             return a.kmer < b.kmer || (a.kmer == b.kmer && a.color < b.color);
         };
         if (tmpdir) {
-            // drain this partition's spill file (records already per-genome
-            // sorted; the bucket sort below restores canonical order)
+            // drain this partition's spill file. Records are per-genome
+            // SORTED kmer slices, so the partition assembles with the same
+            // bucketed in-place strategy as the re-parse path: pass A
+            // streams the file once to count each record's contribution to
+            // NB value sub-ranges, pass B streams again copying slices into
+            // disjoint bucket regions, then buckets sort independently in
+            // place. Peak RSS = the pair buffer alone — the previous
+            // __gnu_parallel::sort here allocated an O(n) merge temp (a
+            // second ~45 GB for a 22.7 GB partition file), which OOM-killed
+            // a 125 GB host mid-drain.
             FILE* f = spill[pass];
             fflush(f);
-            uint64_t fsz;
-            {
-                long long end = 0;
-                fseek(f, 0, SEEK_END);
-                end = ftell(f);
-                fsz = (uint64_t)end;
-            }
-            rewind(f);
-            pbuf.reset(new KC[fsz / 8 + 1]);  // records are >= 8 B per kmer
+            const int NB = 128;
+            const uint64_t range = hi_key - lo_key;
+            std::vector<uint64_t> bval(NB + 1);
+            for (int b = 0; b <= NB; ++b)
+                bval[b] = lo_key + (uint64_t)(((__uint128_t)range * (unsigned)b) / NB);
+            std::vector<size_t> bcount(NB, 0);
+            std::vector<uint64_t> tmp;
             uint32_t col;
             uint64_t n;
-            std::vector<uint64_t> tmp;
-            while (fread(&col, 4, 1, f) == 1) {
+            rewind(f);
+            while (fread(&col, 4, 1, f) == 1) {  // pass A: bucket counts
                 if (fread(&n, 8, 1, f) != 1) break;
                 tmp.resize(n);
                 if (fread(tmp.data(), 8, n, f) != n) break;
-                for (uint64_t i = 0; i < n; ++i) pbuf[pn + i] = {tmp[i], col};
+                size_t a = 0;
+                for (int b = 0; b < NB && a < tmp.size(); ++b) {
+                    size_t e = (size_t)(std::lower_bound(tmp.begin() + a,
+                                                         tmp.end(), bval[b + 1]) -
+                                        tmp.begin());
+                    bcount[b] += e - a;
+                    a = e;
+                }
                 pn += n;
+            }
+            pbuf.reset(new KC[pn ? pn : 1]);
+            std::vector<size_t> wcur(NB + 1, 0);
+            for (int b = 0; b < NB; ++b) wcur[b + 1] = wcur[b] + bcount[b];
+            std::vector<size_t> bbase(wcur.begin(), wcur.end());
+            rewind(f);
+            while (fread(&col, 4, 1, f) == 1) {  // pass B: bucketed copy
+                if (fread(&n, 8, 1, f) != 1) break;
+                tmp.resize(n);
+                if (fread(tmp.data(), 8, n, f) != n) break;
+                size_t a = 0;
+                for (int b = 0; b < NB && a < tmp.size(); ++b) {
+                    size_t e = (size_t)(std::lower_bound(tmp.begin() + a,
+                                                         tmp.end(), bval[b + 1]) -
+                                        tmp.begin());
+                    size_t dst = wcur[b];
+                    for (size_t i = a; i < e; ++i)
+                        pbuf[dst + (i - a)] = {tmp[i], col};
+                    wcur[b] = dst + (e - a);
+                    a = e;
+                }
             }
             fclose(f);
             remove(spill_paths[pass].c_str());
             spill[pass] = nullptr;
-            PAR_SORT(pbuf.get(), pbuf.get() + pn, kc_less);
+            tmp.clear();
+            tmp.shrink_to_fit();
+            {
+                std::atomic<int> bnext{0};
+                auto swork = [&]() {
+                    for (;;) {
+                        int b = bnext.fetch_add(1);
+                        if (b >= NB) return;
+                        std::sort(pbuf.get() + bbase[b],
+                                  pbuf.get() + bbase[b + 1], kc_less);
+                    }
+                };
+                std::vector<std::thread> st;
+                for (unsigned t = 0; t < host_threads(); ++t)
+                    st.emplace_back(swork);
+                for (auto& t : st) t.join();
+            }
         } else if (lo_key >= hi_key) {
             continue;
         } else {
