@@ -1670,6 +1670,51 @@ extern "C" int fn_format_km_u16(const char* names, const int64_t* name_offs,
 // Python side (reference psa_ascii_formatter, src/ps_utils.cpp:48-83).
 // bits: n rows of c32 uint32 words, LSB-first color order. Returns the
 // number of mapped rows (>=1 bit set) in *out_mapped.
+// two-digit pair table: the digit emitters below write into RAW buffers
+// via pointer bumps (a std::string::push_back per char capped the whole
+// ascii stage at ~300 MB/s on the 4,546-color workload — 5.9 GB of output
+// per 500k reads made the writer the pipeline's long pole).
+static const char kD2[201] =
+    "00010203040506070809101112131415161718192021222324"
+    "25262728293031323334353637383940414243444546474849"
+    "50515253545556575859606162636465666768697071727374"
+    "75767778798081828384858687888990919293949596979899";
+
+static inline char* put_u32_fast(char* p, uint32_t v) {
+    char tmp[12];
+    int len = 0;
+    while (v >= 100) {
+        unsigned q = v % 100;
+        v /= 100;
+        tmp[len++] = kD2[2 * q + 1];
+        tmp[len++] = kD2[2 * q];
+    }
+    if (v >= 10) {
+        *p++ = kD2[2 * v];
+        *p++ = kD2[2 * v + 1];
+    } else {
+        *p++ = (char)('0' + v);
+    }
+    while (len) *p++ = tmp[--len];
+    return p;
+}
+
+// "\tc1\tc2..." for every set bit of row[0..c32): the shared body emitter
+// of the psa ascii formatters. Emits tab + decimal per bit via kD2 pairs.
+static inline char* put_bits_body(char* p, const uint32_t* row, int32_t c32) {
+    for (int32_t w = 0; w < c32; ++w) {
+        uint32_t x = row[w];
+        uint32_t base = (uint32_t)w * 32;
+        while (x) {
+            int b = __builtin_ctz(x);
+            x &= x - 1;
+            *p++ = '\t';
+            p = put_u32_fast(p, base + (uint32_t)b);
+        }
+    }
+    return p;
+}
+
 extern "C" int fn_format_psa_ascii_bits(const uint32_t* qids, const uint32_t* bits,
                                         int64_t n, int32_t c32, char** out_buf,
                                         int64_t* out_len, int64_t* out_mapped) {
@@ -1680,8 +1725,10 @@ extern "C" int fn_format_psa_ascii_bits(const uint32_t* qids, const uint32_t* bi
     // formats on all of its worker threads; src/ps_utils.cpp:48-83).
     unsigned T = host_threads();
     if (n < 1024) T = 1;
-    std::vector<std::string> part((size_t)T);
+    std::vector<char*> part((size_t)T, nullptr);
+    std::vector<size_t> plen((size_t)T, 0);
     std::vector<int64_t> pmapped((size_t)T, 0);
+    std::atomic<bool> alloc_failed{false};
 #ifdef _OPENMP
 #pragma omp parallel num_threads(T)
 #endif
@@ -1692,53 +1739,50 @@ extern "C" int fn_format_psa_ascii_bits(const uint32_t* qids, const uint32_t* bi
         int t = 0;
 #endif
         int64_t i0 = n * t / T, i1 = n * (t + 1) / T;
-        std::string& a = part[(size_t)t];
         int64_t tb = 0;
         for (int64_t i = i0 * (int64_t)c32; i < i1 * (int64_t)c32; ++i)
             tb += __builtin_popcount(bits[i]);
-        a.reserve((size_t)((i1 - i0) * 24 + tb * 11));
-        char tmp[16];
-        auto put_u32 = [&](uint32_t v) {
-            int len = 0;
-            do {
-                tmp[len++] = (char)('0' + v % 10);
-                v /= 10;
-            } while (v);
-            while (len) a.push_back(tmp[--len]);
-        };
-        int64_t mapped = 0;
-        for (int64_t i = i0; i < i1; ++i) {
-            const uint32_t* row = bits + i * c32;
-            uint32_t cnt = 0;
-            for (int32_t w = 0; w < c32; ++w)
-                cnt += (uint32_t)__builtin_popcount(row[w]);
-            put_u32(qids[i]);
-            a.push_back('\t');
-            put_u32(cnt);
-            if (cnt) ++mapped;
-            for (int32_t w = 0; w < c32; ++w) {
-                uint32_t x = row[w];
-                while (x) {
-                    int b = __builtin_ctz(x);
-                    x &= x - 1;
-                    a.push_back('\t');
-                    put_u32((uint32_t)(w * 32 + b));
-                }
+        char* a = (char*)malloc((size_t)((i1 - i0) * 24 + tb * 11) + 16);
+        char* p = a;
+        if (!a) {
+            alloc_failed.store(true);
+        } else {
+            int64_t mapped = 0;
+            for (int64_t i = i0; i < i1; ++i) {
+                const uint32_t* row = bits + i * c32;
+                uint32_t cnt = 0;
+                for (int32_t w = 0; w < c32; ++w)
+                    cnt += (uint32_t)__builtin_popcount(row[w]);
+                p = put_u32_fast(p, qids[i]);
+                *p++ = '\t';
+                p = put_u32_fast(p, cnt);
+                if (cnt) ++mapped;
+                p = put_bits_body(p, row, c32);
+                *p++ = '\n';
             }
-            a.push_back('\n');
+            pmapped[(size_t)t] = mapped;
         }
-        pmapped[(size_t)t] = mapped;
+        part[(size_t)t] = a;
+        plen[(size_t)t] = (size_t)(p - a);
+    }
+    if (alloc_failed.load()) {
+        for (auto a : part) free(a);
+        return 1;
     }
     size_t total = 0;
-    for (auto& a : part) total += a.size();
+    for (auto l : plen) total += l;
     char* buf = (char*)malloc(total + 1);
-    if (!buf) return 1;
+    if (!buf) {
+        for (auto a : part) free(a);
+        return 1;
+    }
     char* p = buf;
     int64_t mapped = 0;
     for (unsigned t = 0; t < T; ++t) {
-        memcpy(p, part[t].data(), part[t].size());
-        p += part[t].size();
+        memcpy(p, part[t], plen[t]);
+        p += plen[t];
         mapped += pmapped[t];
+        free(part[t]);
     }
     *out_buf = buf;
     *out_len = (int64_t)total;
@@ -1758,10 +1802,12 @@ extern "C" int fn_format_psa_ascii_bits_grouped(
     int64_t* out_mapped) {
     unsigned T = host_threads();
     if (G < 64) T = 1;
-    std::vector<std::string> part((size_t)T);
+    std::vector<char*> part((size_t)T, nullptr);
     std::vector<int64_t> blen(G);
     std::vector<uint32_t> bcnt(G);
-    // phase 1: distinct bodies, group ranges per thread
+    std::atomic<bool> alloc_failed{false};
+    // phase 1: distinct bodies, group ranges per thread (raw buffers +
+    // digit pairs — see fn_format_psa_ascii_bits)
 #ifdef _OPENMP
 #pragma omp parallel num_threads(T)
 #endif
@@ -1772,47 +1818,39 @@ extern "C" int fn_format_psa_ascii_bits_grouped(
         int t = 0;
 #endif
         int64_t g0 = G * t / T, g1 = G * (t + 1) / T;
-        std::string& a = part[(size_t)t];
         int64_t tb = 0;
         for (int64_t i = g0 * (int64_t)c32; i < g1 * (int64_t)c32; ++i)
             tb += __builtin_popcount(rows[i]);
-        a.reserve((size_t)((g1 - g0) * 12 + tb * 11));
-        char tmp[16];
-        auto put_u32 = [&](uint32_t v) {
-            int len = 0;
-            do {
-                tmp[len++] = (char)('0' + v % 10);
-                v /= 10;
-            } while (v);
-            while (len) a.push_back(tmp[--len]);
-        };
-        for (int64_t g = g0; g < g1; ++g) {
-            size_t b0 = a.size();
-            const uint32_t* row = rows + g * c32;
-            uint32_t cnt = 0;
-            for (int32_t w = 0; w < c32; ++w)
-                cnt += (uint32_t)__builtin_popcount(row[w]);
-            bcnt[g] = cnt;
-            a.push_back('\t');
-            put_u32(cnt);
-            for (int32_t w = 0; w < c32; ++w) {
-                uint32_t x = row[w];
-                while (x) {
-                    int b = __builtin_ctz(x);
-                    x &= x - 1;
-                    a.push_back('\t');
-                    put_u32((uint32_t)(w * 32 + b));
-                }
+        char* a = (char*)malloc((size_t)((g1 - g0) * 12 + tb * 11) + 16);
+        char* p = a;
+        if (!a) {
+            alloc_failed.store(true);
+        } else {
+            for (int64_t g = g0; g < g1; ++g) {
+                char* b0 = p;
+                const uint32_t* row = rows + g * c32;
+                uint32_t cnt = 0;
+                for (int32_t w = 0; w < c32; ++w)
+                    cnt += (uint32_t)__builtin_popcount(row[w]);
+                bcnt[g] = cnt;
+                *p++ = '\t';
+                p = put_u32_fast(p, cnt);
+                p = put_bits_body(p, row, c32);
+                *p++ = '\n';
+                blen[g] = (int64_t)(p - b0);
             }
-            a.push_back('\n');
-            blen[g] = (int64_t)(a.size() - b0);
         }
+        part[(size_t)t] = a;
+    }
+    if (alloc_failed.load()) {
+        for (auto a : part) free(a);
+        return 1;
     }
     // body address per group (part-local offsets -> pointers)
     std::vector<const char*> baddr(G);
     for (unsigned t = 0; t < T; ++t) {
         int64_t g0 = G * t / T, g1 = G * (int64_t)(t + 1) / T;
-        const char* base = part[(size_t)t].data();
+        const char* base = part[(size_t)t];
         int64_t off = 0;
         for (int64_t g = g0; g < g1; ++g) {
             baddr[g] = base + off;
@@ -1830,25 +1868,22 @@ extern "C" int fn_format_psa_ascii_bits_grouped(
     for (int64_t i = 0; i < n; ++i)
         lofs[(size_t)i + 1] = lofs[(size_t)i] + digits(qids[i]) + blen[inv[i]];
     char* buf = (char*)malloc((size_t)lofs[(size_t)n] + 1);
-    if (!buf) return 1;
+    if (!buf) {
+        for (auto a : part) free(a);
+        return 1;
+    }
     int64_t mapped = 0;
 #ifdef _OPENMP
 #pragma omp parallel for num_threads(T) reduction(+ : mapped) schedule(static)
 #endif
     for (int64_t i = 0; i < n; ++i) {
         char* p = buf + lofs[(size_t)i];
-        char tmp[16];
-        uint32_t v = qids[i];
-        int len = 0;
-        do {
-            tmp[len++] = (char)('0' + v % 10);
-            v /= 10;
-        } while (v);
-        while (len) *p++ = tmp[--len];
+        p = put_u32_fast(p, qids[i]);
         int32_t g = inv[i];
         memcpy(p, baddr[g], (size_t)blen[g]);
         mapped += bcnt[g] > 0;
     }
+    for (auto a : part) free(a);
     *out_buf = buf;
     *out_len = lofs[(size_t)n];
     *out_mapped = mapped;

@@ -58,8 +58,16 @@ def color_runs_budget(Wk: int, ekpu: float) -> int | None:
     1-kmer unitig shared by 1000 genomes is traversed 1000x more often
     than a private one of equal text share, so the text-average
     num_kmers/num_unitigs mispredicts badly: pan1k text-avg 13.9 vs
-    read-weighted 4.9 vs ~71 observed csid-runs/read). The 3x factor
-    absorbs entry-position and miss-break effects."""
+    read-weighted 4.9). The 3x factor absorbs entry-position and
+    miss-break effects.
+
+    Low-locality note (measured round 5, pan1k): forcing a mid run budget
+    (R=32) at ekpu < 8 does NOT help end-to-end — the scatter compaction
+    itself costs ~90 ms/batch, eating the row-gather saving (225 -> ~178
+    ms), lost in the probe-dominated total. Per-window stays the
+    low-locality default; the ENGINE additionally de-escalates any
+    mispredicted runs budget to per-window when a batch overflows en
+    masse (QueryEngine._cr_off)."""
     if ekpu < 8.0:
         return None
     R = -(-int(3.0 * Wk / ekpu) // 8) * 8 + 16

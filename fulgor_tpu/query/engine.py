@@ -247,6 +247,7 @@ class QueryEngine:
         # overlap the host stage, so the larger R is nearly free while the
         # per-batch overflow recovery is not)
         self._runs_R = RUNS_FI_BUDGET
+        self._cr_off = False  # see _color_runs
         if self.use_runs_fetch and dense_ok:
             # the runs-path host stage reads color rows per distinct key;
             # when the dense matrix FITS, materialize it up front so
@@ -375,7 +376,12 @@ class QueryEngine:
     # ---------------------------------------------------------------- helpers
 
     def _color_runs(self, W: int):
-        """Static color-stage run budget for width W (None = per-window)."""
+        """Static color-stage run budget for width W (None = per-window).
+        _cr_off: measured de-escalation — when a batch's overflow shows the
+        run budget not compacting on this corpus, later dispatches take
+        the per-window variant instead of flooding the deferred redo."""
+        if self._cr_off:
+            return None
         return color_runs_budget(W - self.k + 1, self._ekpu)
 
     def _width_for(self, maxlen: int) -> int:
@@ -439,26 +445,19 @@ class QueryEngine:
             out.append(csid[s : s + n])
         return out
 
-    def _device_csids_many(self, rows) -> list:
-        """Exact per-window csids for many ragged reads via the DEVICE
-        per-window probe. The color-stage run-budget overflow redo needs
-        only window csids — which the per-window kernel produces at device
-        speed — so those reads never pay the exact-host probe (~4 ms/read;
-        the reference's equivalent of this fallback is simply its normal
-        per-k-mer path, src/ps_full_intersection.cpp:341-353). Entries come
-        back None for reads the device CANNOT decide exactly: probe-lane
-        overflow (needs the host-exact probe) or length past the stream
-        ladder."""
+    def _device_csids_dispatch(self, rows) -> list:
+        """Dispatch the DEVICE per-window probe for many ragged reads and
+        return an opaque state of in-flight result handles — resolution
+        (and the device round-trip wait) happens in _device_csids_resolve,
+        so the caller can overlap the programs with other work (the
+        deferred-redo flush resolves one flush-interval later)."""
         from ..ops.pipeline import query_window_csids_packed
 
-        out: list = [None] * len(rows)
+        state = []
         fit = [i for i, r in enumerate(rows) if len(r) <= MAX_STREAM_WIDTH]
-        k = self.k
-        # small pow2 dispatch buckets: inline per-batch redos are a handful
-        # of reads, so padding to the full stream batch would cost a whole
-        # extra batch-probe per affected batch. Bucket sizes are determined
-        # by the (deterministic) overflow counts, so compile variants stay
-        # few and the bench warm-up run compiles them all.
+        # pow2 dispatch buckets: bucket sizes are determined by the
+        # (deterministic) overflow counts, so compile variants stay few and
+        # the bench warm-up run compiles them all.
         B = min(self.batch, max(256, 1 << (max(1, len(fit)) - 1).bit_length()))
         for i0 in range(0, len(fit), B):
             sel = fit[i0: i0 + B]
@@ -468,12 +467,22 @@ class QueryEngine:
             for j, i in enumerate(sel):
                 chunk[j, : len(rows[i])] = rows[i]
             codes2, bad = pack_reads_host(chunk)
-            hit, csid, ovf = query_window_csids_packed(
-                self.table, codes2, bad, k=k, width=W, dparams=self.dparams,
-                probe_budget=self._pb_redo)
-            hit = np.asarray(hit[: len(sel)])
-            csid = np.asarray(csid[: len(sel)])
-            ovf = np.asarray(ovf[: len(sel)])
+            out = query_window_csids_packed(
+                self.table, codes2, bad, k=self.k, width=W,
+                dparams=self.dparams, probe_budget=self._pb_redo)
+            state.append((sel, _prefetch(out)))
+        return state
+
+    def _device_csids_resolve(self, rows, state) -> list:
+        """Collect a _device_csids_dispatch state. Entries come back None
+        for reads the device CANNOT decide exactly: probe-lane overflow
+        (needs the host-exact probe) or length past the stream ladder."""
+        out: list = [None] * len(rows)
+        k = self.k
+        for sel, handle in state:
+            hit = np.asarray(handle[0][: len(sel)])
+            csid = np.asarray(handle[1][: len(sel)])
+            ovf = np.asarray(handle[2][: len(sel)])
             vals = np.where(hit, csid, np.uint32(INVALID_U32))
             for j, i in enumerate(sel):
                 if ovf[j].any():
@@ -481,6 +490,16 @@ class QueryEngine:
                 n = max(0, len(rows[i]) - k + 1)
                 out[i] = vals[j, :n]
         return out
+
+    def _device_csids_many(self, rows) -> list:
+        """Exact per-window csids for many ragged reads via the DEVICE
+        per-window probe (synchronous dispatch + resolve). The color-stage
+        run-budget overflow redo needs only window csids — which the
+        per-window kernel produces at device speed — so those reads never
+        pay the exact-host probe (~4 ms/read; the reference's equivalent of
+        this fallback is simply its normal per-k-mer path,
+        src/ps_full_intersection.cpp:341-353)."""
+        return self._device_csids_resolve(rows, self._device_csids_dispatch(rows))
 
     def _fi_from_csids(self, csids: np.ndarray) -> np.ndarray:
         cat, offs = self._cs_cache
@@ -1067,32 +1086,57 @@ class QueryEngine:
                     deferred.append((qid0 + j, chunk[j, : lens[j]].copy()))
             return out
 
-        def flush_deferred(final=False):
-            nonlocal num_redo, redo_sec
-            if not deferred or (not final and len(deferred) < flush_at):
-                return
-            from ..native import lib as native
+        # in-flight redo dispatches: (ids, rows, device state). A flush
+        # DISPATCHES the exact re-probe and resolves it one flush-interval
+        # later (or at EOF), so the redo programs interleave with the main
+        # batch programs instead of serializing a device round trip into
+        # the consume path.
+        pending_redo: list = []
 
-            tr = time.perf_counter()
-            long_pos = [i for i, (_, r) in enumerate(deferred) if r is None]
-            if long_pos:
-                seqs, _nm = native.parse_reads_select(
-                    query_path, [deferred[i][0] for i in long_pos])
-                for i, s in zip(long_pos, seqs):
-                    deferred[i] = (deferred[i][0],
-                                   np.asarray(s, dtype=np.uint8))
-            ids = [q for q, _ in deferred]
-            rows = [r for _, r in deferred]
-            csids = self._redo_csids_rows(rows)
+        def _write_redo(ids, csids):
+            nonlocal num_redo
             if threshold is None:
                 lists = self._fi_lists_from_csids_many(csids)
             else:
                 lists = [self._tu_from_csids(np.asarray(c), threshold)
                          for c in csids]
             redo_sink().write_batch(ids, lists)
-            num_redo += len(rows)
+            num_redo += len(ids)
+
+        def flush_deferred(final=False):
+            nonlocal num_redo, redo_sec
+            tr = time.perf_counter()
+            if deferred and (final or len(deferred) >= flush_at):
+                from ..native import lib as native
+
+                long_pos = [i for i, (_, r) in enumerate(deferred)
+                            if r is None]
+                if long_pos:
+                    seqs, _nm = native.parse_reads_select(
+                        query_path, [deferred[i][0] for i in long_pos])
+                    for i, s in zip(long_pos, seqs):
+                        deferred[i] = (deferred[i][0],
+                                       np.asarray(s, dtype=np.uint8))
+                ids = [q for q, _ in deferred]
+                rows = [r for _, r in deferred]
+                deferred.clear()
+                if len(rows) <= 256:
+                    # small pools: the vectorized host mirror costs
+                    # ~1 ms/read and touches no device state
+                    _write_redo(ids, self._host_csids_many(rows))
+                else:
+                    pending_redo.append(
+                        (ids, rows, self._device_csids_dispatch(rows)))
+            while pending_redo and (final or len(pending_redo) >= 2):
+                ids, rows, state = pending_redo.pop(0)
+                csids = self._device_csids_resolve(rows, state)
+                left = [i for i, c in enumerate(csids) if c is None]
+                if left:
+                    for i, c in zip(left, self._host_csids_many(
+                            [rows[i] for i in left])):
+                        csids[i] = c
+                _write_redo(ids, csids)
             redo_sec += time.perf_counter() - tr
-            deferred.clear()
 
         def consume_lists(qid0, n, lens, _names, handle, chunk):
             nonlocal num_reads, query_sec
@@ -1105,6 +1149,9 @@ class QueryEngine:
             rows_over = self._fetch_rows(handle[2], over)
             tw = time.perf_counter()
             query_sec += tw - tq
+            if (ovf.mean() > 0.15 and not self._cr_off
+                    and self._color_runs(chunk.shape[1]) is not None):
+                self._cr_off = True  # runs not compacting: per-window next
             dropped = defer_reads(qid0, chunk, lens, np.flatnonzero(~keep))
             om = {}
             if len(over):
@@ -1134,6 +1181,9 @@ class QueryEngine:
             tw = time.perf_counter()
             query_sec += tw - tq
             keep = (lens <= MAX_STREAM_WIDTH) & ~ovf
+            if (ovf.mean() > 0.15 and not self._cr_off
+                    and self._color_runs(chunk.shape[1]) is not None):
+                self._cr_off = True  # runs not compacting: per-window next
             dropped = defer_reads(qid0, chunk, lens, np.flatnonzero(~keep))
             wr = np.flatnonzero(keep)
             num_reads += n
@@ -1268,6 +1318,9 @@ class QueryEngine:
             ovf = np.asarray(handle[3][:n])
             query_sec += time.perf_counter() - tq
             keep = (lens <= MAX_STREAM_WIDTH) & ~ovf
+            if (ovf.mean() > 0.15 and not self._cr_off
+                    and self._color_runs(chunk.shape[1]) is not None):
+                self._cr_off = True  # runs not compacting: per-window next
             dropped = defer_reads(qid0, chunk, lens, np.flatnonzero(~keep))
             wr = np.flatnonzero(keep)
             num_reads += n
