@@ -84,8 +84,9 @@ class Index:
     _dense_bits: np.ndarray | None = field(default=None, repr=False)
     _cs_cache: tuple | None = field(default=None, repr=False)
     _mini_obj: object | None = field(default=None, repr=False)
-    _row_memo: dict | None = field(default=None, repr=False)
-    _row_known: np.ndarray | None = field(default=None, repr=False)
+    _row_memo: np.ndarray | None = field(default=None, repr=False)
+    _row_pos: np.ndarray | None = field(default=None, repr=False)
+    _row_n: int = field(default=0, repr=False)
 
     # ------------------------------------------------ basic accessors
 
@@ -216,28 +217,50 @@ class Index:
         memo — the 150k-color regime's row source: the full dense matrix
         (num_sets x C bits) never materializes; only the distinct sets a
         query stream actually touches are decoded (VERDICT round-2 item:
-        on-demand compressed decode instead of a dense matrix)."""
+        on-demand compressed decode instead of a dense matrix).
+
+        The memo is a growing 2D array + csid->row remap so the fan-out
+        is ONE fancy index (a per-row python dict loop measured 50 s/batch
+        at 65k colors, capping the no-dense-matrix demo at ~560 reads/s).
+        Bounded by FULGOR_ROW_MEMO_BYTES (default 4 GiB): on overflow the
+        memo resets — later batches re-decode their working set."""
         if self._dense_bits is not None:  # already paid for — use it
             return self._dense_bits[np.asarray(csids, dtype=np.int64)]
-        if self._row_memo is None:
-            self._row_memo = {}
-            self._row_known = np.zeros(self.num_color_sets, dtype=bool)
-        memo = self._row_memo
-        csids = np.asarray(csids, dtype=np.int64)
+        import os as _os
+
         W = self.words_per_set
-        new = np.unique(csids[~self._row_known[csids]])
+        cap_bytes = int(_os.environ.get("FULGOR_ROW_MEMO_BYTES",
+                                        str(4 << 30)))
+        if self._row_memo is None:
+            self._row_memo = np.empty((4096, W), dtype=np.uint32)
+            self._row_pos = np.full(self.num_color_sets, -1, dtype=np.int64)
+            self._row_n = 0
+        csids = np.asarray(csids, dtype=np.int64)
+        pos = self._row_pos
+        new = np.unique(csids[pos[csids] < 0])
         if len(new):
+            if (self._row_n + len(new)) * 4 * W > cap_bytes:
+                # memo full: reset (keeps peak bounded; the hot working
+                # set re-decodes on the following batches)
+                self._row_memo = np.empty((4096, W), dtype=np.uint32)
+                pos.fill(-1)
+                self._row_n = 0
+                new = np.unique(csids)
+            need = self._row_n + len(new)
+            if need > len(self._row_memo):
+                grow = max(need, 2 * len(self._row_memo))
+                arr = np.empty((grow, W), dtype=np.uint32)
+                arr[: self._row_n] = self._row_memo[: self._row_n]
+                self._row_memo = arr
             from .native import lib as _native
 
             cat, offs = self.color_sets_decoded()
-            rows = _native.dense_bits(cat, offs[new], offs[new + 1], self.num_colors)
-            for i, s in enumerate(new.tolist()):
-                memo[s] = rows[i]
-            self._row_known[new] = True
-        out = np.empty((len(csids), W), dtype=np.uint32)
-        for i, s in enumerate(csids.tolist()):
-            out[i] = memo[s]
-        return out
+            rows = _native.dense_bits(cat, offs[new], offs[new + 1],
+                                      self.num_colors)
+            self._row_memo[self._row_n: self._row_n + len(new)] = rows
+            pos[new] = self._row_n + np.arange(len(new), dtype=np.int64)
+            self._row_n += len(new)
+        return self._row_memo[pos[csids]]
 
     # ------------------------------------------------ serialization
 

@@ -439,6 +439,27 @@ def format_psa_ascii(qids: np.ndarray, colors_cat: np.ndarray, offs: np.ndarray)
     return out
 
 
+def or_bits_at(res: np.ndarray, seg: np.ndarray, col: np.ndarray) -> None:
+    """res[seg[i], col[i]//32] |= 1 << (col[i]%32), in place. res must be
+    a C-contiguous (n, W) uint32 array; seg/col int64."""
+    lib = _load()
+    if not hasattr(lib.fn_or_bits_at, "argtypes") or not lib.fn_or_bits_at.argtypes:
+        lib.fn_or_bits_at.argtypes = [
+            ct.POINTER(ct.c_uint32), ct.c_int64,
+            ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int64), ct.c_int64,
+        ]
+        lib.fn_or_bits_at.restype = None
+    assert res.flags.c_contiguous and res.dtype == np.uint32
+    seg = np.ascontiguousarray(seg, dtype=np.int64)
+    col = np.ascontiguousarray(col, dtype=np.int64)
+    if len(seg):
+        lib.fn_or_bits_at(
+            res.ctypes.data_as(ct.POINTER(ct.c_uint32)), res.shape[1],
+            seg.ctypes.data_as(ct.POINTER(ct.c_int64)),
+            col.ctypes.data_as(ct.POINTER(ct.c_int64)), len(seg),
+        )
+
+
 def sort_i64(arr: np.ndarray) -> np.ndarray:
     """In-place parallel sort of a contiguous int64 array (falls back to
     np.sort semantics; uses all cores via gnu parallel sort)."""

@@ -1892,6 +1892,15 @@ extern "C" int fn_format_psa_ascii_bits_grouped(
 
 // in-place parallel sort of an int64 array (conversion hot paths sort
 // 10^8-element combined-key arrays; gnu parallel sort uses all cores)
+// res[seg[i]*W + col[i]/32] |= 1 << (col[i]%32) — the list-intersection
+// path's bitset materialization (entries arrive seg-sorted, so the walk
+// is cache-friendly; a numpy bitwise_or.at here costs ~100 ns/element)
+extern "C" void fn_or_bits_at(uint32_t* res, int64_t W, const int64_t* seg,
+                              const int64_t* col, int64_t n) {
+    for (int64_t i = 0; i < n; ++i)
+        res[seg[i] * W + (col[i] >> 5)] |= (1u << (col[i] & 31));
+}
+
 extern "C" void fn_sort_i64(int64_t* data, int64_t n) {
     PAR_SORT(data, data + n);
 }

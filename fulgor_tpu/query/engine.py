@@ -530,13 +530,101 @@ class QueryEngine:
             return native.and_reduce_rows(
                 self.idx.dense_color_bits(),
                 np.asarray(flat, dtype=np.int64), starts_full)
+        # no-dense regime (150k-color): choose by measured density. SPARSE
+        # sets (avg member count well under num_colors) intersect far
+        # cheaper through their COMPRESSED member lists (sort-based
+        # counting: a color is in the intersection of a segment's k sets
+        # iff it occurs k times across their concatenation) than by
+        # AND-ing 8 KB decoded rows. DENSE sets (core genes present in
+        # nearly every color) invert that completely — the member lists
+        # approach num_colors ints each — so they take the chunked
+        # on-demand row path. ~8 ns/member vs ~1 ns/row-byte break-even.
+        flat = np.asarray(flat, dtype=np.int64)
+        _cat, offs = self._cs_cache
+        total_members = int((offs[flat + 1] - offs[flat]).sum())
+        row_bytes = len(flat) * self.idx.words_per_set * 4
+        if total_members * 8 < row_bytes:
+            return self._intersect_segments_lists(flat, sizes)
+        return self._intersect_segments_rows(flat, sizes)
+
+    def _intersect_segments_rows(self, flat: np.ndarray,
+                                 sizes: np.ndarray) -> np.ndarray:
+        """Chunked on-demand row gather + AND-reduce (bounded memory: the
+        gathered (total_ids, W) block at 150k-color widths can reach tens
+        of GB in one deferred-redo flush at 8 KB/row)."""
+        starts_full = np.zeros(len(sizes) + 1, dtype=np.int64)
+        np.cumsum(sizes, out=starts_full[1:])
         res = np.zeros((len(sizes), self.idx.words_per_set), dtype=np.uint32)
         nz = np.flatnonzero(sizes > 0)
-        if len(nz):
-            res[nz] = np.bitwise_and.reduceat(
-                self.idx.color_rows(np.asarray(flat, dtype=np.int64)),
-                starts_full[nz], axis=0
+        CHUNK = 1 << 16
+        lo = 0
+        while lo < len(nz):
+            hi = lo + 1
+            while (hi < len(nz)
+                   and starts_full[nz[hi]] + sizes[nz[hi]]
+                   - starts_full[nz[lo]] <= CHUNK):
+                hi += 1
+            seg = nz[lo:hi]
+            base = starts_full[seg[0]]
+            end = starts_full[seg[-1]] + sizes[seg[-1]]
+            res[seg] = np.bitwise_and.reduceat(
+                self.idx.color_rows(flat[base:end]),
+                starts_full[seg] - base, axis=0
             )
+            lo = hi
+        return res
+
+    def _intersect_segments_lists(self, flat: np.ndarray,
+                                  sizes: np.ndarray) -> np.ndarray:
+        from ..native import lib as native
+
+        C = self.idx.num_colors
+        W = self.idx.words_per_set
+        cat, offs = self._cs_cache
+        starts_full = np.zeros(len(sizes) + 1, dtype=np.int64)
+        np.cumsum(sizes, out=starts_full[1:])
+        res = np.zeros((len(sizes), W), dtype=np.uint32)
+        set_len_all = (offs[flat + 1] - offs[flat]).astype(np.int64)
+        # chunk segments so the concatenated member block stays bounded
+        members_per_seg = np.zeros(len(sizes), dtype=np.int64)
+        np.add.at(members_per_seg,
+                  np.repeat(np.arange(len(sizes)), sizes), set_len_all)
+        CHUNK = 32 << 20  # member ints per chunk (256 MB of u64 keys)
+        lo = 0
+        nseg = len(sizes)
+        while lo < nseg:
+            hi = lo + 1
+            tot = members_per_seg[lo]
+            while hi < nseg and tot + members_per_seg[hi] <= CHUNK:
+                tot += members_per_seg[hi]
+                hi += 1
+            seg_sizes = sizes[lo:hi]
+            f0, f1 = starts_full[lo], starts_full[hi]
+            if f1 == f0:
+                lo = hi
+                continue
+            fl = flat[f0:f1]
+            sl = set_len_all[f0:f1]
+            seg_of_flat = np.repeat(np.arange(hi - lo), seg_sizes)
+            total = int(sl.sum())
+            sub = np.arange(total, dtype=np.int64) - np.repeat(
+                np.concatenate([[0], np.cumsum(sl)])[:-1], sl)
+            colors = cat[np.repeat(offs[fl], sl) + sub].astype(np.int64)
+            key = np.repeat(seg_of_flat, sl) * np.int64(C) + colors
+            native.sort_i64(key)
+            new = np.empty(len(key), dtype=bool)
+            new[0] = True
+            np.not_equal(key[1:], key[:-1], out=new[1:])
+            gstart = np.flatnonzero(new)
+            gcount = np.diff(np.concatenate([gstart, [len(key)]]))
+            kv = key[gstart]
+            seg_ids = kv // C
+            cols = kv % C
+            keep = gcount == seg_sizes[seg_ids]
+            sel_seg = (seg_ids[keep] + lo).astype(np.int64)
+            sel_col = cols[keep]
+            native.or_bits_at(res, sel_seg, sel_col.astype(np.int64))
+            lo = hi
         return res
 
     def _fi_rows_from_keys(self, keys: list) -> np.ndarray:

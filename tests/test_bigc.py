@@ -51,7 +51,8 @@ def big_index(tmp_path_factory):
         _dense_bits=None,
         _cs_cache=None,
         _row_memo=None,
-        _row_known=None,
+        _row_pos=None,
+        _row_n=0,
     )
     return tmp, big, genomes
 
