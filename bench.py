@@ -191,7 +191,11 @@ def timed_pseudoalign(eng, reads_path, out_path, label, runs=3, threshold=None):
     return rps, stats
 
 
-def measure_corpus(name, index_path, reads_path, out_path, tools=False):
+def measure_corpus(name, index_path, reads_path, out_path, tools=False,
+                   on_fi=None):
+    """Measure FI first; report it via on_fi IMMEDIATELY (so the primary
+    JSON line is out before any tool compile can eat the budget), then
+    run the non-flagship tools (stderr lines only)."""
     import numpy as np
 
     from fulgor_tpu.index import Index
@@ -207,6 +211,8 @@ def measure_corpus(name, index_path, reads_path, out_path, tools=False):
     eng = QueryEngine(idx, batch_size=32768)
     rps, _ = timed_pseudoalign(eng, reads_path, out_path,
                                f"{name} full-intersection")
+    if on_fi is not None:
+        on_fi(rps)
     if tools:
         for label, fn in [
             (f"{name} threshold-union(0.8)",
@@ -216,11 +222,14 @@ def measure_corpus(name, index_path, reads_path, out_path, tools=False):
             (f"{name} kmer-matches",
              lambda: eng.kmer_matches_file(reads_path, out_path)),
         ]:
-            fn()  # warm (compile)
-            t0 = time.perf_counter()
-            s = fn()
-            dt = time.perf_counter() - t0
-            _log(f"{label}: {s['num_reads'] / dt:,.0f} reads/s")
+            try:
+                fn()  # warm (compile)
+                t0 = time.perf_counter()
+                s = fn()
+                dt = time.perf_counter() - t0
+                _log(f"{label}: {s['num_reads'] / dt:,.0f} reads/s")
+            except Exception as e:  # noqa: BLE001 - tools never kill the run
+                _log(f"{label} FAILED: {e!r}")
     del eng, idx
     return rps
 
@@ -327,27 +336,34 @@ def main():
 
     # 1. salmonella_10: cheapest; always measured first so SOME number
     #    exists within minutes no matter what happens later.
+    def _record(name):
+        def on_fi(rps):
+            results[name] = rps
+            _print_primary(results)
+        return on_fi
+
     try:
         index, reads = ensure_salmonella()
-        results["salmonella_10"] = measure_corpus(
-            "salmonella_10", index, reads, out_path, tools=tools_too)
+        measure_corpus("salmonella_10", index, reads, out_path,
+                       tools=tools_too, on_fi=_record("salmonella_10"))
     except Exception as e:  # noqa: BLE001 - a broken corpus must not kill the rest
         _log(f"salmonella_10 FAILED: {e!r}")
-    _print_primary(results)
+        _print_primary(results)
 
     # 2/3. bigger corpora, cheapest-first; artifact builds run in a
     #      budget-bounded subprocess, and the primary JSON line re-prints
-    #      after every successful measurement (last line wins).
+    #      the moment each corpus' FI number exists (before tools, whose
+    #      compiles must never gate the primary metric; last line wins).
     for name, _ensure in (("pan1k", ensure_pan1k), ("pansal4546", ensure_pansal)):
         if not _ensure_built(name, t_start, budget):
             continue
         try:
             index, reads = _ensure()  # artifacts exist: returns paths only
-            results[name] = measure_corpus(name, index, reads, out_path,
-                                           tools=tools_too)
+            measure_corpus(name, index, reads, out_path,
+                           tools=tools_too, on_fi=_record(name))
         except Exception as e:  # noqa: BLE001
             _log(f"{name} FAILED: {e!r}")
-        _print_primary(results)
+            _print_primary(results)
 
     if not results:
         print(json.dumps({

@@ -152,10 +152,16 @@ RUNS_MIN_WORDS = int(_os.environ.get("FULGOR_RUNS_MIN_WORDS", str(LISTS_MIN_WORD
 MAX_LANES = int(_os.environ.get("FULGOR_MAX_LANES", str(6_000_000)))
 
 
-def _runs_budget(W: int) -> int:
+def _runs_budget(W: int, ekpu: float = 64.0) -> int:
     """kmer-conservation run budget per read width (runs beyond it -> exact
-    host redo; a 150 bp read rarely crosses >4 unitig/color boundaries)."""
-    return 16 if W <= 256 else max(16, W // 16)
+    redo). Locality-aware: on clonal indexes a 150 bp read rarely crosses
+    >4 unitig/color boundaries, but shredded graphs (read-weighted
+    kmers-per-unitig under 32) measure ~22 runs/read mean — a static 16
+    overflowed MOST pan1k reads into the synchronous redo and capped kc
+    at 4.1k reads/s. The fetch is 12 B/run, so the bigger budget costs
+    ~1 MB/batch."""
+    base = 16 if ekpu >= 32.0 else 48
+    return base if W <= 256 else max(base, W // 16)
 
 
 def _round_up(x, m):
@@ -1520,14 +1526,14 @@ class QueryEngine:
                 key = ("dedup", W)
                 if key not in self._mesh_fns:
                     self._mesh_fns[key] = self._mesh_mod.make_sharded_distinct_runs(
-                        self.mesh, self.k, W, 2 * _runs_budget(W),
+                        self.mesh, self.k, W, 2 * _runs_budget(W, self._ekpu),
                         dparams=self.dparams,
                     )
                 codes2, bad = self._mesh_mod.place_packed(self.mesh, codes2, bad)
                 return self._mesh_fns[key](self.table, codes2, bad)
             return query_distinct_runs_packed(
                 self.table, codes2, bad, k=self.k, width=W,
-                R=2 * _runs_budget(W), dparams=self.dparams,
+                R=2 * _runs_budget(W, self._ekpu), dparams=self.dparams,
                 probe_budget=self._pb,
             )
 
@@ -1638,7 +1644,7 @@ class QueryEngine:
                 if key not in self._mesh_fns:
                     self._mesh_fns[key] = (
                         self._mesh_mod.make_sharded_conservation_runs(
-                            self.mesh, self.k, W, _runs_budget(W),
+                            self.mesh, self.k, W, _runs_budget(W, self._ekpu),
                             dparams=self.dparams,
                         )
                     )
@@ -1646,7 +1652,7 @@ class QueryEngine:
                 return self._mesh_fns[key](self.table, codes2, bad)
             return _prefetch(query_conservation_runs_packed(
                 self.table, codes2, bad, k=self.k, width=W,
-                R=_runs_budget(W), dparams=self.dparams,
+                R=_runs_budget(W, self._ekpu), dparams=self.dparams,
                 probe_budget=self._pb,
             ))
 
