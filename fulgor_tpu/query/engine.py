@@ -152,16 +152,18 @@ RUNS_MIN_WORDS = int(_os.environ.get("FULGOR_RUNS_MIN_WORDS", str(LISTS_MIN_WORD
 MAX_LANES = int(_os.environ.get("FULGOR_MAX_LANES", str(6_000_000)))
 
 
-def _runs_budget(W: int, ekpu: float = 64.0) -> int:
+def _runs_budget(W: int, ekpu: float = 64.0, k: int = 31) -> int:
     """kmer-conservation run budget per read width (runs beyond it -> exact
     redo). Locality-aware: on clonal indexes a 150 bp read rarely crosses
-    >4 unitig/color boundaries, but shredded graphs (read-weighted
-    kmers-per-unitig under 32) measure ~22 runs/read mean — a static 16
-    overflowed MOST pan1k reads into the synchronous redo and capped kc
-    at 4.1k reads/s. The fetch is 12 B/run, so the bigger budget costs
-    ~1 MB/batch."""
-    base = 16 if ekpu >= 32.0 else 48
-    return base if W <= 256 else max(base, W // 16)
+    >4 unitig/color boundaries, but shredded graphs split a conservation
+    run at EVERY csid change and hit/miss boundary — pan1k measured 81%
+    of reads past even R=48 — so low-locality indexes (read-weighted
+    kmers-per-unitig under 32) fetch one record per WINDOW: exact, no
+    overflow, and at 12 B/record the full-width fetch is ~50 MB per 32k
+    batch (cheap next to the probe)."""
+    if ekpu < 32.0:
+        return max(1, W - k + 1)
+    return 16 if W <= 256 else max(16, W // 16)
 
 
 def _round_up(x, m):
@@ -1526,14 +1528,14 @@ class QueryEngine:
                 key = ("dedup", W)
                 if key not in self._mesh_fns:
                     self._mesh_fns[key] = self._mesh_mod.make_sharded_distinct_runs(
-                        self.mesh, self.k, W, 2 * _runs_budget(W, self._ekpu),
+                        self.mesh, self.k, W, 2 * _runs_budget(W, self._ekpu, self.k),
                         dparams=self.dparams,
                     )
                 codes2, bad = self._mesh_mod.place_packed(self.mesh, codes2, bad)
                 return self._mesh_fns[key](self.table, codes2, bad)
             return query_distinct_runs_packed(
                 self.table, codes2, bad, k=self.k, width=W,
-                R=2 * _runs_budget(W, self._ekpu), dparams=self.dparams,
+                R=2 * _runs_budget(W, self._ekpu, self.k), dparams=self.dparams,
                 probe_budget=self._pb,
             )
 
@@ -1644,7 +1646,7 @@ class QueryEngine:
                 if key not in self._mesh_fns:
                     self._mesh_fns[key] = (
                         self._mesh_mod.make_sharded_conservation_runs(
-                            self.mesh, self.k, W, _runs_budget(W, self._ekpu),
+                            self.mesh, self.k, W, _runs_budget(W, self._ekpu, self.k),
                             dparams=self.dparams,
                         )
                     )
@@ -1652,7 +1654,7 @@ class QueryEngine:
                 return self._mesh_fns[key](self.table, codes2, bad)
             return _prefetch(query_conservation_runs_packed(
                 self.table, codes2, bad, k=self.k, width=W,
-                R=_runs_budget(W, self._ekpu), dparams=self.dparams,
+                R=_runs_budget(W, self._ekpu, self.k), dparams=self.dparams,
                 probe_budget=self._pb,
             ))
 

@@ -327,7 +327,7 @@ def test_runs_overflow_host_fallback(built, tmp_path, monkeypatch):
     # kmer-conservation: same discipline via its per-width run budget
     k1 = str(tmp_path / "kc_golden.tsv")
     golden.kmer_conservation_file(qfile, k1)
-    monkeypatch.setattr(E, "_runs_budget", lambda W, ekpu=64.0: 2)
+    monkeypatch.setattr(E, "_runs_budget", lambda W, ekpu=64.0, k=31: 2)
     eng2 = E.QueryEngine(idx, use_mesh=False)
     k2 = str(tmp_path / "kc_ovf.tsv")
     s2 = eng2.kmer_conservation_file(qfile, k2)
